@@ -1,13 +1,296 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.spark.GraftFunctions
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an operator of the engine exercised as a
+  * full Spark plan over the driver-provided parquet tables; `oracleSql`
+  * holds the DuckDB-equivalent ANSI SQL where the semantics are exactly
+  * SQL-expressible (approximate-sketch and hash-based operators get
+  * rows-only checks plus ScalaTest oracles instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents with injected exact-duplicate structure (the raw corpus has
+    * near-dups but no exact dups): every 10th doc re-appears under
+    * doc_id + 1000000. Mirrored verbatim in the oracle CTE `all_docs`. */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val allDocsCte =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: per-language
+    * doc-length REQ-sketch stats + distinct-source theta estimate. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    t(spark, "/root/testdata/sf0.001", "documents")
+      .groupBy("lang")
+      .agg(
+        expr("req_sketch(n_chars)").as("sk"),
+        expr("theta_sketch(source)").as("th"))
+      .select(
+        col("lang"),
+        expr("req_count(sk)").as("docs"),
+        expr("req_quantile(sk, 0.5d)").as("p50_chars"),
+        expr("req_quantile(sk, 0.99d)").as("p99_chars"),
+        expr("cast(theta_estimate(th) as bigint)").as("distinct_sources"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- relational core
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"),
+             countDistinct("o_custkey").as("cust_cnt"))
+    }),
+    "q3_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("last_order"))
+    }),
+    "q4_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("order_cnt"))
+        .orderBy(col("order_cnt").desc, col("o_custkey"))
+        .limit(10)
+    }),
+
+    // ------------------------------------------------------- dedup lanes
+    "q_exact_dedup" -> ((s, dir) =>
+      ExactDedup.clusters(docsWithDups(s, dir), "doc_id", "text")),
+    "q_exact_dup_pairs" -> ((s, dir) =>
+      ExactDedup.pairs(docsWithDups(s, dir), "doc_id", "text")),
+    "q_cc_clusters" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val edges = ExactDedup.pairs(docs, "doc_id", "text")
+      ConnectedComponents.clustersWithSingletons(docs, "doc_id", edges)
+    }),
+    "q_minhash_neardup" -> ((s, dir) =>
+      MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+    "q_simhash_neardup" -> ((s, dir) =>
+      SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+        .select("id_a", "id_b", "hamming")),
+
+    // -------------------------------------------------- text analysis ops
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"))),
+    "q_lang_id" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      val stop = graft.core.TextOps.StopWords.toSeq.sorted.map(lit)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_c").cast("int").as("n_chars_c"),
+        size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"),
+        size(filter(split(trim(col("text")), "\\s+"),
+          tok => array_contains(array(stop: _*), lower(tok)))).cast("int").as("n_stop"))
+    }),
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))),
+
+    // --------------------------------------------------- sketch operators
+    "q_theta_distinct" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("theta_sketch(user_id)").as("th"))
+        .select(col("event_type"),
+          expr("cast(theta_estimate(th) as bigint)").as("distinct_users"))
+    }),
+    "q_req_stats" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(expr("req_sketch(n_chars)").as("sk"))
+        .select(col("lang"),
+          expr("req_count(sk)").as("cnt"),
+          expr("cast(req_sum(sk) as bigint)").as("sum_chars"),
+          expr("cast(req_min(sk) as bigint)").as("min_chars"),
+          expr("cast(req_max(sk) as bigint)").as("max_chars"))
+    }),
+    "q_req_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("req_sketch(l_extendedprice, 12, true)").as("sk"))
+        .select(col("l_returnflag"),
+          expr("req_quantile(sk, 0.5d)").as("p50"),
+          expr("req_quantile(sk, 0.95d)").as("p95"),
+          expr("req_quantile(sk, 0.99d)").as("p99"))
+    }),
+    "q_hll_distinct" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("hll_sketch(user_id)").as("h"))
+        .select(col("event_type"),
+          expr("cast(round(hll_estimate(h)) as bigint)").as("approx_users"))
+    }),
+    "q_theta_set_ops" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+      val sketches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(expr("theta_sketch(user_id)").as("th"))
+      val clicks = sketches.filter(col("event_type") === "click").select(col("th").as("a"))
+      val views = sketches.filter(col("event_type") === "view").select(col("th").as("b"))
+      clicks.crossJoin(views).select(
+        expr("cast(theta_intersect_estimate(a, b) as bigint)").as("click_and_view"),
+        expr("cast(theta_anotb_estimate(a, b) as bigint)").as("click_not_view"))
+    }),
+
+    // ----------------------------------------------------- vector search
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt, count(DISTINCT o_custkey) AS cust_cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
+    "q3_window" ->
+      """SELECT o_custkey, o_orderkey AS last_order FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_custkey, count(*) AS order_cnt FROM orders
+        |GROUP BY 1 ORDER BY order_cnt DESC, o_custkey LIMIT 10""".stripMargin,
+    "q_exact_dedup" ->
+      s"""$allDocsCte
+         |SELECT min(doc_id) AS canonical_id, count(*) AS cluster_size
+         |FROM all_docs GROUP BY text HAVING count(*) > 1""".stripMargin,
+    "q_exact_dup_pairs" ->
+      s"""$allDocsCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    "q_cc_clusters" ->
+      s"""$allDocsCte
+         |SELECT a.doc_id AS id, min(b.doc_id) AS component
+         |FROM all_docs a JOIN all_docs b ON a.text = b.text
+         |GROUP BY a.doc_id""".stripMargin,
+    "q_minhash_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                        for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) g FROM s
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |)
+        |SELECT da AS id_a, db AS id_b FROM cand
+        |JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
+        |FROM documents""".stripMargin,
+    "q_lang_id" -> langIdOracleSql,
+    "q_quality" ->
+      """SELECT doc_id,
+        |  length(text)::INT AS n_chars_c,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens,
+        |  len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], lower(t))))::INT AS n_stop
+        |FROM documents""".stripMargin,
+    "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_theta_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_req_stats" ->
+      """SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_theta_set_ops" ->
+      """SELECT
+        |  (SELECT count(DISTINCT c.user_id) FROM events c
+        |    WHERE c.event_type = 'click'
+        |      AND c.user_id IN (SELECT user_id FROM events WHERE event_type = 'view')) AS click_and_view,
+        |  (SELECT count(DISTINCT c.user_id) FROM events c
+        |    WHERE c.event_type = 'click'
+        |      AND c.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'view')) AS click_not_view""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+        |  FROM q JOIN embeddings e ON q.vec_id <> e.vec_id
+        |)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored) WHERE rnk <= 5""".stripMargin
+    // q_simhash_neardup, q_req_quantiles, q_hll_distinct: not SQL-expressible
+    // (simhash / REQ / HLL internals) -> rows-only driver check; exact
+    // oracles live in the ScalaTest suite instead.
+  )
+
+  /** DuckDB mirror of TextOps.langId: per-language marker counts via
+    * non-overlapping replace counting on the space-padded text, argmax with
+    * first-in-order winning ties, 'und' when nothing fires. */
+  private val langIdOracleSql: String = {
+    def cnt(m: String): String = {
+      val esc = m.replace("'", "''")
+      s"(length(p) - length(replace(p, '$esc', ''))) // length('$esc')"
+    }
+    val counts = graft.core.TextOps.LangMarkers.map { case (lang, ms) =>
+      s"(${ms.map(cnt).mkString(" + ")}) AS c_$lang"
+    }.mkString(", ")
+    val langs = graft.core.TextOps.LangMarkers.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val before = langs.take(i).map(b => s"c_$l > c_$b")
+      val after = langs.drop(i + 1).map(a => s"c_$l >= c_$a")
+      val conds = (s"c_$l >= 1" +: (before ++ after)).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |counted AS (SELECT doc_id, $counts FROM padded)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess FROM counted""".stripMargin
+  }
 }

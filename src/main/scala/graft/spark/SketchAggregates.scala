@@ -1,0 +1,218 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst aggregate expressions carrying mergeable sketch state — the
+  * Spark realization of the reference's zero/insert/merge/query lifecycle
+  * (SURVEY.md §2.3 "the reference IS a partial+final aggregation kernel").
+  *
+  * All of them run under `ObjectHashAggregateExec`: the buffer lives as a
+  * JVM object during partial aggregation on executors (reference `insert`,
+  * `RelativeErrorQuantile.hs:479-503`), is serialized to binary rows only at
+  * the shuffle boundary, and merged on the reduce side (reference `merge`,
+  * `RelativeErrorQuantile.hs:428-476`). `eval` emits the serialized sketch
+  * (BinaryType) so results can be stored, re-read, and re-merged across
+  * jobs — the sketch-column workflow the north rule's metrics table needs.
+  */
+abstract class BinarySketchAgg[S] extends TypedImperativeAggregate[S] {
+  def child: Expression
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+}
+
+/** `req_sketch(col[, k[, hra]])` — REQ quantile sketch over a double column. */
+case class ReqSketchAgg(
+    child: Expression,
+    k: Int = ReqSketch.DefaultK,
+    hra: Boolean = true,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[ReqSketch] {
+
+  override def prettyName: String = "req_sketch"
+
+  override def createAggregationBuffer(): ReqSketch = ReqSketch(k, hra)
+
+  override def update(buf: ReqSketch, input: InternalRow): ReqSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: ReqSketch, other: ReqSketch): ReqSketch = buf.merge(other)
+  override def eval(buf: ReqSketch): Any = buf.serialize()
+  override def serialize(buf: ReqSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): ReqSketch = ReqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ReqSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ReqSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ReqSketchAgg = copy(child = c.head)
+}
+
+/** Re-merge stored REQ sketches: `req_merge(sketch_col)`. */
+case class ReqMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[ReqSketch] {
+
+  override def prettyName: String = "req_merge"
+  override def createAggregationBuffer(): ReqSketch = null.asInstanceOf[ReqSketch]
+
+  override def update(buf: ReqSketch, input: InternalRow): ReqSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = ReqSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: ReqSketch, other: ReqSketch): ReqSketch =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: ReqSketch): Any =
+    (if (buf == null) ReqSketch() else buf).serialize()
+  override def serialize(buf: ReqSketch): Array[Byte] =
+    (if (buf == null) ReqSketch() else buf).serialize()
+  override def deserialize(bytes: Array[Byte]): ReqSketch = ReqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ReqMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ReqMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ReqMergeAgg = copy(child = c.head)
+}
+
+private[spark] object SketchInput {
+  /** Feed an arbitrary supported input value into a hash-based sketch. */
+  def hashOf(v: Any): Long = v match {
+    case l: Long        => ThetaSketch.hashLong(l)
+    case i: Int         => ThetaSketch.hashLong(i.toLong)
+    case s: UTF8String  => ThetaSketch.hashBytes(s.getBytes)
+    case b: Array[Byte] => ThetaSketch.hashBytes(b)
+    case d: Double      => ThetaSketch.hashLong(java.lang.Double.doubleToLongBits(d + 0.0))
+    case f: Float       => ThetaSketch.hashLong(java.lang.Double.doubleToLongBits(f.toDouble + 0.0))
+    case s: Short       => ThetaSketch.hashLong(s.toLong)
+    case b: Byte        => ThetaSketch.hashLong(b.toLong)
+    case other => throw new IllegalArgumentException(s"unsupported sketch input: ${other.getClass}")
+  }
+
+}
+
+/** `theta_sketch(col[, nominalEntries])` — Theta sketch for distinct counts
+  * and set expressions. */
+case class ThetaSketchAgg(
+    child: Expression,
+    nominalEntries: Int = ThetaSketch.DefaultNominalEntries,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[ThetaSketch] {
+
+  override def prettyName: String = "theta_sketch"
+  override def createAggregationBuffer(): ThetaSketch = ThetaSketch(nominalEntries)
+
+  override def update(buf: ThetaSketch, input: InternalRow): ThetaSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.updateHash(SketchInput.hashOf(v))
+    buf
+  }
+  override def merge(buf: ThetaSketch, other: ThetaSketch): ThetaSketch = buf.merge(other)
+  override def eval(buf: ThetaSketch): Any = buf.serialize()
+  override def serialize(buf: ThetaSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): ThetaSketch = ThetaSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c.head)
+}
+
+/** Union of stored theta sketches: `theta_union(sketch_col)`. */
+case class ThetaUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[ThetaSketch] {
+
+  override def prettyName: String = "theta_union"
+  override def createAggregationBuffer(): ThetaSketch = null.asInstanceOf[ThetaSketch]
+
+  override def update(buf: ThetaSketch, input: InternalRow): ThetaSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = ThetaSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: ThetaSketch, other: ThetaSketch): ThetaSketch =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: ThetaSketch): Any =
+    (if (buf == null) ThetaSketch() else buf).serialize()
+  override def serialize(buf: ThetaSketch): Array[Byte] =
+    (if (buf == null) ThetaSketch() else buf).serialize()
+  override def deserialize(bytes: Array[Byte]): ThetaSketch = ThetaSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): ThetaUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ThetaUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ThetaUnionAgg = copy(child = c.head)
+}
+
+/** `hll_sketch(col[, lgK])` — HyperLogLog distinct-count sketch. */
+case class HllSketchAgg(
+    child: Expression,
+    lgK: Int = HllSketch.DefaultLgK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[HllSketch] {
+
+  override def prettyName: String = "hll_sketch"
+  override def createAggregationBuffer(): HllSketch = HllSketch(lgK)
+
+  override def update(buf: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.updateHash(SketchInput.hashOf(v))
+    buf
+  }
+  override def merge(buf: HllSketch, other: HllSketch): HllSketch = buf.merge(other)
+  override def eval(buf: HllSketch): Any = buf.serialize()
+  override def serialize(buf: HllSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg = copy(child = c.head)
+}
+
+/** Union of stored HLL sketches: `hll_union(sketch_col)`. */
+case class HllUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[HllSketch] {
+
+  override def prettyName: String = "hll_union"
+  override def createAggregationBuffer(): HllSketch = null.asInstanceOf[HllSketch]
+
+  override def update(buf: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = HllSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: HllSketch, other: HllSketch): HllSketch =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: HllSketch): Any =
+    (if (buf == null) HllSketch() else buf).serialize()
+  override def serialize(buf: HllSketch): Array[Byte] =
+    (if (buf == null) HllSketch() else buf).serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllUnionAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnionAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllUnionAgg = copy(child = c.head)
+}
