@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.pipeline.NearDupPipeline
 import graft.spark.GraftFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -178,8 +179,49 @@ object SparkEntry {
       AnnSearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    }),
+    "q_embed_neardup" -> ((s, dir) => {
+      // exact cosine near-dup pairs (embedding-cosine dedup lane); the
+      // LSH-bucketed scale path is exercised rows-only in q_embed_neardup_lsh
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", AnnSearch.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    }),
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      AnnSearch.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b")),
+
+    // ------------------------------------- north-rule web-pages pipeline
+    // (input synthesized deterministically in the north-rule shape —
+    //  url/warc_ts/html/text/lang — since the driver tables don't carry it;
+    //  strong oracles for these live in NearDupPipelineSpec)
+    "q_extract_text" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      pagesDf(s).select(col("url"), expr("extract_text(html)").as("text"))
+        .orderBy("url")
+    }),
+    "q_substring_dedup" -> ((s, dir) => {
+      val pages = pagesDf(s).select(xxhash64(col("url")).as("id"), col("text"))
+      SubstringDedup.pairs(pages, "id", "text", minLen = 200)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+    }),
+    "q_pages_pipeline" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
+      NearDupPipeline.run(s, pagesDf(s),
+          graft.pipeline.NearDupPipeline.Config(workDir = work))
+        .clusters.select("url", "component").orderBy("url")
     })
   )
+
+  /** Deterministic north-rule pages corpus (same shape as the 10^12-doc
+    * Iceberg table; 800 rows at test scale, seed 42). */
+  private def pagesDf(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.parallelize(graft.core.WebPages.generate(800, 42L), 8))
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -265,10 +307,17 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, rnk FROM (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM scored) WHERE rnk <= 5""".stripMargin
-    // q_simhash_neardup, q_req_quantiles, q_hll_distinct: not SQL-expressible
-    // (simhash / REQ / HLL internals) -> rows-only driver check; exact
-    // oracles live in the ScalaTest suite instead.
+        |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+    // Not SQL-expressible -> rows-only driver check; exact oracles live in
+    // the ScalaTest suites instead:
+    //   q_simhash_neardup, q_req_quantiles, q_hll_distinct (sketch internals)
+    //   q_embed_neardup_lsh (probabilistic candidate generation)
+    //   q_extract_text, q_substring_dedup, q_pages_pipeline (synthesized
+    //   north-rule pages input not present in the driver's DuckDB tables)
   )
 
   /** DuckDB mirror of TextOps.langId: per-language marker counts via

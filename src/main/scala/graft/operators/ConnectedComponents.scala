@@ -37,24 +37,23 @@ object ConnectedComponents {
 
     var converged = false
     var iter = 0
-    var lastSum = -1L
     while (!converged && iter < maxIterations) {
       // propagate: label(id) <- min(label(id), min over neighbors of label(nbr))
-      val l1 = labels.as("l1")
       val viaEdges = e0
         .join(labels.withColumnRenamed("id", "u").withColumnRenamed("label", "lu"), "u")
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "lv"), "v")
       val candidates = viaEdges.select($"u".as("id"), least($"lu", $"lv").as("cand"))
         .union(viaEdges.select($"v".as("id"), least($"lu", $"lv").as("cand")))
       val next = labels.join(candidates.groupBy("id").agg(min("cand").as("cand")), Seq("id"), "left")
-        .select($"id", least($"label", coalesce($"cand", $"label")).as("label"))
+        .select($"id", least($"label", coalesce($"cand", $"label")).as("label"),
+          ($"cand" < $"label").cast("int").as("changed"))
         .localCheckpoint(true)
 
-      // labels only decrease; the label sum strictly decreases until fixpoint
-      val labelSum = next.agg(org.apache.spark.sql.functions.sum($"label")).first().getLong(0)
-      converged = labelSum == lastSum
-      lastSum = labelSum
-      labels = next
+      // labels only decrease; fixpoint when no row improved this round.
+      // (count of changed rows — overflow-free, one action per iteration)
+      val changed = next.agg(coalesce(sum($"changed"), lit(0L))).first().getLong(0)
+      converged = changed == 0L
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.withColumnRenamed("label", "component")

@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.spark.GraftFunctions
+
+/** The north-rule pipeline: near-duplicate detection + clustering over a
+  * Common-Crawl-style pages table `(url, warc_ts, html, text, lang)`.
+  *
+  * Stage graph (each stage materializes to `workDir/<stage>` and appends a
+  * lineage row to the metrics table; a stage whose output already exists —
+  * i.e. committed with a `_SUCCESS` marker — is NOT recomputed, which gives
+  * exact resume from the last committed snapshot since every kernel is
+  * deterministic):
+  *
+  *   extracted        url, id, text, lang       (text extracted from html)
+  *   edges_exact      id_a, id_b                (identical text)
+  *   edges_minhash    id_a, id_b                (shingle Jaccard >= thr)
+  *   edges_simhash    id_a, id_b                (Hamming <= maxDist)
+  *   edges_substring  id_a, id_b                (LCS >= minLen chars)
+  *   clusters         url, id, component        (connected components)
+  *   cluster_stats    per-component size + sketch metrics
+  *
+  * Ids are `xxhash64(url)` — deterministic across runs/parallelism (required
+  * for resume + recall parity). At 10^12 docs 64-bit ids expect a handful of
+  * birthday collisions; production would widen to 128 bits (two salted
+  * xxhash64 columns) — the pipeline shape is unchanged.
+  *
+  * Scale notes (10^12 docs): every candidate-generation shuffle carries
+  * narrow (id, key) rows only; texts join in exactly twice (minhash verify,
+  * substring verify) against the small candidate set with AQE skew handling;
+  * hot buckets are capped (the capped mass is template boilerplate caught by
+  * the linear exact lane); connected components shuffles (id, label) longs
+  * for the edge set only, which is tiny relative to the corpus.
+  */
+object NearDupPipeline {
+
+  case class Config(
+      workDir: String,
+      jaccardThreshold: Double = 0.9,
+      simhashMaxDist: Int = 3,
+      minSubstringLen: Int = 200,
+      maxBucketSize: Int = 1000,
+      validateExtraction: Boolean = true)
+
+  case class Result(clusters: DataFrame, clusterStats: DataFrame, metrics: DataFrame)
+
+  /** Run (or resume) the full pipeline. `pages` must have the north-rule
+    * schema; `text` may be null, in which case extraction output is used
+    * without the byte-identical cross-check. */
+  def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
+    GraftFunctions.register(spark)
+    val m = new Lineage(spark, cfg.workDir)
+
+    // ---- stage 0: text extraction (invariant: byte-identical to `text`)
+    val extracted = m.stage("extracted") {
+      val hasText = pages.columns.contains("text")
+      val base = pages.withColumn("extracted_text", expr("extract_text(html)"))
+      val checked =
+        if (cfg.validateExtraction && hasText) {
+          // hard invariant (BASELINE.json input_hint): fail loudly per url
+          base.withColumn("_ok", col("extracted_text") === col("text"))
+            .withColumn("extracted_text",
+              when(col("_ok"), col("extracted_text"))
+                .otherwise(raise_error(concat(lit("extraction mismatch for "), col("url")))))
+            .drop("_ok")
+        } else base
+      checked.select(col("url"), xxhash64(col("url")).as("id"),
+        col("extracted_text").as("text"), col("lang"))
+    }
+
+    // ---- candidate + verify lanes (independent; each narrow-shuffle only)
+    val exact = m.stage("edges_exact") {
+      ExactDedup.pairs(extracted, "id", "text")
+    }
+    val minhash = m.stage("edges_minhash") {
+      MinHashLSH.nearDupPairs(extracted, "id", "text",
+          cfg.jaccardThreshold, cfg.maxBucketSize)
+        .select("id_a", "id_b")
+    }
+    val simhash = m.stage("edges_simhash") {
+      SimHashDedup.pairs(extracted, "id", "text", cfg.simhashMaxDist)
+        .select("id_a", "id_b")
+    }
+    val substring = m.stage("edges_substring") {
+      SubstringDedup.pairs(extracted, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
+        .select("id_a", "id_b")
+    }
+
+    // ---- union of lanes -> connected components -> cluster table
+    val clusters = m.stage("clusters") {
+      val edges = exact
+        .unionByName(minhash)
+        .unionByName(simhash)
+        .unionByName(substring)
+        .distinct()
+      ConnectedComponents.clustersWithSingletons(extracted, "id", edges)
+        .withColumnRenamed("id", "cid")
+        .join(extracted.select("url", "id"), col("cid") === col("id"))
+        .select(col("url"), col("id"), col("component"))
+    }
+
+    // ---- per-cluster stats carried as mergeable sketches
+    val stats = m.stage("cluster_stats") {
+      clusters.join(extracted.select("id", "text"), "id")
+        .groupBy("component")
+        .agg(
+          count(lit(1)).as("size"),
+          expr("hll_sketch(url)").as("url_hll"),
+          expr("theta_sketch(id)").as("id_theta"),
+          expr("req_sketch(length(text))").as("len_req"))
+        .select(col("component"), col("size"),
+          expr("cast(round(hll_estimate(url_hll)) as bigint)").as("distinct_urls"),
+          expr("cast(theta_estimate(id_theta) as bigint)").as("distinct_ids"),
+          expr("req_quantile(len_req, 0.5d)").as("p50_len"),
+          expr("req_quantile(len_req, 0.99d)").as("p99_len"))
+    }
+
+    Result(clusters, stats, m.metrics)
+  }
+
+  /** Dup-pair recall of a cluster assignment against a truth pair set —
+    * pairs are recalled when both urls land in the same component. */
+  def recall(clusters: DataFrame, truth: DataFrame): Double = {
+    val assign = clusters.select(col("url"), col("component"))
+    val joined = truth
+      .join(assign.withColumnRenamed("url", "url_a").withColumnRenamed("component", "ca"), "url_a")
+      .join(assign.withColumnRenamed("url", "url_b").withColumnRenamed("component", "cb"), "url_b")
+    val agg = joined.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("hit")).first()
+    val total = agg.getLong(0)
+    if (total == 0) 1.0 else agg.getLong(1).toDouble / total
+  }
+}
+
+/** Stage materialization + lineage/metrics + resume-from-committed-snapshot
+  * (SURVEY.md §2.4 "Lineage/metrics sink"). Parquet-dir realization of the
+  * Iceberg metrics table: one committed snapshot per stage, `_SUCCESS` as
+  * the commit marker; on a real cluster swap the writes for Iceberg table
+  * commits and `snapshot_id` for the Iceberg snapshot id — the resume logic
+  * (skip stages whose snapshot is committed) is identical.
+  */
+class Lineage(spark: SparkSession, workDir: String) {
+  import org.apache.hadoop.fs.Path
+  private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val done = scala.collection.mutable.ArrayBuffer[String]()
+
+  private def committed(stage: String): Boolean =
+    fs.exists(new Path(s"$workDir/$stage/_SUCCESS"))
+
+  /** Compute-or-load: if the stage output is committed, read it (resume);
+    * otherwise compute, write, commit, and append the lineage row. */
+  def stage(name: String)(compute: => DataFrame): DataFrame = {
+    if (!committed(name)) {
+      compute.write.mode(SaveMode.Overwrite).parquet(s"$workDir/$name")
+      appendMetrics(name)
+    }
+    done += name
+    spark.read.parquet(s"$workDir/$name")
+  }
+
+  private def appendMetrics(stage: String): Unit = {
+    import spark.implicits._
+    val out = spark.read.parquet(s"$workDir/$stage")
+    // per-partition lineage: rows per partition + a theta sketch of the
+    // first column's values (cross-partition dup estimation support)
+    graft.spark.GraftFunctions.register(spark)
+    val firstCol = out.columns.head
+    val rows = out
+      .withColumn("_pid", spark_partition_id())
+      .groupBy("_pid")
+      .agg(count(lit(1)).as("rows"),
+           expr(s"theta_sketch($firstCol)").as("sketch"))
+      .select(lit(stage).as("stage"), col("_pid").as("partition_id"),
+        col("rows"), col("sketch"),
+        lit(done.length.toLong).as("snapshot_id"),
+        current_timestamp().as("ts"))
+    rows.write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
+  }
+
+  def metrics: DataFrame =
+    if (fs.exists(new Path(s"$workDir/_metrics")))
+      spark.read.parquet(s"$workDir/_metrics")
+    else spark.emptyDataFrame
+}

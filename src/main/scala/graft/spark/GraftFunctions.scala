@@ -114,6 +114,8 @@ object GraftFunctions {
     u.register("est_jaccard", (a: Seq[Long], b: Seq[Long]) => TextOps.estimatedJaccard(a.toArray, b.toArray))
     u.register("winnow_fps", (t: String) => TextOps.winnowedFingerprints(t))
     u.register("lcs_len", (a: String, b: String) => TextOps.longestCommonSubstring(a, b))
+    u.register("sa_lcs", (a: String, b: String) => SuffixArray.longestCommonSubstring(a, b))
+    u.register("extract_text", (html: Array[Byte]) => HtmlText.extract(html))
     u.register("lang_id", (t: String) => TextOps.langId(t))
     u.register("quality_score", (t: String) => TextOps.qualityScore(t))
   }

@@ -1,0 +1,101 @@
+package graft.spark
+
+import graft.core.WebPages
+import graft.pipeline.NearDupPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end north-rule pipeline correctness: dup-pair recall >= 0.99
+  * against the brute-force truth oracle at the reference config, the
+  * byte-identical extraction invariant, and exact resume from the last
+  * committed stage snapshot. */
+class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
+
+  private def pagesDf(n: Int, seed: Long): (DataFrame, Set[(String, String, String)]) = {
+    val pages = WebPages.generate(n, seed)
+    val truth = WebPages.truthPairs(pages)
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(pages, 8))
+    (df, truth)
+  }
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  test("pipeline recall >= 0.99 vs brute-force truth at reference config") {
+    val (df, truth) = pagesDf(600, 42L)
+    assert(truth.nonEmpty)
+    val cfg = NearDupPipeline.Config(workDir = tmpDir("pipe"))
+    val res = NearDupPipeline.run(spark, df, cfg)
+
+    import spark.implicits._
+    val truthDf = truth.toSeq.toDF("url_a", "url_b", "kind")
+    val r = NearDupPipeline.recall(res.clusters, truthDf)
+    assert(r >= 0.99, s"dup-pair recall $r < 0.99 (truth=${truth.size} pairs)")
+
+    // no-overmerge sanity: intra-cluster pairs should be mostly true dups
+    // (transitive closure can add a few, but clusters must not collapse)
+    val nClusters = res.clusters.select("component").distinct().count()
+    assert(nClusters > 300, s"suspiciously few clusters: $nClusters")
+  }
+
+  test("extraction invariant enforced: corrupted html fails loudly") {
+    val (df, _) = pagesDf(50, 1L)
+    val bad = df.withColumn("html",
+      when(col("url").endsWith("/p/3"), lit("<p>tampered</p>".getBytes))
+        .otherwise(col("html")))
+    val cfg = NearDupPipeline.Config(workDir = tmpDir("bad"))
+    val e = intercept[Exception] {
+      NearDupPipeline.run(spark, bad, cfg).clusters.count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("resume: re-run skips committed stages and reproduces identical clusters") {
+    val (df, _) = pagesDf(300, 9L)
+    val dir = tmpDir("resume")
+    val cfg = NearDupPipeline.Config(workDir = dir)
+
+    val first = NearDupPipeline.run(spark, df, cfg)
+    val firstClusters = first.clusters.orderBy("url").collect().map(r => (r.getString(0), r.getLong(2)))
+
+    // simulate a failure after edges_* committed: delete the cluster stages
+    def rm(stage: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$stage")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    rm("clusters"); rm("cluster_stats")
+
+    // resume with an EMPTY input frame: committed stages must be read, not
+    // recomputed (the real resume path reads only workDir state), and the
+    // recomputed tail must match the first run bit-for-bit.
+    val emptyPages = df.limit(0)
+    val second = NearDupPipeline.run(spark, emptyPages, cfg)
+    val secondClusters = second.clusters.orderBy("url").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(secondClusters.sameElements(firstClusters), "resume changed cluster assignments")
+
+    // lineage table has one snapshot row set per stage
+    val stages = second.metrics.select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages == Set("extracted", "edges_exact", "edges_minhash",
+      "edges_simhash", "edges_substring", "clusters", "cluster_stats"))
+  }
+
+  test("cluster_stats sketches: sizes and distinct-url estimates agree") {
+    val (df, _) = pagesDf(300, 11L)
+    val cfg = NearDupPipeline.Config(workDir = tmpDir("stats"))
+    val res = NearDupPipeline.run(spark, df, cfg)
+    val rows = res.clusterStats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getAs[Long]("size")
+      val urls = r.getAs[Long]("distinct_urls")
+      val ids = r.getAs[Long]("distinct_ids")
+      // theta below nominal entries is exact (k-minimum-values, no sampling)
+      assert(ids == size, s"component ${r.get(0)}: theta=$ids size=$size")
+      // hll at tiny cardinality: register-estimator, allow 3-sigma + rounding
+      val tol = math.max(1.0, 3 * 1.04 / math.sqrt(1 << graft.core.HllSketch.DefaultLgK) * size)
+      assert(math.abs(urls - size) <= tol, s"component ${r.get(0)}: hll=$urls size=$size")
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft.spark
+
+import graft.core.{HllSketch, ReqSketch, ThetaSketch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed-aggregation correctness of the sketch aggregates: the
+  * partial(update)/shuffle(serialize)/final(merge) path across partitions
+  * must answer like a single-threaded sketch over the same stream —
+  * the reference's merge semantics (RelativeErrorQuantile.hs:428-476)
+  * realized under Spark's TypedImperativeAggregate lifecycle. */
+class SketchAggSpec extends AnyFunSuite with SparkSuiteBase {
+
+  test("req_sketch across 1/2/8 partitions matches single-sketch answers within bounds") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val values = (1 to 20000).map(i => (i * 37 % 20011).toDouble)
+
+    val single = ReqSketch()
+    values.foreach(single.update)
+
+    for (parts <- Seq(1, 2, 8)) {
+      val df = values.toDF("v").repartition(parts)
+      val bytes = df.agg(expr("req_sketch(v)")).first().getAs[Array[Byte]](0)
+      val sk = ReqSketch.deserialize(bytes)
+      assert(sk.count == values.length)
+      assert(sk.minimum == values.min && sk.maximum == values.max)
+      assert(math.abs(sk.sum - values.sum) < 1e-6 * values.sum)
+      for (r <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+        val q = sk.quantile(r)
+        val trueRank = values.count(_ < q).toDouble / values.length
+        // HRA default: relative error vanishes toward high ranks
+        val lb = single.rankLowerBound(r, 3) - 0.02
+        val ub = single.rankUpperBound(r, 3) + 0.02
+        assert(trueRank >= lb && trueRank <= ub,
+          s"parts=$parts r=$r q=$q trueRank=$trueRank not in [$lb,$ub]")
+      }
+    }
+  }
+
+  test("theta_sketch estimate within 3-sigma RSE of exact distinct count") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val n = 200000
+    val df = (1 to n).map(i => s"user-${i % 50000}").toDF("u").repartition(8)
+    val bytes = df.agg(expr("theta_sketch(u)")).first().getAs[Array[Byte]](0)
+    val est = ThetaSketch.deserialize(bytes).estimate
+    val rse = 1.0 / math.sqrt(ThetaSketch.DefaultNominalEntries)
+    assert(math.abs(est - 50000) / 50000 < 3 * rse, s"theta est=$est exact=50000")
+  }
+
+  test("hll_sketch estimate within 3-sigma RSE of exact distinct count") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1 to 150000).map(i => (i % 30000).toLong).toDF("u").repartition(8)
+    val bytes = df.agg(expr("hll_sketch(u)")).first().getAs[Array[Byte]](0)
+    val est = HllSketch.deserialize(bytes).estimate
+    val rse = 1.04 / math.sqrt(1 << HllSketch.DefaultLgK)
+    assert(math.abs(est - 30000) / 30000 < 3 * rse, s"hll est=$est exact=30000")
+  }
+
+  test("theta set expressions: |A ∩ B| and |A \\ B| near exact") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // A = 0..59999, B = 40000..99999 -> |A∩B| = 20000, |A\B| = 40000
+    val a = (0 until 60000).toDF("v").agg(expr("theta_sketch(v)")).first().getAs[Array[Byte]](0)
+    val b = (40000 until 100000).toDF("v").agg(expr("theta_sketch(v)")).first().getAs[Array[Byte]](0)
+    val inter = ThetaSketch.intersection(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate
+    val anotb = ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate
+    assert(math.abs(inter - 20000) / 20000 < 0.1, s"intersection est=$inter")
+    assert(math.abs(anotb - 40000) / 40000 < 0.1, s"aNotB est=$anotb")
+  }
+
+  test("req_merge / theta_union / hll_union re-merge stored sketch columns") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1 to 10000).map(i => (i % 7, i.toDouble, s"u$i")).toDF("g", "v", "u")
+    val perGroup = df.groupBy("g").agg(
+      expr("req_sketch(v)").as("rs"),
+      expr("theta_sketch(u)").as("ts"),
+      expr("hll_sketch(u)").as("hs"))
+    val re = perGroup.agg(
+      expr("req_merge(rs)").as("rs"),
+      expr("theta_union(ts)").as("ts"),
+      expr("hll_union(hs)").as("hs")).first()
+    val rs = ReqSketch.deserialize(re.getAs[Array[Byte]]("rs"))
+    assert(rs.count == 10000L)
+    val ts = ThetaSketch.deserialize(re.getAs[Array[Byte]]("ts"))
+    assert(math.abs(ts.estimate - 10000) / 10000 < 0.1)
+    val hs = HllSketch.deserialize(re.getAs[Array[Byte]]("hs"))
+    assert(math.abs(hs.estimate - 10000) / 10000 < 0.1)
+  }
+
+  test("sketch aggregates run under ObjectHashAggregate (plan check)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val plan = df.groupBy(lit(1)).agg(expr("req_sketch(v)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+  }
+}
