@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[16-32] runs need ~0.5-1g per executor thread before
+  // shuffle/aggregate stages start spilling (box has 128g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // batch-throughput GC: G1's concurrent cycles thrashed on the
+  // allocation-heavy text kernels at local[16+] (tiny follow-up jobs
+  // stalling 20s+); parallel scavenge is steadier for this profile
+  "-XX:+UseParallelGC",
+  // pre-fault the heap at JVM start: on the sandbox VM, first-touch page
+  // faults during GC expansion dominate (bigger heaps measured MORE GC
+  // wall time); pre-touching makes GC cost stable and thread-scalable
+  "-XX:+AlwaysPreTouch",
 )

@@ -9,13 +9,20 @@ import org.apache.spark.sql.SparkSession
   * Two parts:
   *  1. per-query wall time for every SparkEntry query at `local[$CPUS]`
   *     (default 32) over SPARK_GRAFT_SF_DIR;
-  *  2. north-rule scaling evidence: the full near-dup pipeline over a
-  *     deterministic synthetic pages corpus run at local[8] and local[32]
-  *     on the SAME input — docs/sec at both parallelism levels plus
-  *     strong-scaling efficiency throughput(4N) / (4 * throughput(N))
-  *     (the in-sandbox substitute for N vs 4N executors; BASELINE.md).
+  *  2. north-rule scaling evidence: the full near-dup pipeline over an
+  *     identical deterministic synthetic pages corpus (generated
+  *     executor-side, fixed 64 chunks) run at local[N] and local[4N] —
+  *     docs/sec at both parallelism levels plus strong-scaling efficiency
+  *     throughput(4N) / (4 * throughput(N)), the in-sandbox substitute for
+  *     N vs 4N executors (BASELINE.md).
   *
-  * Disable part 2 with SPARK_GRAFT_SCALING=0 (it adds ~2 session cycles).
+  *     N defaults to 4 (so 4 vs 16 threads): a raw-CPU microbenchmark of
+  *     this sandbox VM (BASELINE.md "sandbox scaling ceiling") shows the
+  *     host itself only delivers ~2.2x from 8->32 threads (~19 effective
+  *     cores), while 4->16 scales at 0.88 efficiency — the 8->32 pair would
+  *     measure the hypervisor, not the engine.
+  *
+  * Disable part 2 with SPARK_GRAFT_SCALING=0.
   */
 object Bench {
 
@@ -24,6 +31,20 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // shuffle.partitions is already = cores here, so AQE partition
+      // coalescing only DE-parallelizes: verify stages shuffle ~MBs of
+      // candidate pairs but burn seconds/MB of CPU re-shingling, and the
+      // byte-based heuristic squeezes them into 1-2 tasks (measured: verify
+      // stuck at ~7s regardless of core count). Skew-join stays on.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // shuffle scratch on tmpfs: shuffle index commits serialize on a
+      // JVM-global lock around small-file IO; the sandbox ext4 makes that
+      // lock hot enough to flatline multi-core scaling (thread dumps showed
+      // executors blocked in IndexShuffleBlockResolver). A real cluster
+      // would use local NVMe.
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.file.transferTo", "false")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -41,7 +62,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "320000").toInt
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
 
     // ---- part 1: query timings
     var spark = session(cpus)
@@ -55,31 +77,31 @@ object Bench {
 
     // ---- part 2: dedup pipeline throughput at two parallelism levels
     val scalingJson = if (!scaling) "null" else {
-      val pages = graft.core.WebPages.generate(benchDocs, 42L)
       def runPipeline(s: SparkSession, cores: Int): Double = {
-        val work = java.nio.file.Files.createTempDirectory(s"graft-bench-$cores").toString
-        val df = s.createDataFrame(s.sparkContext.parallelize(pages, cores * 2))
+        val work = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
+        // identical corpus at both levels: chunk count fixed at 64
+        val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
         val sec = timed {
           graft.pipeline.NearDupPipeline.run(s, df,
             graft.pipeline.NearDupPipeline.Config(workDir = work)).clusters.count()
         }
-        // clean temp outputs so repeated benches don't accumulate
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
         sec
       }
       spark.stop()
-      val s8 = session(8)
-      val sec8 = runPipeline(s8, 8)
-      s8.stop()
-      val s32 = session(32)
-      val sec32 = runPipeline(s32, 32)
-      val tp8 = benchDocs / sec8
-      val tp32 = benchDocs / sec32
-      val eff = tp32 / (4.0 * tp8)
-      spark = s32
-      f"""{"docs":$benchDocs,"local8_sec":$sec8%.2f,"local8_docs_per_sec":$tp8%.1f,""" +
-        f""""local32_sec":$sec32%.2f,"local32_docs_per_sec":$tp32%.1f,""" +
-        f""""scaling_efficiency_8_to_32":$eff%.3f}"""
+      val sN = session(nCores)
+      val secN = runPipeline(sN, nCores)
+      sN.stop()
+      val s4N = session(nCores * 4)
+      val sec4N = runPipeline(s4N, nCores * 4)
+      val tpN = benchDocs / secN
+      val tp4N = benchDocs / sec4N
+      val eff = tp4N / (4.0 * tpN)
+      spark = s4N
+      f"""{"docs":$benchDocs,"n_cores":$nCores,"n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
+        f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
+        f""""scaling_efficiency_n_to_4n":$eff%.3f}"""
     }
 
     val totalStr = f"$total%.3f"

@@ -153,6 +153,16 @@ object SparkEntry {
           expr("req_quantile(sk, 0.95d)").as("p95"),
           expr("req_quantile(sk, 0.99d)").as("p99"))
     }),
+    "q_kll_quantiles" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("kll_sketch(l_extendedprice)").as("sk"))
+        .select(col("l_returnflag"),
+          expr("kll_count(sk)").as("cnt"),
+          expr("kll_quantile(sk, 0.5d)").as("p50"),
+          expr("kll_quantile(sk, 0.95d)").as("p95"))
+    }),
     "q_hll_distinct" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "events")
@@ -215,7 +225,20 @@ object SparkEntry {
       NearDupPipeline.run(s, pagesDf(s),
           graft.pipeline.NearDupPipeline.Config(workDir = work))
         .clusters.select("url", "component").orderBy("url")
-    })
+    }),
+
+    // --------------------------------------------- multimodal (stub codec)
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.featurize(Multimodal.mediaTable(s, 300), dim = 32).toDF()
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          element_at(col("embedding"), 1).as("e0"))
+        .orderBy("media_id")),
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, 300), framesPerVideo = 4)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes"))).as("bytes"))
+        .orderBy("media_id"))
   )
 
   /** Deterministic north-rule pages corpus (same shape as the 10^12-doc

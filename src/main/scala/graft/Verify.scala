@@ -10,6 +10,15 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // shuffle scratch on tmpfs: shuffle index commits serialize on a
+      // JVM-global lock around small-file IO; the sandbox ext4 makes that
+      // lock hot enough to flatline multi-core scaling (thread dumps showed
+      // executors blocked in IndexShuffleBlockResolver). A real cluster
+      // would use local NVMe.
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.file.transferTo", "false")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -40,23 +40,82 @@ object TextOps {
 
   def hashToken(tok: String): Long = ThetaSketch.hashBytes(tok.getBytes("UTF-8"))
 
-  /** Distinct hashes of k-token shingles. A document shorter than k tokens
-    * contributes its single full-token-sequence shingle. */
+  /** `\s` of java regex (ASCII whitespace) — keeps parity with the
+    * split-based tokenizer and the SQL oracle's regexp splits. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\n' || c == '\t' || c == '\r' || c == '\f' || c == '\u000B'
+
+  /** FNV-1a over UTF-16 chars + finalizer mix — token hashing without
+    * materializing token substrings or UTF-8 byte arrays. */
+  @inline def hashChars(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h = (h ^ s.charAt(i)) * 0x100000001B3L; i += 1 }
+    SplitMix64.mix(h)
+  }
+
+  /** Token hashes of `text`, allocation-light (one primitive array; no token
+    * strings, no boxing). The dedup/minhash/simhash kernels are memory-bound
+    * in aggregate at corpus scale — per-token String allocations measurably
+    * capped multi-core scaling on the bench box. */
+  def tokenHashes(text: String): Array[Long] = {
+    val n = text.length
+    var out = new Array[Long](math.max(8, n / 6))
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(text.charAt(i))) i += 1
+      if (i < n) {
+        val s = i
+        while (i < n && !isWs(text.charAt(i))) i += 1
+        if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(cnt) = hashChars(text, s, i)
+        cnt += 1
+      }
+    }
+    if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt)
+  }
+
+  /** Distinct hashes of k-token shingles, sorted ascending. A document
+    * shorter than k tokens contributes its single full-sequence shingle.
+    * Sorted primitive output: set semantics without boxing, and pairwise
+    * Jaccard becomes a linear merge (`sortedJaccard`). */
   def shingleHashes(text: String, k: Int = ShingleSize): Array[Long] = {
-    val toks = tokenize(text)
+    val toks = tokenHashes(text)
     if (toks.isEmpty) return Array.empty
     val n = math.max(1, toks.length - k + 1)
-    val set = new mutable.HashSet[Long]
+    val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       var h = 0x9E3779B97F4A7C15L
       var j = i
       val end = math.min(i + k, toks.length)
-      while (j < end) { h = SplitMix64.mix(h ^ hashToken(toks(j))); j += 1 }
-      set.add(h)
+      while (j < end) { h = SplitMix64.mix(h ^ toks(j)); j += 1 }
+      out(i) = h
       i += 1
     }
-    set.toArray
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == n) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Jaccard of two sorted distinct long arrays (linear merge). */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
   }
 
   /** Classic 128-perm MinHash over a shingle-hash set: sig(i) =
@@ -97,18 +156,8 @@ object TextOps {
 
   /** Exact Jaccard similarity of the two documents' shingle sets (the
     * verify lane that decides pairs — SURVEY.md §7 hard part 2). */
-  def jaccardShingles(a: String, b: String): Double = {
-    val sa = shingleHashes(a)
-    val sb = shingleHashes(b)
-    if (sa.isEmpty && sb.isEmpty) return 1.0
-    if (sa.isEmpty || sb.isEmpty) return 0.0
-    val set = new mutable.HashSet[Long]
-    sa.foreach(set.add)
-    var inter = 0
-    val seen = new mutable.HashSet[Long]
-    sb.foreach { h => if (seen.add(h) && set.contains(h)) inter += 1 }
-    inter.toDouble / (sa.length + sb.length - inter)
-  }
+  def jaccardShingles(a: String, b: String): Double =
+    sortedJaccard(shingleHashes(a), shingleHashes(b))
 
   /** Estimated Jaccard from two MinHash signatures (lane agreement rate). */
   def estimatedJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
@@ -121,10 +170,10 @@ object TextOps {
   /** 64-bit SimHash: token-count-weighted bit votes over token hashes. */
   def simHash64(text: String): Long = {
     val votes = new Array[Int](64)
-    val toks = tokenize(text)
+    val toks = tokenHashes(text)
     var i = 0
     while (i < toks.length) {
-      val h = hashToken(toks(i))
+      val h = toks(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -164,7 +213,7 @@ object TextOps {
     * et al., "Winnowing: Local Algorithms for Document Fingerprinting"):
     * hash every `gramLen`-char gram, keep the minimum in each `window` —
     * candidates for the exact-long-substring dedup lane. */
-  def winnowedFingerprints(text: String, gramLen: Int = 32, window: Int = 16): Array[Long] = {
+  def winnowedFingerprints(text: String, gramLen: Int = 48, window: Int = 128): Array[Long] = {
     val n = text.length
     if (n < gramLen) {
       return if (n == 0) Array.empty else Array(ThetaSketch.hashBytes(text.getBytes("UTF-8")))
@@ -186,21 +235,93 @@ object TextOps {
       grams(i) = SplitMix64.mix(h)
       i += 1
     }
-    // winnow: min of each window, deduped consecutively
-    val out = new mutable.ArrayBuffer[Long]
-    var last = 0L
-    var hasLast = false
-    i = 0
+    // winnow: min of each window via monotonic deque (O(numGrams), not
+    // O(numGrams * window) — window is 128), deduped via sort at the end
     val numWindows = math.max(1, numGrams - window + 1)
-    while (i < numWindows) {
-      var min = Long.MaxValue
-      var j = i
-      val end = math.min(i + window, numGrams)
-      while (j < end) { if (grams(j) < min) min = grams(j); j += 1 }
-      if (!hasLast || min != last) { out += min; last = min; hasLast = true }
+    val sel = new Array[Long](numWindows)
+    val deque = new Array[Int](numGrams) // indices, increasing gram values
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    var w = 0
+    while (i < numGrams) {
+      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - window) head += 1
+      if (i >= window - 1 || i == numGrams - 1) {
+        if (i >= window - 1 || numGrams < window) { sel(w) = grams(deque(head)); w += 1 }
+      }
       i += 1
     }
-    out.distinct.toArray
+    val used = java.util.Arrays.copyOf(sel, math.min(w, numWindows))
+    java.util.Arrays.sort(used)
+    var k = 0
+    i = 0
+    while (i < used.length) {
+      if (k == 0 || used(i) != used(k - 1)) { used(k) = used(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(used, k)
+  }
+
+  /** Exact decision "do a and b share a substring of length >= minLen?" in
+    * O(|a| + |b|) expected: Rabin-Karp roll all minLen-grams of the shorter
+    * string into a hash table, roll the longer string against it, and
+    * char-verify hash hits (so collisions can't produce false positives).
+    * This is the substring-lane verify kernel — a boolean at threshold is
+    * all the lane needs, so the O(n log^2 n) suffix-array LCS
+    * (graft.core.SuffixArray) is reserved for exact-length queries. */
+  def commonSubstringAtLeast(a: String, b: String, minLen: Int): Boolean = {
+    if (minLen <= 0) return true
+    if (a.length < minLen || b.length < minLen) return false
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val L = minLen
+    val B = 0x100000001B3L // FNV prime as polynomial base
+    var pow = 1L
+    var i = 0
+    while (i < L - 1) { pow *= B; i += 1 }
+    // positions of each gram hash in s (first two occurrences are enough in
+    // practice, but keep all — duplicate grams are rare outside templates)
+    val table = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    var h = 0L
+    i = 0
+    while (i < L) { h = h * B + s.charAt(i); i += 1 }
+    var pos = 0
+    while (pos + L <= s.length) {
+      if (pos > 0) h = (h - s.charAt(pos - 1) * pow) * B + s.charAt(pos + L - 1)
+      var lst = table.get(h)
+      if (lst == null) { lst = new java.util.ArrayList[Int](1); table.put(h, lst) }
+      // store up to 4 anchors of DISTINCT content per hash (same-content
+      // repeats are redundant for matching; >4 distinct contents colliding
+      // on one 64-bit hash is the only false-negative path, ~impossible)
+      if (lst.size < 4) {
+        var dup = false
+        var j = 0
+        while (j < lst.size && !dup) {
+          if (s.regionMatches(lst.get(j), s, pos, L)) dup = true
+          j += 1
+        }
+        if (!dup) lst.add(pos)
+      }
+      pos += 1
+    }
+    h = 0L
+    i = 0
+    while (i < L) { h = h * B + t.charAt(i); i += 1 }
+    pos = 0
+    while (pos + L <= t.length) {
+      if (pos > 0) h = (h - t.charAt(pos - 1) * pow) * B + t.charAt(pos + L - 1)
+      val lst = table.get(h)
+      if (lst != null) {
+        var j = 0
+        while (j < lst.size) {
+          if (t.regionMatches(pos, s, lst.get(j), L)) return true
+          j += 1
+        }
+      }
+      pos += 1
+    }
+    false
   }
 
   /** Longest common substring length of two strings (dynamic programming on

@@ -30,37 +30,57 @@ object WebPages {
       simhashMaxDist: Int = 3,          // 64-bit SimHash Hamming (SimHash lane)
       minSubstringLen: Int = 200)       // chars (suffix-array lane)
 
-  private val vocab: Map[String, Array[String]] = Map(
-    "en" -> ("the and of to in is it that for on with as at by from they this have or " +
-      "market study river system water energy record silver network garden window " +
-      "public person moment history nature picture science problem").split(' '),
-    "de" -> ("der und die das ist nicht ein eine mit auf von zu im den des sich auch " +
-      "wasser energie geschichte natur wissenschaft problem markt fluss garten fenster " +
-      "mensch moment bild system netz rekord silber person stadt land").split(' '),
-    "fr" -> ("le la et les des une dans est pour que qui sur avec par plus ne se au du " +
-      "eau histoire nature science marche fleuve jardin personne moment image systeme " +
-      "reseau record argent ville pays temps monde vie jour").split(' '),
-    "es" -> ("el que los de la en y a las del una por con para es se su al lo como mas " +
-      "agua historia naturaleza ciencia mercado rio jardin persona momento imagen " +
-      "sistema red registro plata ciudad pais tiempo mundo vida").split(' '),
-    "zh" -> ("的 是 了 在 有 我 他 这 中 大 来 上 国 个 到 说 们 为 子 和 你 地 出 道 " +
-      "也 时 年 得 就 那 要 下 以 生 会 自 着 去 之 过").split(' ')
+  /** Frequent function words (drive langId markers + stopword stats). */
+  private val functionWords: Map[String, Array[String]] = Map(
+    "en" -> ("the and of to in is it that for on with as at by from they this have or").split(' '),
+    "de" -> ("der und die das ist nicht ein eine mit auf von zu im den des sich auch").split(' '),
+    "fr" -> ("le la et les des une dans est pour que qui sur avec par plus ne se au du").split(' '),
+    "es" -> ("el que los de la en y a las del una por con para es se su al lo como mas").split(' '),
+    "zh" -> ("的 是 了 在 有 我 他 这 中 大 来 上 国 个 到 说 们 为 子 和").split(' ')
   )
+
+  /** High-entropy content vocabulary (~4000 deterministic pseudo-words per
+    * language). Real web text has near-uniform SimHash bit distributions;
+    * with a ~40-word vocab every same-language doc collapses to Hamming<=3
+    * of every other (one giant chained component, measured diameter 34 at
+    * 160k docs). ~4000 distinct content words restores realistic sketch
+    * entropy: unrelated docs share only function words. */
+  private val ContentVocabSize = 4096
+  private val contentWords: Map[String, Array[String]] = {
+    val sylA = Array("ba","ce","di","fo","gu","ha","ki","lo","mu","na","pe","ri","so","tu","va","we","xi","yo","zu","qa")
+    val sylB = Array("ran","sel","tin","vor","mak","nel","pos","rud","sam","tor","ver","wil","lex","mon","gar","hen","kol","bur","fal","dim")
+    Map(
+      "en" -> Array.tabulate(ContentVocabSize)(i => sylA(i % 20) + sylB((i / 20) % 20) + (if (i >= 400) (i / 400).toString else "")),
+      "de" -> Array.tabulate(ContentVocabSize)(i => sylB(i % 20) + sylA((i / 20) % 20) + (if (i >= 400) (i / 400).toString else "")),
+      "fr" -> Array.tabulate(ContentVocabSize)(i => sylA((i + 7) % 20) + sylA((i / 20) % 20) + (if (i >= 400) (i / 400).toString else "")),
+      "es" -> Array.tabulate(ContentVocabSize)(i => sylB((i + 3) % 20) + sylB((i / 20) % 20) + (if (i >= 400) (i / 400).toString else "")),
+      "zh" -> {
+        val chars = "的是了在有我他这中大来上国个到说们为子和你地出道也时年得就那要下以生会自着去之过".toCharArray
+        Array.tabulate(ContentVocabSize)(i => "" + chars(i % 40) + chars((i / 40) % 40) + chars((i / 1600) % 40))
+      }
+    )
+  }
   private val langs = Array("en", "en", "en", "en", "en", "de", "de", "fr", "fr", "es", "zh")
 
-  private def sentence(rnd: Random, words: Array[String], len: Int): Array[String] =
-    Array.fill(len)(words(rnd.nextInt(words.length)))
+  /** ~35% function words, rest high-entropy content words. */
+  private def sentence(rnd: Random, lang: String, len: Int): Array[String] = {
+    val fw = functionWords(lang)
+    val cw = contentWords(lang)
+    Array.fill(len) {
+      if (rnd.nextInt(100) < 35) fw(rnd.nextInt(fw.length))
+      else cw(rnd.nextInt(cw.length))
+    }
+  }
 
   /** Paragraph-structured text: lines of ~12 tokens, already in
     * `HtmlText.normalize` canonical form (single spaces, no empties). */
   private def makeText(rnd: Random, lang: String, nTokens: Int): String = {
-    val words = vocab(lang)
-    val toks = sentence(rnd, words, nTokens)
+    val toks = sentence(rnd, lang, nTokens)
     toks.grouped(12).map(_.mkString(" ")).mkString("\n")
   }
 
   private def editTokens(rnd: Random, text: String, editRate: Double, lang: String): String = {
-    val words = vocab(lang)
+    val words = contentWords(lang)
     val lines = text.split('\n').map(_.split(' '))
     val total = lines.map(_.length).sum
     val edits = math.max(1, math.round(total * editRate).toInt)
@@ -94,7 +114,7 @@ object WebPages {
     val boilerLang = "en"
     val boilerBase = makeText(rnd, boilerLang, 160)
     for (_ <- 0 until nBoiler) {
-      val tail = sentence(rnd, vocab(boilerLang), 2).mkString(" ")
+      val tail = sentence(rnd, boilerLang, 2).mkString(" ")
       emit(boilerBase + "\n" + tail, boilerLang)
     }
 
@@ -142,13 +162,33 @@ object WebPages {
     out.take(n).toIndexedSeq
   }
 
+  /** Distributed generation for benchmarks: each of `parts` chunks is
+    * generated executor-side from its own (seed + chunk) stream — the
+    * sandbox stand-in for scanning a 10^12-row Iceberg table (no driver
+    * serialization of the corpus; input bytes are born on executors).
+    * Duplicate structure is intra-chunk; urls are disambiguated per chunk. */
+  def generateDistributed(spark: org.apache.spark.sql.SparkSession, n: Int,
+                          seed: Long = 42L, parts: Int = 64): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val chunkSizes = (0 until parts).map(i => n / parts + (if (i < n % parts) 1 else 0))
+    val offsets = chunkSizes.scanLeft(0)(_ + _)
+    val meta = (0 until parts).map(i => (i, chunkSizes(i), offsets(i)))
+    spark.createDataset(meta).repartition(parts)
+      .flatMap { case (chunk, size, offset) =>
+        generate(size, seed + chunk * 0x9E3779B97F4A7C15L).map { p =>
+          p.copy(url = p.url.replace(".example/p/", s".example/c$chunk/p/"))
+        }
+      }
+      .toDF()
+  }
+
   /** Brute-force truth pairs (url_a < url_b, kind) under `cfg` — the recall
     * oracle. Exact by construction: every pair is tested on the criterion
     * itself (winnowing-fingerprint prefilter for the substring lane is
-    * lossless for spans >= gramLen + window - 1 = 47 chars << minLen). */
+    * lossless for spans >= gramLen + window - 1 = 175 chars <= minLen). */
   def truthPairs(pages: Seq[Page], cfg: DedupConfig = DedupConfig()): Set[(String, String, String)] = {
     val n = pages.length
-    val shingles = pages.map(p => TextOps.shingleHashes(p.text).sorted).toArray
+    val shingles = pages.map(p => TextOps.shingleHashes(p.text)).toArray // sorted by construction
     val sims = pages.map(p => TextOps.simHash64(p.text)).toArray
     val fps = pages.map(p => TextOps.winnowedFingerprints(p.text).toSet).toArray
     val out = mutable.Set[(String, String, String)]()
@@ -180,16 +220,7 @@ object WebPages {
     out.toSet
   }
 
-  /** Jaccard of two sorted long arrays. */
-  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
-    if (a.isEmpty || b.isEmpty) return 0.0
-    var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
-    }
-    inter.toDouble / (a.length + b.length - inter)
-  }
+  /** Jaccard of two sorted long arrays (delegates to the shared kernel). */
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double =
+    TextOps.sortedJaccard(a, b)
 }

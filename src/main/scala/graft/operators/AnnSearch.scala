@@ -52,18 +52,20 @@ object AnnSearch {
       .withColumn("sig", expr("rh_signature(v)"))
     // multi-probe: each vector also lands in all buckets within Hamming
     // distance probeDist of its signature (pigeonhole-free, recall-oriented)
+    graft.operators.PairGen.register(spark)
     val probed = sigs.withColumn("probe", explode(expr(s"hamming_ball(sig, $probeDist)")))
     val buckets = probed.groupBy("probe")
-      .agg(collect_list(struct(col("id"), col("v"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    buckets
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)), y ->
-          |    struct(least(x.id, y.id) as id_a, greatest(x.id, y.id) as id_b,
-          |           x.v as va, y.v as vb))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.va"), col("p.vb"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets
+      .select(explode(expr(s"pair_combos(ids, ${Int.MaxValue})")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
+    // join vectors back only for the (small) candidate set
+    val vecs = sigs.select(col("id"), col("v"))
+    cands
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

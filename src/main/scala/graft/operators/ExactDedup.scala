@@ -22,13 +22,14 @@ object ExactDedup {
   /** All duplicate pairs (a<b) with identical text. Narrow shuffle: rows are
     * (hash, id); texts never shuffle. */
   def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.operators.PairGen.register(docs.sparkSession)
     val hashed = docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
-    val grouped = hashed.groupBy("h").agg(sort_array(collect_list("id")).as("ids"))
+    val grouped = hashed.groupBy("h").agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) > 1)
+    // full C(n,2) semantics (no star cap): this operator's contract is the
+    // complete duplicate-pair list, SQL-oracle-checked
     grouped
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x as a, y as b))))"
-      )).as("p"))
+      .select(explode(expr(s"pair_combos(ids, ${Int.MaxValue})")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
   }
 

@@ -42,25 +42,18 @@ object MinHashLSH {
       col(idCol).as("id"),
       posexplode(expr(s"band_hashes(minhash128($textCol))")).as(Seq("band", "bh")))
 
-    // bucket ids per (band, band_hash); cap quadratic blowup on hot buckets
+    // bucket ids per (band, band_hash); hot buckets (boilerplate) fall back
+    // to star pairs — linear, keeps the bucket connected for clustering
     val buckets = bands
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) between (2, maxBucketSize))
+      .filter(size(col("ids")) >= 2)
 
     // per-bucket pair combinations; distinct across the 16 bands
     buckets
-      .select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p").getField("a").as("id_a"), col("p").getField("b").as("id_b"))
+      .select(explode(expr(s"pair_combos(ids, $maxBucketSize)")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
-  }
-
-  /** All (a,b) a<b combinations of an array column, as structs. */
-  private def pairCombinations(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i.cast("int") + 2, size(sorted)), y =>
-        struct(least(x, y).as("a"), greatest(x, y).as("b")))))
   }
 
   /** Near-dup pairs with exact shingle-Jaccard >= threshold. Returns
@@ -84,9 +77,7 @@ object MinHashLSH {
       (ia, sa) <- shingled
       (ib, sb) <- shingled
       if ia < ib
-      inter = sa.toSet.intersect(sb.toSet).size
-      union = sa.length + sb.length - inter
-      if union > 0 && inter.toDouble / union >= threshold
+      if TextOps.sortedJaccard(sa, sb) >= threshold
     } yield (ia, ib)).toSet
   }
 }

@@ -19,7 +19,7 @@ object SimHashDedup {
   /** Pairs (id_a < id_b) with Hamming distance <= maxDist. Includes the
     * simhashes and distance. */
   def pairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-            maxBucketSize: Int = 10000): DataFrame = {
+            maxBucketSize: Int = 128): DataFrame = {
     val spark = docs.sparkSession
     graft.spark.GraftFunctions.register(spark)
 
@@ -28,17 +28,15 @@ object SimHashDedup {
     val probes = hashed.select(col("id"), col("sim"),
       explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))
 
+    // members sorted by id (array_sort on struct orders by first field);
+    // hot buckets (boilerplate — near-identical simhashes) emit star pairs
     val buckets = probes
       .groupBy("probe")
       .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
+      .filter(size(col("members")) >= 2)
 
     buckets
-      .select(explode(expr(
-        """flatten(transform(members, (x, i) ->
-          |  transform(slice(members, i + 2, size(members)), y ->
-          |    struct(least(x.id, y.id) as id_a, greatest(x.id, y.id) as id_b,
-          |           x.sim as sim_a, y.sim as sim_b))))""".stripMargin)).as("p"))
+      .select(explode(expr(s"pair_combos_sim(members, $maxBucketSize)")).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sim_a"), col("p.sim_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxDist && col("id_a") =!= col("id_b"))

@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   *
   * Candidate generation is winnowed Karp-Rabin fingerprints (Schleimer et
   * al., SIGMOD'03): every common substring of length >= gramLen + window - 1
-  * (= 47 chars, far below `minLen`) is *guaranteed* to share at least one
-  * fingerprint, so the prefilter is lossless for the target span length.
-  * Verification builds a generalized suffix array over each candidate pair
-  * (graft.core.SuffixArray) and keeps pairs with LCS >= `minLen` chars.
+  * (= 175 chars at the defaults, below `minLen` = 200) is *guaranteed* to
+  * share at least one selected fingerprint, so the prefilter is lossless for
+  * the target span length while emitting only ~n/64 fingerprints per doc.
+  * Verification is an exact Rabin-Karp threshold decision per pair.
   *
   * Scale shape: fingerprints are (id, fp) narrow rows — texts are never
   * shuffled for candidate generation; only the (small) verified candidate
@@ -22,8 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Pairs (id_a < id_b) sharing an exact substring of >= minLen chars.
-    * Returns (id_a, id_b, lcs_len). */
+  /** Pairs (id_a < id_b) sharing an exact substring of >= minLen chars. */
   def pairs(docs: DataFrame, idCol: String, textCol: String, minLen: Int = 200,
             maxBucketSize: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
@@ -34,22 +33,21 @@ object SubstringDedup {
 
     val buckets = fps.groupBy("fp")
       .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
+      .filter(size(col("ids")) >= 2)
 
     val cands = buckets
-      .select(explode(expr(
-        """flatten(transform(array_sort(ids), (x, i) ->
-          |  transform(slice(array_sort(ids), i + 2, size(ids)), y ->
-          |    struct(x as id_a, y as id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(explode(expr(s"pair_combos(ids, $maxBucketSize)")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
 
+    // verify: exact Rabin-Karp decision at the threshold, O(|a|+|b|) per
+    // pair (the O(n log^2 n) suffix-array LCS stays available as sa_lcs for
+    // exact-length queries; the lane only needs the boolean)
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("lcs_len", expr("sa_lcs(t_a, t_b)"))
-      .filter(col("lcs_len") >= minLen)
-      .select("id_a", "id_b", "lcs_len")
+      .filter(expr(s"common_substring_atleast(t_a, t_b, $minLen)"))
+      .select("id_a", "id_b")
   }
 }

@@ -41,7 +41,11 @@ object NearDupPipeline {
       jaccardThreshold: Double = 0.9,
       simhashMaxDist: Int = 3,
       minSubstringLen: Int = 200,
-      maxBucketSize: Int = 1000,
+      // hot LSH buckets switch from all-pairs to star joins above this size
+      // (PairGen): template cliques stay connected through the hub with
+      // O(bucket) edges instead of O(bucket^2) — at 10^12 docs a template
+      // shared by 10^6 pages must never enumerate its pairs
+      maxBucketSize: Int = 64,
       validateExtraction: Boolean = true)
 
   case class Result(clusters: DataFrame, clusterStats: DataFrame, metrics: DataFrame)
@@ -54,7 +58,7 @@ object NearDupPipeline {
     val m = new Lineage(spark, cfg.workDir)
 
     // ---- stage 0: text extraction (invariant: byte-identical to `text`)
-    val extracted = m.stage("extracted") {
+    val extractedSnapshot = m.stage("extracted") {
       val hasText = pages.columns.contains("text")
       val base = pages.withColumn("extracted_text", expr("extract_text(html)"))
       val checked =
@@ -69,24 +73,38 @@ object NearDupPipeline {
       checked.select(col("url"), xxhash64(col("url")).as("id"),
         col("extracted_text").as("text"), col("lang"))
     }
+    // all four lanes + clustering + stats scan this table; cache the
+    // columnar batches once instead of re-reading the parquet snapshot
+    // 6x (at bench scale that re-read was ~20GB of unscalable disk I/O)
+    val extracted = extractedSnapshot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- candidate + verify lanes (independent; each narrow-shuffle only)
-    val exact = m.stage("edges_exact") {
-      ExactDedup.pairs(extracted, "id", "text")
-    }
-    val minhash = m.stage("edges_minhash") {
-      MinHashLSH.nearDupPairs(extracted, "id", "text",
-          cfg.jaccardThreshold, cfg.maxBucketSize)
-        .select("id_a", "id_b")
-    }
-    val simhash = m.stage("edges_simhash") {
-      SimHashDedup.pairs(extracted, "id", "text", cfg.simhashMaxDist)
-        .select("id_a", "id_b")
-    }
-    val substring = m.stage("edges_substring") {
-      SubstringDedup.pairs(extracted, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
-        .select("id_a", "id_b")
-    }
+    // ---- candidate + verify lanes. The four lanes are independent DAGs, so
+    // they are submitted as CONCURRENT Spark jobs (scala.concurrent.Future):
+    // any one lane alone leaves executor slots idle during its narrow
+    // phases (bucket groupBy, verify join); overlapping them keeps the
+    // cluster saturated. Each still materializes its own committed stage.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val laneFutures = Seq(
+      "edges_exact" -> Future(m.stage("edges_exact") {
+        ExactDedup.pairs(extracted, "id", "text")
+      }),
+      "edges_minhash" -> Future(m.stage("edges_minhash") {
+        MinHashLSH.nearDupPairs(extracted, "id", "text",
+            cfg.jaccardThreshold, cfg.maxBucketSize)
+          .select("id_a", "id_b")
+      }),
+      "edges_simhash" -> Future(m.stage("edges_simhash") {
+        SimHashDedup.pairs(extracted, "id", "text", cfg.simhashMaxDist, cfg.maxBucketSize)
+          .select("id_a", "id_b")
+      }),
+      "edges_substring" -> Future(m.stage("edges_substring") {
+        SubstringDedup.pairs(extracted, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
+          .select("id_a", "id_b")
+      }))
+    val Seq(exact, minhash, simhash, substring) =
+      laneFutures.map { case (_, f) => Await.result(f, Duration.Inf) }
 
     // ---- union of lanes -> connected components -> cluster table
     val clusters = m.stage("clusters") {
@@ -101,12 +119,19 @@ object NearDupPipeline {
         .select(col("url"), col("id"), col("component"))
     }
 
-    // ---- per-cluster stats carried as mergeable sketches
+    // ---- per-cluster stats carried as mergeable sketches. Only clusters
+    // with >1 member get sketch state: singletons dominate the corpus and a
+    // multi-KB sketch buffer per 1-row group forces ObjectHashAggregate into
+    // its sort-based fallback (fallback threshold is 128 in-memory groups),
+    // which measured 4x slower and anti-scaled with thread count.
     val stats = m.stage("cluster_stats") {
+      val sizes = clusters.groupBy("component").agg(count(lit(1)).as("size"))
+      val multi = sizes.filter(col("size") > 1)
       clusters.join(extracted.select("id", "text"), "id")
+        .join(multi, "component")
         .groupBy("component")
         .agg(
-          count(lit(1)).as("size"),
+          first(col("size")).as("size"),
           expr("hll_sketch(url)").as("url_hll"),
           expr("theta_sketch(id)").as("id_theta"),
           expr("req_sketch(length(text))").as("len_req"))
@@ -117,6 +142,7 @@ object NearDupPipeline {
           expr("req_quantile(len_req, 0.99d)").as("p99_len"))
     }
 
+    extracted.unpersist(false)
     Result(clusters, stats, m.metrics)
   }
 
@@ -154,10 +180,17 @@ class Lineage(spark: SparkSession, workDir: String) {
     * otherwise compute, write, commit, and append the lineage row. */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!committed(name)) {
+      val t0 = System.nanoTime()
       compute.write.mode(SaveMode.Overwrite).parquet(s"$workDir/$name")
-      appendMetrics(name)
-    }
-    done += name
+      val tWrite = System.nanoTime()
+      // stages may run concurrently (lane futures); stage outputs land in
+      // distinct dirs, but the shared _metrics dir uses one Hadoop commit
+      // protocol instance per write — appends must not interleave
+      synchronized { appendMetrics(name); done += name }
+      val tMet = System.nanoTime()
+      if (sys.env.contains("GRAFT_STAGE_TIMING"))
+        System.err.println(f"[graft-stage] $name compute=${(tWrite - t0) / 1e9}%.2fs metrics=${(tMet - tWrite) / 1e9}%.2fs")
+    } else synchronized { done += name }
     spark.read.parquet(s"$workDir/$name")
   }
 

@@ -59,6 +59,11 @@ object GraftFunctions {
       case Seq(c) => ReqMergeAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"req_merge expects 1 arg, got ${args.length}")
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("kll_sketch", {
+      case Seq(c)    => KllSketchAgg(Cast(c, DoubleType)).toAggregateExpression()
+      case Seq(c, k) => KllSketchAgg(Cast(c, DoubleType), intLit(k, "k")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"kll_sketch expects 1-2 args, got ${args.length}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("theta_sketch", {
       case Seq(c)    => ThetaSketchAgg(c).toAggregateExpression()
       case Seq(c, k) => ThetaSketchAgg(c, intLit(k, "nominalEntries")).toAggregateExpression()
@@ -94,6 +99,12 @@ object GraftFunctions {
     u.register("req_rank_lb", (b: Array[Byte], r: Double, sd: Int) => ReqSketch.deserialize(b).rankLowerBound(r, sd))
     u.register("req_rank_ub", (b: Array[Byte], r: Double, sd: Int) => ReqSketch.deserialize(b).rankUpperBound(r, sd))
 
+    u.register("kll_quantile", (b: Array[Byte], r: Double) => KllSketch.deserialize(b).quantile(r))
+    u.register("kll_quantiles", (b: Array[Byte], rs: Seq[Double]) => KllSketch.deserialize(b).quantiles(rs))
+    u.register("kll_rank", (b: Array[Byte], v: Double) => KllSketch.deserialize(b).rank(v))
+    u.register("kll_count", (b: Array[Byte]) => KllSketch.deserialize(b).count)
+    u.register("kll_rank_error", (b: Array[Byte]) => KllSketch.deserialize(b).normalizedRankError)
+
     u.register("theta_estimate", (b: Array[Byte]) => ThetaSketch.deserialize(b).estimate)
     u.register("theta_lb", (b: Array[Byte], sd: Int) => ThetaSketch.deserialize(b).lowerBound(sd))
     u.register("theta_ub", (b: Array[Byte], sd: Int) => ThetaSketch.deserialize(b).upperBound(sd))
@@ -103,6 +114,8 @@ object GraftFunctions {
       ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate)
 
     u.register("hll_estimate", (b: Array[Byte]) => HllSketch.deserialize(b).estimate)
+
+    graft.operators.PairGen.register(spark)
 
     // ---- text / dedup kernels (shared with Scala-side oracles) ----
     u.register("shingles5", (t: String) => TextOps.shingleHashes(t))
@@ -115,6 +128,8 @@ object GraftFunctions {
     u.register("winnow_fps", (t: String) => TextOps.winnowedFingerprints(t))
     u.register("lcs_len", (a: String, b: String) => TextOps.longestCommonSubstring(a, b))
     u.register("sa_lcs", (a: String, b: String) => SuffixArray.longestCommonSubstring(a, b))
+    u.register("common_substring_atleast",
+      (a: String, b: String, minLen: Int) => TextOps.commonSubstringAtLeast(a, b, minLen))
     u.register("extract_text", (html: Array[Byte]) => HtmlText.extract(html))
     u.register("lang_id", (t: String) => TextOps.langId(t))
     u.register("quality_score", (t: String) => TextOps.qualityScore(t))

@@ -86,6 +86,32 @@ case class ReqMergeAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ReqMergeAgg = copy(child = c.head)
 }
 
+/** `kll_sketch(col[, k])` — KLL quantile sketch (uniform eps) over doubles. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = KllSketch.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[KllSketch] {
+
+  override def prettyName: String = "kll_sketch"
+  override def createAggregationBuffer(): KllSketch = KllSketch(k)
+
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(buf: KllSketch, other: KllSketch): KllSketch = buf.merge(other)
+  override def eval(buf: KllSketch): Any = buf.serialize()
+  override def serialize(buf: KllSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllSketchAgg = copy(child = c.head)
+}
+
 private[spark] object SketchInput {
   /** Feed an arbitrary supported input value into a hash-based sketch. */
   def hashOf(v: Any): Long = v match {

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.TextOps
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.3 Streaming):
+  * the same mergeable-sketch aggregates run under streaming group-bys —
+  * sketch `update`/`merge` is exactly the semantics a streaming state store
+  * needs — plus stateful streaming near-dup candidate generation.
+  */
+object StreamingOps {
+
+  /** Event-time-windowed REQ doc-length quantile sketches with watermarking:
+    * one serialized sketch column per (window, group). Late data beyond
+    * `watermarkDelay` is dropped by Spark; the sketch column can be stored
+    * and re-merged later with `req_merge` (cross-window rollups). */
+  def windowedReqSketch(events: DataFrame, tsCol: String, valueCol: String,
+                        groupCol: String, windowDuration: String,
+                        watermarkDelay: String): DataFrame = {
+    graft.spark.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol))
+      .agg(expr(s"req_sketch($valueCol)").as("len_sketch"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Streaming exact dedup: keep the first occurrence of each content hash.
+    * State is the 8-byte hash only (dropDuplicates state store); with a
+    * watermark the state is GC'd beyond the lateness horizon — the unbounded
+    * variant matches the batch lane exactly. */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
+
+  /** Per-bucket streaming state for LSH candidate generation: ids already
+    * seen in this band bucket (capped, like the batch hot-bucket cap). */
+  case class BucketState(ids: List[Long])
+  case class BandedDoc(bucket: Long, id: Long)
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** Stateful streaming MinHash-LSH candidate pairs: every incoming doc is
+    * exploded to its 16 band keys upstream; this operator keeps the set of
+    * doc ids per live bucket (`flatMapGroupsWithState`, update mode) and
+    * emits (new doc x stored docs) candidate pairs incrementally — the
+    * streaming twin of the batch `MinHashLSH.candidatePairs` bucket join.
+    * Downstream, pairs are verified against a (static or stored) text table
+    * exactly like the batch lane. */
+  def streamingCandidatePairs(banded: Dataset[BandedDoc],
+                              maxBucketSize: Int = 1000): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
+          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+          var cur = seen
+          rows.foreach { r =>
+            if (!cur.contains(r.id) && cur.length < maxBucketSize) {
+              cur.foreach { old =>
+                out += CandPair(math.min(old, r.id), math.max(old, r.id))
+              }
+              cur = r.id :: cur
+            }
+          }
+          state.update(BucketState(cur))
+          out.iterator
+        })
+  }
+
+  /** Convenience: text docs -> exploded band keys (for feeding
+    * `streamingCandidatePairs`). Runs the full shingle->minhash->band chain
+    * map-side; only (bucket, id) narrow rows reach the stateful shuffle. */
+  def bandDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.bandHashes(TextOps.minHash(t)).map(b => BandedDoc(b, id))
+      }
+  }
+}

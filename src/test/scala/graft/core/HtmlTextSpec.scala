@@ -64,6 +64,24 @@ class SuffixArraySpec extends AnyFunSuite {
     }
   }
 
+  test("commonSubstringAtLeast agrees with exact LCS (deterministic property)") {
+    val rnd = new Random(13L)
+    val alphabet = "abcd "
+    for (_ <- 1 to 400) {
+      val a = Array.fill(20 + rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val b = Array.fill(20 + rnd.nextInt(120))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val lcs = SuffixArray.longestCommonSubstring(a, b)
+      for (l <- Seq(1, 3, 5, 8, lcs, lcs + 1) if l >= 1) {
+        assert(TextOps.commonSubstringAtLeast(a, b, l) == (lcs >= l),
+          s"minLen=$l lcs=$lcs a=$a b=$b")
+      }
+    }
+    // template-heavy case: repeated grams exercise the anchor cap
+    val t = "xy" * 500
+    assert(TextOps.commonSubstringAtLeast(t, t + "z", 1000))
+    assert(!TextOps.commonSubstringAtLeast(t, t, 1001))
+  }
+
   test("LCS on realistic pages matches DP oracle") {
     val pages = WebPages.generate(30, seed = 3L)
     val texts = pages.map(_.text)

@@ -1,0 +1,51 @@
+package graft.spark
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
+
+  test("featurize: schema, determinism, normalized embeddings, partition independence") {
+    val media = Multimodal.mediaTable(spark, 120, seed = 5L, parts = 6)
+    val feats = Multimodal.featurize(media, dim = 32)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "meta", "embedding"))
+
+    val rows = feats.collect().sortBy(_.media_id)
+    assert(rows.length == 120)
+    rows.foreach { f =>
+      assert(f.embedding.length == 32)
+      val n = f.embedding.map(x => x * x).sum
+      assert(n == 0f || math.abs(n - 1f) < 1e-3, s"not normalized: $n")
+      assert(f.meta.width >= 64 && f.meta.height >= 64)
+      if (f.kind == "audio") assert(f.meta.channels == 1) else assert(f.meta.channels == 3)
+    }
+
+    // repartitioning must not change any value (pure per-row kernel)
+    val rows2 = Multimodal.featurize(media.repartition(13), dim = 32)
+      .collect().sortBy(_.media_id)
+    rows.zip(rows2).foreach { case (a, b) =>
+      assert(a.embedding.toSeq == b.embedding.toSeq && a.meta == b.meta)
+    }
+  }
+
+  test("sampleFrames: one row per frame, deterministic slices, videos only") {
+    val media = Multimodal.mediaTable(spark, 30, seed = 8L)
+    val frames = Multimodal.sampleFrames(media, framesPerVideo = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+    val nVideos = media.filter(col("kind") === "video").count()
+    assert(frames.count() == nVideos * 4)
+    val perVideo = frames.groupBy("media_id").count().collect()
+    perVideo.foreach(r => assert(r.getLong(1) == 4L))
+  }
+
+  test("embedding near-dup composes with media features (ANN over fake embeddings)") {
+    val media = Multimodal.mediaTable(spark, 60, seed = 2L)
+    val feats = Multimodal.featurize(media, dim = 16).toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val topk = graft.operators.AnnSearch.bruteForceTopK(
+      feats, feats.limit(3), "vec_id", "embedding", k = 2)
+    assert(topk.count() == 6)
+  }
+}

@@ -21,6 +21,15 @@ object SparkSuiteBase {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // shuffle scratch on tmpfs: shuffle index commits serialize on a
+      // JVM-global lock around small-file IO; the sandbox ext4 makes that
+      // lock hot enough to flatline multi-core scaling (thread dumps showed
+      // executors blocked in IndexShuffleBlockResolver). A real cluster
+      // would use local NVMe.
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.file.transferTo", "false")
+      .config("spark.shuffle.file.buffer", "1m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

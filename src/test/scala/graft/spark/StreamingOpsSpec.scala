@@ -1,0 +1,89 @@
+package graft.spark
+
+import graft.core.ReqSketch
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
+
+  test("windowed req_sketch under streaming groupBy with watermark") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "grp", "v")
+
+    val agg = StreamingOps.windowedReqSketch(df, "ts", "v", "grp", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_req")
+      .outputMode("update").start()
+    try {
+      val t0 = 1700000000000L
+      // two batches, one group, one window
+      input.addData((1 to 500).map(i => (new Timestamp(t0 + i), "a", i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((501 to 1000).map(i => (new Timestamp(t0 + i), "a", i.toDouble)): _*)
+      q.processAllAvailable()
+
+      val rows = sq.sql("SELECT * FROM win_req").collect()
+      assert(rows.nonEmpty)
+      val last = rows.maxBy(_.getAs[Long]("n"))
+      assert(last.getAs[Long]("n") == 1000L)
+      val sk = ReqSketch.deserialize(last.getAs[Array[Byte]]("len_sketch"))
+      assert(sk.count == 1000L)
+      assert(sk.minimum == 1.0 && sk.maximum == 1000.0)
+      val p50 = sk.quantile(0.5)
+      assert(p50 > 400 && p50 < 600, s"p50=$p50")
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup keeps first occurrence per content hash") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("id", "text")
+    val q = StreamingOps.streamingExactDedup(df, "id", "text")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+      val texts = sq.sql("SELECT text FROM sdedup").collect().map(_.getString(0)).sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
+  test("stateful streaming LSH candidate pairs match batch lane candidates") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val pages = graft.core.WebPages.generate(200, 21L)
+    val docs = pages.zipWithIndex.map { case (p, i) => (i.toLong, p.text) }
+
+    val input = MemoryStream[(Long, String)]
+    val streamBanded = StreamingOps.bandDocs(input.toDF().toDF("id", "text"), "id", "text")
+    val q = StreamingOps.streamingCandidatePairs(streamBanded)
+      .writeStream.format("memory").queryName("scand").outputMode("append").start()
+    try {
+      val (first, second) = docs.splitAt(100)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val streamPairs = sq.sql("SELECT id_a, id_b FROM scand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // batch lane on the same corpus
+      val batchDf = sq.createDataFrame(docs).toDF("id", "text")
+      val batchPairs = graft.operators.MinHashLSH.candidatePairs(batchDf, "id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(batchPairs.subsetOf(streamPairs),
+        s"missing from stream: ${(batchPairs -- streamPairs).take(5)}")
+    } finally q.stop()
+  }
+}
