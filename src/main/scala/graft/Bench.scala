@@ -62,7 +62,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "320000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "640000").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
 
     // ---- part 1: query timings

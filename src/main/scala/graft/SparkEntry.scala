@@ -195,7 +195,9 @@ object SparkEntry {
       // LSH-bucketed scale path is exercised rows-only in q_embed_neardup_lsh
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("id").as("id_a"), col("v").as("va"))
+      // query side capped: exact all-pairs is the oracle baseline, the LSH
+      // variant below is the scale path
+      val a = e.filter(col("id") < 500).select(col("id").as("id_a"), col("v").as("va"))
       val b = e.select(col("id").as("id_b"), col("v").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("cos", AnnSearch.cosine(col("va"), col("vb")))
@@ -334,7 +336,8 @@ object SparkEntry {
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+        |WHERE a.vec_id < 500
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
     // Not SQL-expressible -> rows-only driver check; exact oracles live in
     // the ScalaTest suites instead:
     //   q_simhash_neardup, q_req_quantiles, q_hll_distinct (sketch internals)
