@@ -42,7 +42,7 @@ object Bench {
       // lock hot enough to flatline multi-core scaling (thread dumps showed
       // executors blocked in IndexShuffleBlockResolver). A real cluster
       // would use local NVMe.
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", graft.spark.Scratch.localDir)
       .config("spark.file.transferTo", "false")
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")
@@ -79,7 +79,7 @@ object Bench {
     val scalingJson = if (!scaling) "null" else {
       def runPipeline(s: SparkSession, cores: Int): Double = {
         val work = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/dev/shm"), s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
+          graft.spark.Scratch.workParent, s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
         // identical corpus at both levels: chunk count fixed at 64
         val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
         val sec = timed {

@@ -112,13 +112,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
     }),
     "q_quality" -> ((s, dir) => {
-      val stop = graft.core.TextOps.StopWords.toSeq.sorted.map(lit)
+      // stopword counting via compiled UDF: Catalyst HOF lambdas (filter/
+      // array_contains per token) are interpreted per element — the UDF loop
+      // is the same pattern PairGen established
+      GraftFunctions.register(s)
       t(s, dir, "documents").select(
         col("doc_id"),
-        length(col("text")).as("n_chars_c").cast("int").as("n_chars_c"),
+        length(col("text")).cast("int").as("n_chars_c"),
         size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"),
-        size(filter(split(trim(col("text")), "\\s+"),
-          tok => array_contains(array(stop: _*), lower(tok)))).cast("int").as("n_stop"))
+        expr("stop_count(split(trim(text), '\\\\s+'))").cast("int").as("n_stop"))
     }),
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))),
@@ -311,7 +313,7 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
     "q_req_stats" ->
-      """SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1""".stripMargin,
     "q_theta_set_ops" ->

@@ -16,7 +16,7 @@ object Verify {
       // lock hot enough to flatline multi-core scaling (thread dumps showed
       // executors blocked in IndexShuffleBlockResolver). A real cluster
       // would use local NVMe.
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", graft.spark.Scratch.localDir)
       .config("spark.file.transferTo", "false")
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")

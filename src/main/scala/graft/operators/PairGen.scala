@@ -22,13 +22,20 @@ object PairGen {
   case class IdPair(a: Long, b: Long)
   case class SimPair(id_a: Long, id_b: Long, sim_a: Long, sim_b: Long)
 
+  /** Pair count computed in Long: `n * (n-1) / 2` overflows Int for
+    * n >= 65536, and a caller passing a permissive cap with a 10^5-member
+    * exact-dup group would otherwise throw NegativeArraySizeException —
+    * groups over either bound take the linear star fallback. */
+  private def allPairsFit(n: Int, cap: Int): Boolean =
+    n <= cap && n.toLong * (n - 1) / 2 <= Int.MaxValue.toLong
+
   /** Sorted all-pairs (n <= cap) or star-to-min-id pairs (n > cap). */
   def idPairs(ids: Seq[Long], cap: Int): Array[IdPair] = {
     val arr = ids.distinct.toArray
     java.util.Arrays.sort(arr)
     val n = arr.length
     if (n < 2) Array.empty
-    else if (n <= cap) {
+    else if (allPairsFit(n, cap)) {
       val out = new Array[IdPair](n * (n - 1) / 2)
       var k = 0
       var i = 0
@@ -55,7 +62,7 @@ object PairGen {
     java.util.Arrays.sort(uniq, Ordering.by((t: (Long, Long)) => t._1))
     val n = uniq.length
     if (n < 2) Array.empty
-    else if (n <= cap) {
+    else if (allPairsFit(n, cap)) {
       val out = new Array[SimPair](n * (n - 1) / 2)
       var k = 0
       var i = 0

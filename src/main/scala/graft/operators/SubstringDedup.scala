@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
 object SubstringDedup {
 
   /** Pairs (id_a < id_b) sharing an exact substring of >= minLen chars. */
+  /** Winnowing params behind the `winnow_fps` UDF (TextOps defaults); the
+    * prefilter is lossless only for spans >= gramLen + window - 1. */
+  private val GramLen = 48
+  private val Window = 128
+  val LosslessMinLen: Int = GramLen + Window - 1
+
   def pairs(docs: DataFrame, idCol: String, textCol: String, minLen: Int = 200,
             maxBucketSize: Int = 1000): DataFrame = {
+    require(minLen >= LosslessMinLen,
+      s"minLen=$minLen below the winnowing guarantee ($LosslessMinLen = " +
+        s"gramLen $GramLen + window $Window - 1): the prefilter would silently lose recall")
     val spark = docs.sparkSession
     graft.spark.GraftFunctions.register(spark)
 

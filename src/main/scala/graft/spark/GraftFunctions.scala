@@ -132,6 +132,8 @@ object GraftFunctions {
       (a: String, b: String, minLen: Int) => TextOps.commonSubstringAtLeast(a, b, minLen))
     u.register("extract_text", (html: Array[Byte]) => HtmlText.extract(html))
     u.register("lang_id", (t: String) => TextOps.langId(t))
+    u.register("stop_count",
+      (toks: Seq[String]) => toks.count(t => TextOps.StopWords.contains(t.toLowerCase)))
     u.register("quality_score", (t: String) => TextOps.qualityScore(t))
   }
 }

@@ -1,0 +1,34 @@
+package graft.spark
+
+/** Scratch-directory resolution for shuffle/stage spill.
+  *
+  * The sandbox benchmarks pin `spark.local.dir` to tmpfs because shuffle
+  * index commits serialize on a JVM-global lock around small-file IO
+  * (BASELINE.md "sandbox scaling ceiling"). On hosts without a usable
+  * `/dev/shm` (containers commonly cap it at 64MB), that hardcoded path
+  * breaks shuffle writes — so the path is resolved here with an env
+  * override and a JVM-tmp fallback instead of being hardcoded at each
+  * session builder.
+  */
+object Scratch {
+
+  /** `spark.local.dir`: `GRAFT_LOCAL_DIR` env > `/dev/shm/spark-local`
+    * (when /dev/shm is present and writable) > JVM temp dir. */
+  def localDir: String =
+    sys.env.getOrElse("GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/spark-local"
+      else new java.io.File(System.getProperty("java.io.tmpdir"), "spark-local").getPath
+    })
+
+  /** Parent dir for benchmark/pipeline work dirs (same resolution). */
+  def workParent: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_LOCAL_DIR", {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    }))
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+}
