@@ -207,8 +207,17 @@ object SparkEntry {
         .select("id_a", "id_b")
     }),
     "q_embed_neardup_lsh" -> ((s, dir) =>
-      AnnSearch.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
-        .select("id_a", "id_b")),
+      // the LSH scale path on its home turf: high-cos near-dups (injected
+      // perturbed copies at cos~0.993, mirrored in the oracle CTE). The
+      // auto-tuned banding (AnnSearch.tune) makes the per-pair miss
+      // probability ~1e-12 at this margin, so the probabilistic candidate
+      // step is exact in practice and the query is fully oracle-checkable.
+      // Low-threshold regimes (cos 0.4 over isotropic vectors) are covered
+      // by AnnSearchSpec's recall-vs-brute-force assertion instead.
+      AnnSearch.nearDupPairs(embWithDups(s, dir), "vec_id", "v", 0.85,
+          targetRecall = 0.98, maxTables = 32)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
 
     // ------------------------------------- north-rule web-pages pipeline
     // (input synthesized deterministically in the north-rule shape —
@@ -244,6 +253,31 @@ object SparkEntry {
           sum(length(col("frame_bytes"))).as("bytes"))
         .orderBy("media_id"))
   )
+
+  /** embeddings with injected near-duplicate structure (the raw vectors are
+    * isotropic — no pairs above cos 0.61): every 10th vector re-appears
+    * under vec_id + 1000000 with a small deterministic perturbation
+    * (cos(v, v') ~ 0.993). Mirrored verbatim in the oracle CTE `all_vecs`
+    * (Spark `transform` index is 0-based, DuckDB's is 1-based). */
+  private def embWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dups = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"),
+          (x, i) => x + lit(0.02) * sin(col("vec_id") * 131 + i * 7)).as("v"))
+    base.unionByName(dups)
+  }
+
+  private val allVecsCte =
+    """WITH all_vecs AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |                        (x, i) -> x + 0.02 * sin(vec_id * 131 + (i-1) * 7)) AS v
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |)""".stripMargin
 
   /** Deterministic north-rule pages corpus (same shape as the 10^12-doc
     * Iceberg table; 800 rows at test scale, seed 42). */
@@ -339,11 +373,16 @@ object SparkEntry {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 500
-        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "q_embed_neardup_lsh" ->
+      s"""$allVecsCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
+         |ORDER BY 1, 2""".stripMargin
     // Not SQL-expressible -> rows-only driver check; exact oracles live in
     // the ScalaTest suites instead:
-    //   q_simhash_neardup, q_req_quantiles, q_hll_distinct (sketch internals)
-    //   q_embed_neardup_lsh (probabilistic candidate generation)
+    //   q_simhash_neardup (custom simhash kernel not expressible in DuckDB)
     //   q_extract_text, q_substring_dedup, q_pages_pipeline (synthesized
     //   north-rule pages input not present in the driver's DuckDB tables)
   )

@@ -1,30 +1,131 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.SplitMix64
 
-/** Similarity search over an embedding column (`array<float>`).
+/** Similarity search over an embedding column (`array<float>`/`array<double>`).
   *
   * - `bruteForceTopK` — exact cosine top-k: broadcast the (small) query set
-  *   against the corpus; one corpus scan, no shuffle of vectors, map-side
-  *   scoring with codegen'd higher-order functions (`zip_with`/`aggregate`
-  *   — no UDF in the hot path), then a per-query top-k window over only the
-  *   scored (query_id, neighbor_id, cos) narrow rows.
-  * - `lshBucketedTopK` — the scale path: random-hyperplane (sign) LSH
-  *   buckets the corpus once; each query probes buckets within Hamming
-  *   distance `probeDist` of its own signature (multi-probe), restricting
-  *   scoring to a small candidate slice. Recall tunable via bits/probeDist.
+  *   against the corpus; one corpus scan, map-side scoring with a COMPILED
+  *   cosine UDF (Catalyst higher-order-function lambdas are interpreted at
+  *   ~17us/element — measured in r1, BASELINE.md — so the kernels here are
+  *   plain while-loops over primitive arrays), then a per-query top-k
+  *   window over narrow (query_id, neighbor_id, cos) rows.
+  * - `nearDupPairs` — the scale path: auto-tuned banded multi-table
+  *   random-hyperplane (sign) LSH. See `tune` for the math; hot buckets are
+  *   star-capped via BucketedPairs, and every candidate is verified with
+  *   exact cosine, so emitted pairs are never false positives — the tuning
+  *   only controls recall and pruning.
+  *
+  * Honest scale note: for *isotropic* embeddings at a low threshold like
+  * cos >= 0.4 (angle 66deg; per-hyperplane agreement 0.63 vs 0.50 for a
+  * random pair), sign-LSH prunes weakly — the theory bound is ~n^1.67 total
+  * work at recall 0.9 (rho = ln p1/ln p2 ~ 0.67) and `tune` will honestly
+  * pick ~91 tables of 8 bits. Real near-dup workloads (cos >= 0.85) tune to
+  * a handful of tables and prune aggressively. Both regimes are covered by
+  * AnnSearchSpec recall assertions against brute-force truth.
   */
 object AnnSearch {
 
-  /** Codegen'd sequential dot product (deterministic summation order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // ---------------------------------------------------------- kernels
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Deterministic Gaussian hyperplanes, cached per executor (computed once
+    * per (seed, planes, dim) instead of per row). Box-Muller over SplitMix64
+    * draws — Gaussian planes make the sign-LSH collision law exact:
+    * P[sign agree] = 1 - theta/pi. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Array[Double]]]
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  private[operators] def planes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((seed, nPlanes, dim), { key =>
+      val (s, np, d) = key
+      Array.tabulate(np) { p =>
+        val row = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          // Box-Muller from two SplitMix64 uniforms keyed by (seed, p, i)
+          val h1 = SplitMix64.mix(s ^ (p.toLong * 0x9E3779B97F4A7C15L) ^ (i.toLong * 0xC2B2AE3D27D4EB4FL))
+          val h2 = SplitMix64.mix(h1 + 0x632BE59BD9B4E019L)
+          val u1 = ((h1 >>> 11).toDouble + 1.0) / 9007199254740993.0 // (0,1)
+          val u2 = (h2 >>> 11).toDouble / 9007199254740992.0         // [0,1)
+          row(i) = math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+          i += 1
+        }
+        row
+      }
+    })
+
+  private[operators] def cosineKernel(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Band keys for one vector: `tables` keys, each packing the signs of
+    * `rowsPerBand` hyperplanes with the table index (so tables never mix). */
+  private[operators] def bandKeys(v: Array[Double], tables: Int, rowsPerBand: Int,
+                                  seed: Long): Array[Long] = {
+    val pl = planes(seed, tables * rowsPerBand, v.length)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bits = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val row = pl(t * rowsPerBand + j)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(v.length, row.length)
+        while (i < n) { acc += v(i) * row(i); i += 1 }
+        if (acc >= 0) bits |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << 32) | bits
+      t += 1
+    }
+    out
+  }
+
+  /** Compiled cosine for DataFrame plans (replaces the interpreted
+    * `aggregate(zip_with(...))` HOFs of r1). */
+  def cosine(a: Column, b: Column): Column = {
+    val f = udf(cosineKernel _)
+    f(a.cast("array<double>"), b.cast("array<double>"))
+  }
+
+  // ---------------------------------------------------------- tuning
+
+  /** Per-hyperplane sign-agreement probability of a pair at cosine `c`. */
+  def collisionProb(c: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, c))) / math.Pi
+
+  /** Pick (rowsPerBand, tables) so a pair at exactly `threshold` is
+    * candidate'd with probability >= targetRecall:
+    *   recall(r, b) = 1 - (1 - p^r)^b,   p = 1 - acos(threshold)/pi.
+    * Among configs meeting recall with b <= maxTables, the largest r wins —
+    * it minimizes random-pair collisions (0.5^r per table), i.e. verify
+    * cost. Pairs above the threshold only collide more. */
+  def tune(threshold: Double, targetRecall: Double, maxTables: Int): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall in (0,1), got $targetRecall")
+    val p = collisionProb(threshold)
+    var r = 32 // band keys pack the bits into the low 32 bits of the key
+    while (r >= 1) {
+      val pr = math.pow(p, r)
+      val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-pr))
+      if (b <= maxTables) return (r, math.max(1, b.toInt))
+      r -= 1
+    }
+    (1, maxTables)
+  }
+
+  // ---------------------------------------------------------- operators
 
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (idCol, vecCol) — the full embedding table
@@ -35,70 +136,49 @@ object AnnSearch {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
       .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
-  /** All pairs with cosine >= threshold (embedding near-dup lane). Brute
-    * O(n^2) within blocks: LSH-bucket first, verify within buckets. */
+  /** All pairs with cosine >= threshold via banded multi-table sign-LSH +
+    * exact-cosine verify. Recall vs brute-force truth is >= targetRecall
+    * for pairs at exactly the threshold (higher above it) — asserted by
+    * AnnSearchSpec at thresholds 0.4 and 0.9.
+    *
+    * Scale shape: vectors are scanned once for band keys; the only wide
+    * data in flight is (band_key, id) narrow rows; buckets are salted +
+    * star-capped (BucketedPairs); vectors join back only for the candidate
+    * set; verify is a compiled kernel. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, planes: Int = 12, probeDist: Int = 2,
+                   threshold: Double, targetRecall: Double = 0.95,
+                   maxTables: Int = 128, maxBucketSize: Int = 4096,
                    seed: Long = 0x9E377L): DataFrame = {
     val spark = corpus.sparkSession
-    registerVectorFns(spark, planes, seed)
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", expr("rh_signature(v)"))
-    // multi-probe: each vector also lands in all buckets within Hamming
-    // distance probeDist of its signature (pigeonhole-free, recall-oriented)
-    graft.operators.PairGen.register(spark)
-    val probed = sigs.withColumn("probe", explode(expr(s"hamming_ball(sig, $probeDist)")))
-    val buckets = probed.groupBy("probe")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val cands = buckets
-      .select(explode(expr(s"pair_combos(ids, ${Int.MaxValue})")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val (rowsPerBand, tables) = tune(threshold, targetRecall, maxTables)
+    val bandsUdf = udf((v: Array[Double]) => bandKeys(v, tables, rowsPerBand, seed))
+
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val bands = vecs.select(col("id"), explode(bandsUdf(col("v"))).as("bk"))
+
+    val cands = BucketedPairs.edges(bands, Seq("bk"), "id", maxBucketSize)
       .distinct()
-    // join vectors back only for the (small) candidate set
-    val vecs = sigs.select(col("id"), col("v"))
+
     cands
-      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
-      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
 
-  /** Deterministic random hyperplanes for sign-LSH; registered as UDFs. */
-  private def registerVectorFns(spark: org.apache.spark.sql.SparkSession,
-                                planes: Int, seed: Long): Unit = {
-    import graft.core.SplitMix64
-    spark.udf.register("rh_signature", (v: Seq[Double]) => {
-      var sig = 0
-      var p = 0
-      while (p < planes) {
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) {
-          // deterministic pseudo-gaussian-ish plane coefficient in [-1, 1)
-          val h = SplitMix64.mix(seed ^ (p * 0x9E3779B97F4A7C15L) ^ (i * 0xC2B2AE3D27D4EB4FL))
-          acc += v(i) * (h.toDouble / Long.MaxValue.toDouble)
-          i += 1
-        }
-        if (acc >= 0) sig |= (1 << p)
-        p += 1
-      }
-      sig
-    })
-    spark.udf.register("hamming_ball", (sig: Int, dist: Int) => {
-      // all signatures within Hamming distance `dist` of sig (planes bits)
-      val out = scala.collection.mutable.ArrayBuffer[Int](sig)
-      if (dist >= 1) (0 until planes).foreach(i => out += (sig ^ (1 << i)))
-      if (dist >= 2)
-        for (i <- 0 until planes; j <- (i + 1) until planes) out += (sig ^ (1 << i) ^ (1 << j))
-      out.toArray
-    })
-  }
+  /** Brute-force truth for specs (local, O(n^2) — small n only). */
+  def bruteForcePairs(vecs: Seq[(Long, Array[Double])], threshold: Double): Set[(Long, Long)] =
+    (for {
+      (ia, va) <- vecs
+      (ib, vb) <- vecs
+      if ia < ib
+      if cosineKernel(va, vb) >= threshold
+    } yield (ia, ib)).toSet
 }

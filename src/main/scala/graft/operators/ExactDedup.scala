@@ -33,6 +33,24 @@ object ExactDedup {
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
   }
 
+  /** Star edges (hub = min id per duplicate group) — the clustering lane's
+    * edge generator. Web corpora have 10^5..10^6-way exact-dup groups
+    * (empty pages, soft-404 boilerplate); connected components only needs
+    * the group connected, so one hub-star per group emits O(group) edges
+    * where `pairs` would emit O(group^2). Fully distributed: a narrow
+    * (hash -> hub) aggregate joined back to the (hash, id) rows — no
+    * aggregation buffer ever holds a group's member list. */
+  def starEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
+    val hubs = hashed.groupBy("h")
+      .agg(min(col("id")).as("hub"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("h", "hub")
+    hashed.join(hubs, "h")
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("id").as("id_b"))
+  }
+
   /** Survivors: keep the minimum id per distinct text (left-anti style
     * dedup used by training-data pipelines). */
   def survivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

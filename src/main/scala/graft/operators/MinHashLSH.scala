@@ -42,17 +42,11 @@ object MinHashLSH {
       col(idCol).as("id"),
       posexplode(expr(s"band_hashes(minhash128($textCol))")).as(Seq("band", "bh")))
 
-    // bucket ids per (band, band_hash); hot buckets (boilerplate) fall back
-    // to star pairs — linear, keeps the bucket connected for clustering
-    val buckets = bands
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-
-    // per-bucket pair combinations; distinct across the 16 bands
-    buckets
-      .select(explode(expr(s"pair_combos(ids, $maxBucketSize)")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    // salted, size-capped bucket collection per (band, band_hash); hot
+    // buckets (boilerplate) fall back to star pairs — linear, keeps the
+    // bucket connected for clustering, and no aggregation buffer ever holds
+    // more than maxBucketSize+1 ids (BucketedPairs)
+    BucketedPairs.edges(bands, Seq("band", "bh"), "id", maxBucketSize)
       .distinct()
   }
 

@@ -25,22 +25,20 @@ object SimHashDedup {
 
     val hashed = docs.select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("sim"))
 
-    val probes = hashed.select(col("id"), col("sim"),
+    val probes = hashed.select(col("id"),
       explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))
 
-    // members sorted by id (array_sort on struct orders by first field);
-    // hot buckets (boilerplate — near-identical simhashes) emit star pairs
-    val buckets = probes
-      .groupBy("probe")
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
-      .filter(size(col("members")) >= 2)
-
-    buckets
-      .select(explode(expr(s"pair_combos_sim(members, $maxBucketSize)")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sim_a"), col("p.sim_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
-      .filter(col("hamming") <= maxDist && col("id_a") =!= col("id_b"))
-      .select("id_a", "id_b", "hamming")
+    // salted, size-capped bucket collection per probe key; hot buckets
+    // (boilerplate — near-identical simhashes) emit star pairs
+    // (BucketedPairs). The verify join pulls the two 8-byte simhashes back
+    // in for the candidate set only — narrow rows, AQE-skew-handled.
+    val cands = BucketedPairs.edges(probes, Seq("probe"), "id", maxBucketSize)
       .distinct()
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
   }
 }

@@ -40,13 +40,10 @@ object SubstringDedup {
     val fps = docs.select(col(idCol).as("id"),
       explode(expr(s"winnow_fps($textCol)")).as("fp"))
 
-    val buckets = fps.groupBy("fp")
-      .agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
-
-    val cands = buckets
-      .select(explode(expr(s"pair_combos(ids, $maxBucketSize)")).as("p"))
-      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    // salted, size-capped bucket collection per fingerprint (winnowed fps
+    // are already distinct per doc, so (fp, id) rows are unique); hot
+    // fingerprints (boilerplate spans) emit star pairs (BucketedPairs)
+    val cands = BucketedPairs.edges(fps, Seq("fp"), "id", maxBucketSize)
       .distinct()
 
     // verify: exact Rabin-Karp decision at the threshold, O(|a|+|b|) per

@@ -87,8 +87,13 @@ object NearDupPipeline {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val laneFutures = Seq(
+      // star edges, not C(n,2): a 10^6-member exact-dup group (soft-404 /
+      // template boilerplate) must contribute O(group) edges to clustering,
+      // not 5*10^11 — connectivity through the hub is all CC needs. The
+      // complete-pair contract lives in ExactDedup.pairs (oracle-checked
+      // q_exact_dup_pairs), not in the pipeline.
       "edges_exact" -> Future(m.stage("edges_exact") {
-        ExactDedup.pairs(extracted, "id", "text")
+        ExactDedup.starEdges(extracted, "id", "text")
       }),
       "edges_minhash" -> Future(m.stage("edges_minhash") {
         MinHashLSH.nearDupPairs(extracted, "id", "text",

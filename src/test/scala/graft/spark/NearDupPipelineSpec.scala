@@ -81,6 +81,34 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
       "edges_simhash", "edges_substring", "clusters", "cluster_stats"))
   }
 
+  test("skew stress: one dominant template (2000 copies) stays linear and clusters whole") {
+    // a boilerplate page repeated 2000x under distinct urls — every lane's
+    // buckets for it are hot (over maxBucketSize=64), so candidate
+    // generation must take the star path, never C(n,2): 2000 copies emit
+    // O(2000) edges per lane instead of ~2M. With clusters coming out
+    // right, this is the salted/capped collection's end-to-end oracle.
+    val (df, _) = pagesDf(100, 5L)
+    val template = WebPages.generate(1, 77L).head
+    import spark.implicits._
+    val copies = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until 2000).map(i => template.copy(url = s"https://tpl.example/p/$i")), 8))
+    val cfg = NearDupPipeline.Config(workDir = tmpDir("skew"))
+    val res = NearDupPipeline.run(spark, df.unionByName(copies), cfg)
+
+    // the template pages form exactly one 2000-member component
+    val tplComponents = res.clusters
+      .filter(col("url").startsWith("https://tpl.example/"))
+      .groupBy("component").count().collect()
+    assert(tplComponents.length == 1, s"template split into ${tplComponents.length} components")
+    assert(tplComponents.head.getLong(1) == 2000)
+
+    // and the edge stages stayed linear in the group size
+    val edgeCounts = Seq("edges_exact", "edges_minhash", "edges_simhash", "edges_substring")
+      .map(st => spark.read.parquet(s"${cfg.workDir}/$st").count())
+    assert(edgeCounts.forall(_ < 20000), s"edge blowup: $edgeCounts")
+  }
+
   test("cluster_stats sketches: sizes and distinct-url estimates agree") {
     val (df, _) = pagesDf(300, 11L)
     val cfg = NearDupPipeline.Config(workDir = tmpDir("stats"))
