@@ -86,6 +86,7 @@ object GraftFunctions {
     // ---- scalar finishers over serialized sketches (BinaryType) ----
     val u = spark.udf
     u.register("req_quantile", (b: Array[Byte], r: Double) => ReqSketch.deserialize(b).quantile(r))
+    u.register("req_quantile_lte", (b: Array[Byte], r: Double) => ReqSketch.deserialize(b).quantile(r, inclusive = true))
     u.register("req_quantiles", (b: Array[Byte], rs: Seq[Double]) => ReqSketch.deserialize(b).quantiles(rs))
     u.register("req_rank", (b: Array[Byte], v: Double) => ReqSketch.deserialize(b).rank(v))
     u.register("req_rank_lte", (b: Array[Byte], v: Double) => ReqSketch.deserialize(b).rank(v, inclusive = true))

@@ -1,0 +1,50 @@
+package graft.spark
+
+import graft.core.{TextOps, WebPages}
+import graft.operators.{SimHashDedup, SubstringDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lane-level truth oracles for the two dedup lanes whose kernels are not
+  * DuckDB-expressible (rows-only in the driver's correctness gate): exact
+  * equality against local brute force, not just recall. */
+class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
+
+  private lazy val local: Seq[(Long, String)] =
+    WebPages.generate(300, 21L).zipWithIndex.map { case (p, i) => (i.toLong, p.text) }
+  private lazy val docs = {
+    import spark.implicits._
+    local.toDF("doc_id", "text")
+  }
+
+  test("simhash pairs == brute-force Hamming truth (pigeonhole probing is exact)") {
+    val maxDist = 3
+    val sims = local.map { case (id, t) => (id, TextOps.simHash64(t)) }
+    val truth = (for {
+      (ia, sa) <- sims
+      (ib, sb) <- sims
+      if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= maxDist
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "degenerate corpus: no simhash pairs")
+
+    val got = SimHashDedup.pairs(docs, "doc_id", "text", maxDist)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("substring pairs == brute-force common-substring truth (winnowing is lossless >= 175)") {
+    val minLen = 200
+    val truth = (for {
+      (ia, ta) <- local
+      (ib, tb) <- local
+      if ia < ib
+      if TextOps.commonSubstringAtLeast(ta, tb, minLen)
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "degenerate corpus: no substring pairs")
+
+    val got = SubstringDedup.pairs(docs, "doc_id", "text", minLen)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+}
