@@ -166,10 +166,14 @@ final class KllSketch private (
   /** A-priori two-sided normalized rank error bound (paper constant). */
   def normalizedRankError: Double = KllSketch.normalizedRankError(k)
 
+  /** Versioned little-endian layout (matches the REQ/Theta/HLL discipline
+    * so stored KLL sketch columns can evolve): [version:1][k:4][n:8][min:8]
+    * [max:8][coin:8][numLevels:4][sizes:4*L][items:8*N]. */
   def serialize(): Array[Byte] = {
     val nItems = retained
-    val buf = ByteBuffer.allocate(4 + 8 + 8 + 8 + 8 + 4 + levels.length * 4 + nItems * 8)
+    val buf = ByteBuffer.allocate(1 + 4 + 8 + 8 + 8 + 8 + 4 + levels.length * 4 + nItems * 8)
       .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(KllSketch.SerVersion.toByte)
     buf.putInt(k).putLong(totalN).putDouble(minValue).putDouble(maxValue).putLong(coinState)
     buf.putInt(levels.length)
     levels.foreach(l => buf.putInt(l.length))
@@ -181,6 +185,7 @@ final class KllSketch private (
 object KllSketch {
   val DefaultK = 200
   val MinLevelCap = 8
+  val SerVersion = 1
   private val TwoThirds = 2.0 / 3.0
 
   /** Published two-sided error constant for KLL with evens/odds compaction. */
@@ -194,6 +199,8 @@ object KllSketch {
 
   def deserialize(bytes: Array[Byte]): KllSketch = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val ver = buf.get()
+    require(ver == SerVersion.toByte, s"unknown KllSketch serialization version $ver")
     val k = buf.getInt
     val n = buf.getLong
     val mn = buf.getDouble

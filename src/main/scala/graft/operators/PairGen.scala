@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** Candidate-pair generation inside LSH-style buckets, skew-safe.
   *
@@ -20,7 +20,6 @@ import org.apache.spark.sql.{Row, SparkSession}
 object PairGen {
 
   case class IdPair(a: Long, b: Long)
-  case class SimPair(id_a: Long, id_b: Long, sim_a: Long, sim_b: Long)
 
   /** Pair count computed in Long: `n * (n-1) / 2` overflows Int for
     * n >= 65536, and a caller passing a permissive cap with a 10^5-member
@@ -54,41 +53,7 @@ object PairGen {
     }
   }
 
-  /** Same pairing over (id, payload) members, keyed/sorted by id; payload
-    * (e.g. the simhash) rides along so no join-back is needed. */
-  def simPairs(members: Seq[Row], cap: Int): Array[SimPair] = {
-    val uniq = members.map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map(_._2.head).toArray
-    java.util.Arrays.sort(uniq, Ordering.by((t: (Long, Long)) => t._1))
-    val n = uniq.length
-    if (n < 2) Array.empty
-    else if (allPairsFit(n, cap)) {
-      val out = new Array[SimPair](n * (n - 1) / 2)
-      var k = 0
-      var i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          out(k) = SimPair(uniq(i)._1, uniq(j)._1, uniq(i)._2, uniq(j)._2)
-          k += 1; j += 1
-        }
-        i += 1
-      }
-      out
-    } else {
-      val out = new Array[SimPair](n - 1)
-      var i = 1
-      while (i < n) {
-        out(i - 1) = SimPair(uniq(0)._1, uniq(i)._1, uniq(0)._2, uniq(i)._2)
-        i += 1
-      }
-      out
-    }
-  }
-
-  /** Register `pair_combos(ids, cap)` and `pair_combos_sim(members, cap)`. */
-  def register(spark: SparkSession): Unit = {
+  /** Register `pair_combos(ids, cap)`. */
+  def register(spark: SparkSession): Unit =
     spark.udf.register("pair_combos", (ids: Seq[Long], cap: Int) => idPairs(ids, cap))
-    spark.udf.register("pair_combos_sim", (ms: Seq[Row], cap: Int) => simPairs(ms, cap))
-  }
 }

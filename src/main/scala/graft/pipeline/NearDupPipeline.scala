@@ -53,9 +53,24 @@ object NearDupPipeline {
   /** Run (or resume) the full pipeline. `pages` must have the north-rule
     * schema; `text` may be null, in which case extraction output is used
     * without the byte-identical cross-check. */
-  def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result = {
+  /** Deterministic fingerprint of everything that changes stage outputs —
+    * committed with each stage so resume never reuses a stage computed
+    * under a different config. */
+  def configFingerprint(cfg: Config): String = {
+    val s = s"v1|j=${cfg.jaccardThreshold}|h=${cfg.simhashMaxDist}|" +
+      s"l=${cfg.minSubstringLen}|b=${cfg.maxBucketSize}|x=${cfg.validateExtraction}"
+    java.lang.Long.toHexString(graft.core.ThetaSketch.hashBytes(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result =
+    run(spark, pages, cfg, new ParquetTableIO(spark, cfg.workDir))
+
+  /** Variant over an explicit TableIO (Iceberg in production; tests can
+    * substitute fault-injecting IO). */
+  def run(spark: SparkSession, pages: DataFrame, cfg: Config, io: TableIO): Result = {
     GraftFunctions.register(spark)
-    val m = new Lineage(spark, cfg.workDir)
+    val m = new Lineage(spark, io, configFingerprint(cfg))
 
     // ---- stage 0: text extraction (invariant: byte-identical to `text`)
     val extractedSnapshot = m.stage("extracted") {
@@ -167,41 +182,42 @@ object NearDupPipeline {
 }
 
 /** Stage materialization + lineage/metrics + resume-from-committed-snapshot
-  * (SURVEY.md §2.4 "Lineage/metrics sink"). Parquet-dir realization of the
-  * Iceberg metrics table: one committed snapshot per stage, `_SUCCESS` as
-  * the commit marker; on a real cluster swap the writes for Iceberg table
-  * commits and `snapshot_id` for the Iceberg snapshot id — the resume logic
-  * (skip stages whose snapshot is committed) is identical.
+  * (SURVEY.md §2.4 "Lineage/metrics sink"), written against the TableIO
+  * seam (parquet dirs in the sandbox, Iceberg commits in production — the
+  * resume logic is identical).
+  *
+  * A stage is reused only when its committed fingerprint equals this run's
+  * `fingerprint` (a hash of the pipeline Config): re-running the same
+  * workDir with different thresholds/caps recomputes instead of silently
+  * reusing stage outputs that match neither run's config. Input identity is
+  * the caller's concern (production: the input table's snapshot id folded
+  * into the fingerprint).
   */
-class Lineage(spark: SparkSession, workDir: String) {
-  import org.apache.hadoop.fs.Path
-  private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+class Lineage(spark: SparkSession, io: TableIO, fingerprint: String) {
   private val done = scala.collection.mutable.ArrayBuffer[String]()
 
-  private def committed(stage: String): Boolean =
-    fs.exists(new Path(s"$workDir/$stage/_SUCCESS"))
-
-  /** Compute-or-load: if the stage output is committed, read it (resume);
-    * otherwise compute, write, commit, and append the lineage row. */
+  /** Compute-or-load: if the stage output is committed under this run's
+    * fingerprint, read it (resume); otherwise compute, write, commit, and
+    * append the lineage row. */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
-    if (!committed(name)) {
+    if (!io.committedFingerprint(name).contains(fingerprint)) {
       val t0 = System.nanoTime()
-      compute.write.mode(SaveMode.Overwrite).parquet(s"$workDir/$name")
+      io.overwrite(name, compute)
       val tWrite = System.nanoTime()
       // stages may run concurrently (lane futures); stage outputs land in
-      // distinct dirs, but the shared _metrics dir uses one Hadoop commit
+      // distinct tables, but the shared metrics table uses one commit
       // protocol instance per write — appends must not interleave
       synchronized { appendMetrics(name); done += name }
+      io.commit(name, fingerprint)
       val tMet = System.nanoTime()
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
         System.err.println(f"[graft-stage] $name compute=${(tWrite - t0) / 1e9}%.2fs metrics=${(tMet - tWrite) / 1e9}%.2fs")
     } else synchronized { done += name }
-    spark.read.parquet(s"$workDir/$name")
+    io.read(name)
   }
 
   private def appendMetrics(stage: String): Unit = {
-    import spark.implicits._
-    val out = spark.read.parquet(s"$workDir/$stage")
+    val out = io.read(stage)
     // per-partition lineage: rows per partition + a theta sketch of the
     // first column's values (cross-partition dup estimation support)
     graft.spark.GraftFunctions.register(spark)
@@ -214,12 +230,11 @@ class Lineage(spark: SparkSession, workDir: String) {
       .select(lit(stage).as("stage"), col("_pid").as("partition_id"),
         col("rows"), col("sketch"),
         lit(done.length.toLong).as("snapshot_id"),
+        lit(fingerprint).as("config_fp"),
         current_timestamp().as("ts"))
-    rows.write.mode(SaveMode.Append).parquet(s"$workDir/_metrics")
+    io.append("_metrics", rows)
   }
 
   def metrics: DataFrame =
-    if (fs.exists(new Path(s"$workDir/_metrics")))
-      spark.read.parquet(s"$workDir/_metrics")
-    else spark.emptyDataFrame
+    if (io.exists("_metrics")) io.read("_metrics") else spark.emptyDataFrame
 }

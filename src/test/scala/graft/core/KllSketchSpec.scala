@@ -63,7 +63,13 @@ class KllSketchSpec extends AnyFunSuite {
   test("serialization round-trip preserves answers") {
     val sk = KllSketch(128)
     stream(50000, 9L).foreach(sk.update)
-    val back = KllSketch.deserialize(sk.serialize())
+    val bytes = sk.serialize()
+    // versioned wire format (same discipline as REQ/Theta/HLL): leading
+    // version byte, unknown versions rejected
+    assert(bytes(0) == KllSketch.SerVersion.toByte)
+    val bad = bytes.clone(); bad(0) = 99.toByte
+    intercept[IllegalArgumentException] { KllSketch.deserialize(bad) }
+    val back = KllSketch.deserialize(bytes)
     assert(back.count == sk.count)
     for (r <- Seq(0.05, 0.5, 0.95)) assert(back.quantile(r) == sk.quantile(r))
   }

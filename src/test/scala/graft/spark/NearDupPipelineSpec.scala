@@ -81,6 +81,27 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
       "edges_simhash", "edges_substring", "clusters", "cluster_stats"))
   }
 
+  test("resume: changed config invalidates committed stages (fingerprint mismatch)") {
+    val (df, _) = pagesDf(200, 3L)
+    val dir = tmpDir("fp")
+    val cfg = NearDupPipeline.Config(workDir = dir)
+    NearDupPipeline.run(spark, df, cfg).clusters.count()
+
+    // same workDir, different jaccard threshold, EMPTY input: if the stages
+    // were (wrongly) reused, the clusters of the first run would come back;
+    // the fingerprint mismatch must force recompute, which over an empty
+    // input yields zero clusters
+    val cfg2 = cfg.copy(jaccardThreshold = 0.5)
+    val rerun = NearDupPipeline.run(spark, df.limit(0), cfg2)
+    assert(rerun.clusters.count() == 0, "stale stage outputs reused despite config change")
+
+    // same config resumes: stages are now committed under cfg2 (with empty
+    // outputs), so re-running cfg2 with the FULL input must still read the
+    // committed empty snapshots rather than recompute
+    val resumed = NearDupPipeline.run(spark, df, cfg2)
+    assert(resumed.clusters.count() == 0, "committed stages were recomputed despite matching fingerprint")
+  }
+
   test("skew stress: one dominant template (2000 copies) stays linear and clusters whole") {
     // a boilerplate page repeated 2000x under distinct urls — every lane's
     // buckets for it are hot (over maxBucketSize=64), so candidate
