@@ -45,6 +45,13 @@ object Bench {
       .config("spark.local.dir", graft.spark.Scratch.localDir)
       .config("spark.file.transferTo", "false")
       .config("spark.shuffle.file.buffer", "1m")
+      // off-heap execution memory: shuffle/agg buffers leave the shared
+      // heap, cutting the GC wall that dominated the r1 scaling residual
+      // (one JVM heap serves all N threads in local mode; on a real
+      // cluster each executor has its own)
+      .config("spark.memory.offHeap.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP", "0") match { case "0" => "false"; case _ => "true" })
+      .config("spark.memory.offHeap.size", "16g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -75,8 +82,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
-    // ---- part 2: dedup pipeline throughput at two parallelism levels
+    // ---- part 2: dedup pipeline throughput at two parallelism levels.
+    // Run-to-run variance on the sandbox VM is ~±20% (BASELINE.md), so the
+    // claim is the MEDIAN of `runs` alternating N/4N pairs, with every
+    // per-run number recorded in the JSON artifact.
     val scalingJson = if (!scaling) "null" else {
+      val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
       def runPipeline(s: SparkSession, cores: Int): Double = {
         val work = java.nio.file.Files.createTempDirectory(
           graft.spark.Scratch.workParent, s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
@@ -90,16 +101,29 @@ object Bench {
         sec
       }
       spark.stop()
-      val sN = session(nCores)
-      val secN = runPipeline(sN, nCores)
-      sN.stop()
-      val s4N = session(nCores * 4)
-      val sec4N = runPipeline(s4N, nCores * 4)
+      val secsN = scala.collection.mutable.ArrayBuffer[Double]()
+      val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
+      // alternating pairs so host drift hits both levels evenly
+      for (r <- 1 to runs) {
+        val sN = session(nCores)
+        secsN += runPipeline(sN, nCores)
+        sN.stop()
+        val s4N = session(nCores * 4)
+        secs4N += runPipeline(s4N, nCores * 4)
+        if (r < runs) s4N.stop() else spark = s4N
+      }
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.length / 2)
+      }
+      val secN = median(secsN.toSeq)
+      val sec4N = median(secs4N.toSeq)
       val tpN = benchDocs / secN
       val tp4N = benchDocs / sec4N
       val eff = tp4N / (4.0 * tpN)
-      spark = s4N
-      f"""{"docs":$benchDocs,"n_cores":$nCores,"n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      f"""{"docs":$benchDocs,"runs":$runs,"n_cores":$nCores,""" +
+        s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
+        f""""n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
         f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
         f""""scaling_efficiency_n_to_4n":$eff%.3f}"""
     }

@@ -13,33 +13,47 @@ import graft.spark.{CappedIdsAgg, CappedIdsMergeAgg}
   *
   *   - small buckets (n <= cap): all C(n,2) pairs (complete — downstream
   *     verify decides),
-  *   - hot buckets  (n  > cap): star edges to the bucket's minimum id. A
-  *     10^6-member boilerplate bucket emits 10^6 - 1 edges instead of
-  *     ~5*10^11; the hub keeps the bucket connected for clustering, and
-  *     every emitted edge still passes the lane's verify step.
+  *   - hot buckets (cap < n <= saltBuckets*(cap+1)): star edges to the
+  *     bucket's minimum id, straight from the kept member list. A hot
+  *     bucket emits n-1 edges instead of ~n^2/2; the hub keeps it
+  *     connected for clustering, and every edge still passes the lane's
+  *     verify step,
+  *   - monster buckets beyond that (e.g. a 10^6-member soft-404 template):
+  *     the kept list overflows to (count, min) only, and star edges come
+  *     from joining the monster-key list back to the membership rows — no
+  *     aggregation buffer ever holds the bucket.
   *
   * Memory/skew structure (vs a plain `groupBy(key).agg(collect_list)`,
   * which materializes the whole bucket in one buffer before any cap):
+  * phase 1 aggregates per `(key, salt = xxhash64(id) % saltBuckets)` with
+  * buffers capped at cap+1 ids, so a monster bucket's collection fans out
+  * over saltBuckets reduce tasks; phase 2 merges the (<= saltBuckets)
+  * slices per key keeping at most saltBuckets*(cap+1) ids — every buffer in
+  * both phases is bounded (e.g. 8KB at cap=64, salt=16).
   *
-  *   1. ids are first aggregated per `(key, salt)` where
-  *      `salt = xxhash64(id) % saltBuckets` — a hot bucket's collection
-  *      fans out over `saltBuckets` tasks instead of one;
-  *   2. both phases use `CappedIdsAgg`: NO aggregation buffer (map-side
-  *      partial or reduce-side final) ever holds more than cap+1 ids —
-  *      overflowing buckets keep only (count, min);
-  *   3. hot buckets are never collected at all: their members are recovered
-  *      by joining the (tiny) hot-key list back to the membership rows —
-  *      AQE plans that join as broadcast when the hot-key list is small.
+  * The bucket aggregate is computed ONCE and materialized (the
+  * localCheckpoint-rebuild pattern from ConnectedComponents; blocks are
+  * freed by the ContextCleaner when the result is dropped): its three
+  * consumers — kept-pair explode, monster gate, monster-join build side —
+  * read the stored blocks. The monster branch is gated by a driver-side
+  * emptiness check against those blocks because the join's probe side
+  * re-computes the caller's band/probe projection (the expensive
+  * minhash/simhash kernel), a cost only corpora with real monster buckets
+  * should pay. AQE cannot make that call: empty-relation propagation sees
+  * stage row counts, not post-filter emptiness. Consequently `edges` is
+  * EAGER — it runs the bucket aggregation at call time.
   */
 object BucketedPairs {
 
-  private def cappedIds(c: Column, cap: Int): Column =
-    GraftBridge.column(CappedIdsAgg(GraftBridge.expression(c), cap).toAggregateExpression())
-  private def cappedIdsMerge(c: Column, cap: Int): Column =
-    GraftBridge.column(CappedIdsMergeAgg(GraftBridge.expression(c), cap).toAggregateExpression())
+  private def cappedIds(c: Column, keep: Int): Column =
+    GraftBridge.column(CappedIdsAgg(GraftBridge.expression(c), keep).toAggregateExpression())
+  private def cappedIdsMerge(c: Column, keep: Int): Column =
+    GraftBridge.column(CappedIdsMergeAgg(GraftBridge.expression(c), keep).toAggregateExpression())
+
+  private def materialize(df: DataFrame): DataFrame = GraftBridge.materialize(df)
 
   /** Candidate edges (id_a < id_b), NOT deduplicated across keys — callers
-    * `.distinct()` after unioning bands/probes. */
+    * `.distinct()` after unioning bands/probes. Eager (see object doc). */
   def edges(members: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,
             saltBuckets: Int = 16): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
@@ -47,37 +61,43 @@ object BucketedPairs {
     PairGen.register(spark)
     val keys = keyCols.map(col)
     val id = col(idCol)
+    // null keys can't bucket; filtering here keeps the (rare) monster join
+    // from being the only branch with an isnotnull pushdown
+    val rows = members.where(keys.map(_.isNotNull).reduce(_ && _))
 
-    // phase 1: salted slices — a hot bucket's members spread over
-    // saltBuckets reduce tasks, each slice buffer capped at cap+1 ids
     val slices =
       if (saltBuckets <= 1)
-        members.groupBy(keys: _*).agg(cappedIds(id, cap).as("s"))
+        rows.groupBy(keys: _*).agg(cappedIds(id, cap).as("s"))
       else
-        members
+        rows
           .groupBy(keys :+ pmod(xxhash64(id), lit(saltBuckets.toLong)).as("_salt"): _*)
           .agg(cappedIds(id, cap).as("s"))
           .groupBy(keys: _*)
-          .agg(cappedIdsMerge(col("s"), cap).as("s"))
+          .agg(cappedIdsMerge(col("s"), saltBuckets * (cap + 1)).as("s"))
 
-    val buckets = slices.filter(col("s.n") >= 2)
+    // one computation, three consumers (explode / gate / join build side)
+    val buckets = materialize(slices.filter(col("s.n") >= 2))
 
-    // small buckets: complete member list survived the cap -> all pairs
-    val smallPairs = buckets
+    // kept list survived: all pairs when n <= cap, star otherwise — both
+    // handled inside the compiled pair_combos kernel
+    val keptPairs = buckets
       .filter(col("s.ids").isNotNull)
       .select(explode(expr(s"pair_combos(s.ids, $cap)")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
 
-    // hot buckets: (key, hub) only; members recovered from the membership
-    // rows by key — no buffer ever held them
-    val hotKeys = buckets
+    val monsterKeys = buckets
       .filter(col("s.ids").isNull)
       .select(keys :+ col("s.hub").as("_hub"): _*)
-    val starPairs = members
-      .join(hotKeys, keyCols)
-      .filter(id =!= col("_hub"))
-      .select(col("_hub").as("id_a"), id.as("id_b"))
 
-    smallPairs.unionByName(starPairs)
+    if (monsterKeys.isEmpty) keptPairs
+    else {
+      // members of monster buckets recovered from the membership rows —
+      // the one case worth re-running the caller's band/probe projection
+      val starPairs = rows
+        .join(monsterKeys, keyCols)
+        .filter(id =!= col("_hub"))
+        .select(col("_hub").as("id_a"), id.as("id_b"))
+      keptPairs.unionByName(starPairs)
+    }
   }
 }

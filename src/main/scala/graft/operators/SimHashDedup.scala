@@ -23,7 +23,13 @@ object SimHashDedup {
     val spark = docs.sparkSession
     graft.spark.GraftFunctions.register(spark)
 
-    val hashed = docs.select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("sim"))
+    // materialized once (16 bytes/doc): consumed by probe generation, by
+    // BucketedPairs' monster branch (this lane's 16-bit probe blocks DO
+    // produce over-cap buckets on real corpora), and by both verify joins —
+    // without this, the simhash kernel re-runs over the full corpus in
+    // every consumer
+    val hashed = org.apache.spark.sql.GraftBridge.materialize(
+      docs.select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("sim")))
 
     val probes = hashed.select(col("id"),
       explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))

@@ -163,6 +163,7 @@ object NearDupPipeline {
     }
 
     extracted.unpersist(false)
+    m.awaitCommits()
     Result(clusters, stats, m.metrics)
   }
 
@@ -195,28 +196,45 @@ object NearDupPipeline {
   */
 class Lineage(spark: SparkSession, io: TableIO, fingerprint: String) {
   private val done = scala.collection.mutable.ArrayBuffer[String]()
+  // metrics + commit run OFF the critical path: no later stage consumes the
+  // metrics table, so each stage's lineage append + commit marker trails on
+  // a single worker thread (which also serializes the shared metrics
+  // table's appends). awaitCommits() joins them before the pipeline
+  // returns. Crash safety is unchanged: the commit marker is still written
+  // only AFTER the metrics row, so an interrupted run recomputes the stage.
+  private val trailer = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-lineage"); t.setDaemon(true); t
+  })
+  private val pending = scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
 
   /** Compute-or-load: if the stage output is committed under this run's
-    * fingerprint, read it (resume); otherwise compute, write, commit, and
-    * append the lineage row. */
+    * fingerprint, read it (resume); otherwise compute, write, and trail the
+    * lineage row + commit. */
   def stage(name: String)(compute: => DataFrame): DataFrame = {
     if (!io.committedFingerprint(name).contains(fingerprint)) {
       val t0 = System.nanoTime()
       io.overwrite(name, compute)
       val tWrite = System.nanoTime()
-      // stages may run concurrently (lane futures); stage outputs land in
-      // distinct tables, but the shared metrics table uses one commit
-      // protocol instance per write — appends must not interleave
-      synchronized { appendMetrics(name); done += name }
-      io.commit(name, fingerprint)
-      val tMet = System.nanoTime()
       if (sys.env.contains("GRAFT_STAGE_TIMING"))
-        System.err.println(f"[graft-stage] $name compute=${(tWrite - t0) / 1e9}%.2fs metrics=${(tMet - tWrite) / 1e9}%.2fs")
+        System.err.println(f"[graft-stage] $name compute=${(tWrite - t0) / 1e9}%.2fs")
+      val snapshotId = synchronized { done += name; done.length.toLong }
+      synchronized {
+        pending += trailer.submit(new Runnable {
+          override def run(): Unit = {
+            appendMetrics(name, snapshotId)
+            io.commit(name, fingerprint)
+          }
+        })
+      }
     } else synchronized { done += name }
     io.read(name)
   }
 
-  private def appendMetrics(stage: String): Unit = {
+  /** Join all trailing metrics/commit work (call before returning results). */
+  def awaitCommits(): Unit =
+    synchronized { pending.toList }.foreach(_.get())
+
+  private def appendMetrics(stage: String, snapshotId: Long): Unit = {
     val out = io.read(stage)
     // per-partition lineage: rows per partition + a theta sketch of the
     // first column's values (cross-partition dup estimation support)
@@ -229,7 +247,7 @@ class Lineage(spark: SparkSession, io: TableIO, fingerprint: String) {
            expr(s"theta_sketch($firstCol)").as("sketch"))
       .select(lit(stage).as("stage"), col("_pid").as("partition_id"),
         col("rows"), col("sketch"),
-        lit(done.length.toLong).as("snapshot_id"),
+        lit(snapshotId).as("snapshot_id"),
         lit(fingerprint).as("config_fp"),
         current_timestamp().as("ts"))
     io.append("_metrics", rows)

@@ -26,20 +26,27 @@ import org.apache.spark.sql.types._
 final class CappedIds(val cap: Int) {
   var n: Long = 0L
   var hub: Long = Long.MaxValue
+  // singleton fast path: the overwhelming majority of buckets have exactly
+  // one member — those never allocate an array (first lives in a field)
+  private var first: Long = 0L
   private var ids: Array[Long] = null
   private var size: Int = 0
 
   private def ensure(extra: Int): Unit = {
     val want = math.min(size + extra, cap + 1)
-    if (ids == null) ids = new Array[Long](math.max(8, math.min(want, 64)))
-    else if (want > ids.length)
+    if (ids == null) {
+      ids = new Array[Long](math.max(4, math.min(math.max(want, 2), 64)))
+      if (size == 1) ids(0) = first
+    } else if (want > ids.length)
       ids = java.util.Arrays.copyOf(ids, math.min(math.max(ids.length * 2, want), cap + 1))
   }
 
   def add(id: Long): Unit = {
     n += 1
     if (id < hub) hub = id
-    if (size <= cap) { ensure(1); if (size <= cap) { ids(size) = id; size += 1 } }
+    if (size > cap) return
+    if (size == 0 && ids == null) { first = id; size = 1 }
+    else { ensure(1); if (size <= cap) { ids(size) = id; size += 1 } }
   }
 
   /** Merge a (count, min, kept-ids-or-null) triple; null ids = overflowed. */
@@ -47,7 +54,9 @@ final class CappedIds(val cap: Int) {
     n += sliceN
     if (sliceHub < hub) hub = sliceHub
     if (sliceIds == null) size = cap + 1 // upstream overflow: list unrecoverable
-    else {
+    else if (sliceIds.length == 1 && size == 0 && ids == null) {
+      first = sliceIds(0); size = 1 // singleton-slice fast path (phase 2)
+    } else {
       var i = 0
       while (i < sliceIds.length && size <= cap) {
         ensure(1); if (size <= cap) { ids(size) = sliceIds(i); size += 1 }
@@ -61,20 +70,25 @@ final class CappedIds(val cap: Int) {
     addSlice(o.n, o.hub, if (o.overflowed) null else o.kept)
 
   def overflowed: Boolean = n > cap || size > cap
-  def kept: Array[Long] = if (ids == null) Array.emptyLongArray else java.util.Arrays.copyOf(ids, size)
+  def kept: Array[Long] =
+    if (size == 0) Array.emptyLongArray
+    else if (ids == null) Array(first)
+    else java.util.Arrays.copyOf(ids, size)
 
   def serialize(): Array[Byte] = {
-    val keptSize = if (overflowed) 0 else size
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 1 + 4 + keptSize * 8)
-    bb.putLong(n).putLong(hub).put(if (overflowed) 1.toByte else 0.toByte).putInt(keptSize)
+    val k = if (overflowed) Array.emptyLongArray else kept
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 1 + 4 + k.length * 8)
+    bb.putLong(n).putLong(hub).put(if (overflowed) 1.toByte else 0.toByte).putInt(k.length)
     var i = 0
-    while (i < keptSize) { bb.putLong(ids(i)); i += 1 }
+    while (i < k.length) { bb.putLong(k(i)); i += 1 }
     bb.array()
   }
 
-  /** Result row: (n, hub, ids) — ids NULL when the bucket overflowed. */
+  /** Result row: (n, hub, ids) — ids NULL when the bucket overflowed, and
+    * also for n < 2 (a singleton's lone id IS its hub; skipping the array
+    * saves two allocations per bucket, and singleton buckets dominate). */
   def result: InternalRow = {
-    val arr = if (overflowed) null else new GenericArrayData(kept)
+    val arr = if (overflowed || n < 2) null else new GenericArrayData(kept)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, if (n == 0) null else hub, arr))
   }
@@ -152,7 +166,8 @@ case class CappedIdsMergeAgg(
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
       val n = row.getLong(0)
-      if (n > 0) {
+      if (n == 1) buf.add(row.getLong(1)) // singleton slice: hub IS the id
+      else if (n > 1) {
         val hub = row.getLong(1)
         val ids = if (row.isNullAt(2)) null else row.getArray(2).toLongArray()
         buf.addSlice(n, hub, ids)

@@ -9,6 +9,22 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eagerly compute `df` and rebuild a DataFrame over the stored blocks
+    * WITHOUT the InternalRow -> Row -> InternalRow double conversion that
+    * `createDataFrame(df.localCheckpoint.rdd, schema)` pays (boxing every
+    * array element — measured as the dominant cost for wide bucket rows).
+    * Also the Spark-4-safe alternative to plain `localCheckpoint`: the
+    * rebuilt plan carries no originStats, so iterative/multi-consumer use
+    * can't blow up Catalyst planning (see memory note + CC workaround).
+    * Blocks are freed by the ContextCleaner when the RDD is dropped. */
+  def materialize(df: Dataset[Row]): Dataset[Row] = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val rdd = df.queryExecution.toRdd.map(_.copy()) // unsafe rows are reused buffers
+    rdd.localCheckpoint()
+    rdd.count()
+    session.internalCreateDataFrame(rdd, df.schema)
+  }
+
   /** Materialize a `functions.udf(...)` object into a Catalyst ScalaUDF over
     * explicit children — needed by FunctionRegistry/extension builders,
     * where `udf.apply(Column)` would produce an unresolvable lazy

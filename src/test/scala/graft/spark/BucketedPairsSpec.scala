@@ -33,7 +33,17 @@ class BucketedPairsSpec extends AnyFunSuite with SparkSuiteBase {
     assert(edgesOf(members, cap = 64, salt = 3) == expected)
   }
 
-  test("hot bucket emits exactly the star to the minimum id") {
+  test("hot bucket (kept-list regime, cap < n <= salt*cap) emits exactly the star") {
+    // 300 members with cap 64, salt 16: slices stay under the slice cap, so
+    // the star comes straight from the merged kept list — no join-back scan
+    val hot = (0L until 300L).map(i => (7L, 100000L + i))
+    val small = Seq((8L, 1L), (8L, 2L))
+    val got = edgesOf(hot ++ small, cap = 64)
+    val star = (1L until 300L).map(i => (100000L, 100000L + i)).toSet
+    assert(got == star + ((1L, 2L)), s"got ${got.size} edges")
+  }
+
+  test("monster bucket (n > salt*cap, kept list overflows) emits exactly the star via join") {
     val hot = (0L until 10000L).map(i => (7L, 100000L + i))
     val small = Seq((8L, 1L), (8L, 2L))
     val got = edgesOf(hot ++ small, cap = 64)
