@@ -103,14 +103,23 @@ object Bench {
       spark.stop()
       val secsN = scala.collection.mutable.ArrayBuffer[Double]()
       val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
-      // alternating pairs so host drift hits both levels evenly
-      for (r <- 1 to runs) {
+      // alternating pairs so host drift hits both levels evenly; stop
+      // early (keeping completed pairs) if the wall budget runs out, so a
+      // driver-side timeout can never swallow the whole artifact
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "420").toInt
+      val tStart = System.nanoTime()
+      var r = 1
+      var continue = true
+      while (continue && r <= runs) {
         val sN = session(nCores)
         secsN += runPipeline(sN, nCores)
         sN.stop()
         val s4N = session(nCores * 4)
         secs4N += runPipeline(s4N, nCores * 4)
-        if (r < runs) s4N.stop() else spark = s4N
+        val elapsed = (System.nanoTime() - tStart) / 1e9
+        continue = r < runs && elapsed + (secsN.last + secs4N.last) * 1.2 < budgetSec
+        if (continue) s4N.stop() else spark = s4N
+        r += 1
       }
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted; s(s.length / 2)
@@ -121,7 +130,7 @@ object Bench {
       val tp4N = benchDocs / sec4N
       val eff = tp4N / (4.0 * tpN)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      f"""{"docs":$benchDocs,"runs":$runs,"n_cores":$nCores,""" +
+      f"""{"docs":$benchDocs,"runs":${secsN.length},"n_cores":$nCores,""" +
         s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
         f""""n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
         f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
