@@ -26,11 +26,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Total stop-the-world GC wall so far (all collectors), ms. */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
   private def session(cpus: Int): SparkSession = {
+    val partMult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", (cpus * partMult).toString)
       // shuffle.partitions is already = cores here, so AQE partition
       // coalescing only DE-parallelizes: verify stages shuffle ~MBs of
       // candidate pairs but burn seconds/MB of CPU re-shingling, and the
@@ -88,21 +96,27 @@ object Bench {
     // per-run number recorded in the JSON artifact.
     val scalingJson = if (!scaling) "null" else {
       val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
-      def runPipeline(s: SparkSession, cores: Int): Double = {
+      // returns (wall sec, GC wall sec during the run) — the GC share is
+      // the measured residual of the scaling gap (BASELINE.md): one shared
+      // heap serves all N threads in local mode
+      def runPipeline(s: SparkSession, cores: Int): (Double, Double) = {
         val work = java.nio.file.Files.createTempDirectory(
           graft.spark.Scratch.workParent, s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
         // identical corpus at both levels: chunk count fixed at 64
         val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
+        val gc0 = gcMillis
         val sec = timed {
           graft.pipeline.NearDupPipeline.run(s, df,
             graft.pipeline.NearDupPipeline.Config(workDir = work)).clusters.count()
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        sec
+        (sec, (gcMillis - gc0) / 1000.0)
       }
       spark.stop()
       val secsN = scala.collection.mutable.ArrayBuffer[Double]()
       val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
+      val gcN = scala.collection.mutable.ArrayBuffer[Double]()
+      val gc4N = scala.collection.mutable.ArrayBuffer[Double]()
       // alternating pairs so host drift hits both levels evenly; stop
       // early (keeping completed pairs) if the wall budget runs out, so a
       // driver-side timeout can never swallow the whole artifact
@@ -112,10 +126,12 @@ object Bench {
       var continue = true
       while (continue && r <= runs) {
         val sN = session(nCores)
-        secsN += runPipeline(sN, nCores)
+        val (wN, gN) = runPipeline(sN, nCores)
+        secsN += wN; gcN += gN
         sN.stop()
         val s4N = session(nCores * 4)
-        secs4N += runPipeline(s4N, nCores * 4)
+        val (w4, g4) = runPipeline(s4N, nCores * 4)
+        secs4N += w4; gc4N += g4
         val elapsed = (System.nanoTime() - tStart) / 1e9
         continue = r < runs && elapsed + (secsN.last + secs4N.last) * 1.2 < budgetSec
         if (continue) s4N.stop() else spark = s4N
@@ -132,6 +148,7 @@ object Bench {
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       f"""{"docs":$benchDocs,"runs":${secsN.length},"n_cores":$nCores,""" +
         s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
+        s""""runs_n_gc_sec":${arr(gcN.toSeq)},"runs_n4_gc_sec":${arr(gc4N.toSeq)},""" +
         f""""n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
         f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
         f""""scaling_efficiency_n_to_4n":$eff%.3f}"""

@@ -83,6 +83,11 @@ object SparkEntry {
         .orderBy(col("order_cnt").desc, col("o_custkey"))
         .limit(10)
     }),
+    "q6_rollup" -> ((s, dir) =>
+      // grouping sets (SURVEY.md §2.3 "distinct/cube/rollup from Catalyst")
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))),
     "q5_setops" -> ((s, dir) => {
       // exact set operators (SURVEY.md §2.3 set ops — the theta sketch
       // covers the approximate side in q_theta_set_ops)
@@ -346,6 +351,9 @@ object SparkEntry {
     "q4_topk" ->
       """SELECT o_custkey, count(*) AS order_cnt FROM orders
         |GROUP BY 1 ORDER BY order_cnt DESC, o_custkey LIMIT 10""".stripMargin,
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q5_setops" ->
       """SELECT custkey, TRUE AS has_orders FROM
         |  (SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders)

