@@ -10,11 +10,14 @@ import graft.core.SplitMix64
   * per-partition batches (the Scala/Tungsten analog of `mapInPandas`
   * batching: one "decoder" instance per partition, amortized across rows).
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind `FakeCodec`, a deterministic stand-in with the real
-  * call shape. The Spark-side plumbing (schema, partitioning, batch
-  * iteration, column contracts) is real and tested; swapping `FakeCodec`
-  * for javacv/ffmpeg is a single-object change.
+  * Codec status (r2): image and audio metadata decode is REAL — the
+  * synthetic table carries actual BMP (BITMAPINFOHEADER, 24bpp) and WAV
+  * (RIFF PCM16 mono) payloads and `decodeMeta` parses their headers, so
+  * the lane exercises genuine byte-format parsing end to end. Video
+  * container demuxing and learned embeddings remain STUBBED behind
+  * `FakeCodec` (no ffmpeg/model in this container) — deterministic
+  * stand-ins with the real call shape; swapping them for javacv/ffmpeg is
+  * a single-object change.
   */
 object Multimodal {
 
@@ -28,17 +31,79 @@ object Multimodal {
   case class MediaMeta(width: Int, height: Int, channels: Int, durationMs: Long)
   case class Featurized(media_id: Long, kind: String, meta: MediaMeta, embedding: Array[Float])
 
-  /** STUB codec: deterministic pure functions of the payload bytes with the
-    * signature a real decoder would have. Replace with a real decode when
-    * codec libraries are available (`???`-equivalent, but total so the
-    * pipeline plumbing stays testable end-to-end). */
+  /** Real header codecs for the two formats that are pure public byte
+    * layouts (no external libs needed): BMP images and RIFF/WAV audio. */
+  object Codecs {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** 24bpp bottom-up BMP with deterministic pixel bytes. */
+    def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val dataSize = rowSize * height
+      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)                       // reserved, pixel offset
+      bb.putInt(40).putInt(width).putInt(height)    // BITMAPINFOHEADER
+        .putShort(1).putShort(24).putInt(0)         // planes, bpp, BI_RGB
+        .putInt(dataSize).putInt(2835).putInt(2835) // size, 72dpi
+        .putInt(0).putInt(0)
+      var st = SplitMix64.mix(seed)
+      var i = 0
+      while (i < dataSize) { st = SplitMix64.mix(st); bb.put(st.toByte); i += 1 }
+      bb.array()
+    }
+
+    def decodeBmpMeta(bytes: Array[Byte]): MediaMeta = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a BMP payload")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val width = bb.getInt(18)
+      val height = math.abs(bb.getInt(22)) // negative height = top-down
+      val bpp = bb.getShort(28).toInt
+      MediaMeta(width, height, bpp / 8, 0L)
+    }
+
+    /** RIFF/WAV, PCM16 mono, deterministic samples. */
+    def encodeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+      val dataSize = nSamples * 2
+      val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1)                    // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+        .putShort(2).putShort(16)                   // block align, bits
+      bb.put("data".getBytes).putInt(dataSize)
+      var st = SplitMix64.mix(seed)
+      var i = 0
+      while (i < nSamples) { st = SplitMix64.mix(st); bb.putShort(st.toShort); i += 1 }
+      bb.array()
+    }
+
+    def decodeWavMeta(bytes: Array[Byte]): MediaMeta = {
+      require(bytes.length >= 44 &&
+        bytes(0) == 'R'.toByte && bytes(8) == 'W'.toByte, "not a WAV payload")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val channels = bb.getShort(22).toInt
+      val sampleRate = bb.getInt(24)
+      val bitsPerSample = bb.getShort(34).toInt
+      val dataSize = bb.getInt(40)
+      val durationMs = dataSize.toLong * 1000 / (sampleRate.toLong * channels * (bitsPerSample / 8))
+      MediaMeta(0, 0, channels, durationMs)
+    }
+  }
+
+  /** STUB codec for what genuinely needs external libraries (video
+    * demuxing, learned embeddings): deterministic pure functions of the
+    * payload bytes with the signature a real decoder would have. */
   object FakeCodec {
-    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
-      val h = graft.core.ThetaSketch.hashBytes(bytes)
-      val w = 64 + (math.abs(h) % 1024).toInt
-      val hh = 64 + (math.abs(SplitMix64.mix(h)) % 1024).toInt
-      MediaMeta(w, hh, if (kind == "audio") 1 else 3,
-        if (kind == "image") 0L else 1000L + math.abs(h) % 600000L)
+    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
+      case "image" => Codecs.decodeBmpMeta(bytes)
+      case "audio" => Codecs.decodeWavMeta(bytes)
+      case _ => // video: container demuxing stubbed
+        val h = graft.core.ThetaSketch.hashBytes(bytes)
+        MediaMeta(64 + (math.abs(h) % 1024).toInt,
+          64 + (math.abs(SplitMix64.mix(h)) % 1024).toInt, 3,
+          1000L + math.abs(h) % 600000L)
     }
 
     /** Deterministic fixed-dim pseudo-embedding (rolling-hash features). */
@@ -101,15 +166,23 @@ object Multimodal {
     frames.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  /** Deterministic synthetic media table (payload bytes from seed). */
+  /** Deterministic synthetic media table: REAL BMP and WAV payloads for
+    * image/audio rows (parsed back by the codecs above); opaque bytes for
+    * video rows (demuxing stubbed). */
   def mediaTable(spark: SparkSession, n: Int, seed: Long = 42L, parts: Int = 8): DataFrame = {
     val rows = (0 until n).map { i =>
-      var st = SplitMix64.mix(seed ^ i)
       val kind = Seq("image", "audio", "video")(i % 3)
-      val len = 256 + (math.abs(st) % 2048).toInt
-      val bytes = new Array[Byte](len)
-      var j = 0
-      while (j < len) { st = SplitMix64.mix(st); bytes(j) = st.toByte; j += 1 }
+      val bytes = kind match {
+        case "image" => Codecs.encodeBmp(4 + i % 60, 4 + (i * 7) % 44, seed ^ i)
+        case "audio" => Codecs.encodeWav(8000, 800 + (i * 37) % 4000, seed ^ i)
+        case _ =>
+          var st = SplitMix64.mix(seed ^ i)
+          val len = 256 + (math.abs(st) % 2048).toInt
+          val out = new Array[Byte](len)
+          var j = 0
+          while (j < len) { st = SplitMix64.mix(st); out(j) = st.toByte; j += 1 }
+          out
+      }
       Row(i.toLong, kind, bytes, s"https://media.example/$kind/$i")
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), mediaSchema)

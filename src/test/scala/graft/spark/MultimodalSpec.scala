@@ -18,8 +18,18 @@ class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
       assert(f.embedding.length == 32)
       val n = f.embedding.map(x => x * x).sum
       assert(n == 0f || math.abs(n - 1f) < 1e-3, s"not normalized: $n")
-      assert(f.meta.width >= 64 && f.meta.height >= 64)
-      if (f.kind == "audio") assert(f.meta.channels == 1) else assert(f.meta.channels == 3)
+      val i = f.media_id.toInt
+      f.kind match {
+        case "image" => // REAL BMP header round trip: decoded == generated
+          assert(f.meta.width == 4 + i % 60 && f.meta.height == 4 + (i * 7) % 44, f)
+          assert(f.meta.channels == 3 && f.meta.durationMs == 0L)
+        case "audio" => // REAL WAV header round trip
+          assert(f.meta.channels == 1)
+          val samples = 800 + (i * 37) % 4000
+          assert(f.meta.durationMs == samples.toLong * 1000 / 8000, f)
+        case _ => // video demux stubbed: just shape checks
+          assert(f.meta.width >= 64 && f.meta.height >= 64 && f.meta.channels == 3)
+      }
     }
 
     // repartitioning must not change any value (pure per-row kernel)
