@@ -70,8 +70,8 @@ object AnnSearch {
 
   /** Band keys for one vector: `tables` keys, each packing the signs of
     * `rowsPerBand` hyperplanes with the table index (so tables never mix). */
-  private[operators] def bandKeys(v: Array[Double], tables: Int, rowsPerBand: Int,
-                                  seed: Long): Array[Long] = {
+  private[graft] def bandKeys(v: Array[Double], tables: Int, rowsPerBand: Int,
+                              seed: Long): Array[Long] = {
     val pl = planes(seed, tables * rowsPerBand, v.length)
     val out = new Array[Long](tables)
     var t = 0

@@ -81,4 +81,21 @@ object StreamingOps {
         TextOps.bandHashes(TextOps.minHash(t)).map(b => BandedDoc(b, id))
       }
   }
+
+  /** Embedding near-dup streaming twin: vectors -> auto-tuned sign-LSH band
+    * keys (same `AnnSearch.tune` math as the batch lane), feeding
+    * `streamingCandidatePairs`; candidates are verified downstream with the
+    * compiled cosine kernel against a static/stored vector table. */
+  def bandVecs(vecs: DataFrame, idCol: String, vecCol: String, threshold: Double,
+               targetRecall: Double = 0.95, maxTables: Int = 128,
+               seed: Long = 0x9E377L): Dataset[BandedDoc] = {
+    import vecs.sparkSession.implicits._
+    val (rowsPerBand, tables) = graft.operators.AnnSearch.tune(threshold, targetRecall, maxTables)
+    vecs.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        graft.operators.AnnSearch.bandKeys(v, tables, rowsPerBand, seed)
+          .map(k => BandedDoc(k, id))
+      }
+  }
 }

@@ -86,4 +86,44 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
         s"missing from stream: ${(batchPairs -- streamPairs).take(5)}")
     } finally q.stop()
   }
+
+  test("stateful streaming embedding LSH candidates cover cross-batch near-dup pairs") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // isotropic base vectors + a perturbed near-dup of each 5th, planted in
+    // the SECOND batch so candidates must flow through the bucket state
+    def vec(id: Long, dim: Int): Array[Double] = {
+      val v = Array.tabulate(dim) { i =>
+        val h = graft.core.SplitMix64.mix((id << 16) ^ i.toLong ^ 0xABCDL)
+        h.toDouble / Long.MaxValue.toDouble
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = (0L until 100L).map(id => (id, vec(id, 32)))
+    val dups = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 1000L, v.zipWithIndex.map { case (x, i) => x + 0.03 * math.sin(id + i) })
+    }
+    val threshold = 0.9
+
+    val input = MemoryStream[(Long, Array[Double])]
+    val banded = StreamingOps.bandVecs(
+      input.toDF().toDF("id", "v"), "id", "v", threshold, targetRecall = 0.99)
+    val q = StreamingOps.streamingCandidatePairs(banded)
+      .writeStream.format("memory").queryName("vcand").outputMode("append").start()
+    try {
+      input.addData(base: _*)
+      q.processAllAvailable()
+      input.addData(dups: _*)
+      q.processAllAvailable()
+      val cands = sq.sql("SELECT id_a, id_b FROM vcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every true pair above threshold must be candidate'd (tuned banding
+      // at cos~0.99 margin misses with prob ~1e-10)
+      val truth = graft.operators.AnnSearch.bruteForcePairs(base ++ dups, threshold)
+      assert(truth.nonEmpty)
+      assert(truth.subsetOf(cands), s"missing: ${(truth -- cands).take(5)}")
+    } finally q.stop()
+  }
 }
