@@ -280,11 +280,14 @@ object SparkEntry {
             col("text"), lit("</p>\n</body></html>")).cast("binary"))
         .select(col("doc_id"), expr("extract_text(html)").as("text"))
     }),
-    "q_substring_dedup" -> ((s, dir) => {
-      val pages = pagesDf(s).select(xxhash64(col("url")).as("id"), col("text"))
-      SubstringDedup.pairs(pages, "id", "text", minLen = 200)
-        .select("id_a", "id_b").orderBy("id_a", "id_b")
-    }),
+    "q_substring_dedup" -> ((s, dir) =>
+      // over the driver's documents table so DuckDB can brute-force the
+      // truth: "shares an exact substring of >= 200 chars" is equivalent to
+      // "shares a 200-gram", an L-gram self-join the oracle expresses
+      // directly (the pages-corpus variant of this lane stays exercised
+      // inside q_pages_pipeline and SubstringDedupSpec)
+      SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")),
     "q_pages_pipeline" -> ((s, dir) => {
       val work = java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
       NearDupPipeline.run(s, pagesDf(s),
@@ -451,12 +454,25 @@ object SparkEntry {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+    // "shares an exact substring >= 200 chars" <=> "shares a 200-gram":
+    // brute-force L-gram self-join (the idx table avoids DuckDB's
+    // no-lateral-range limitation)
+    "q_substring_dedup" ->
+      """WITH mx AS (SELECT max(length(text)) m FROM documents),
+        |idx AS (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) i),
+        |g AS (
+        |  SELECT doc_id, substring(text, i, 200) gram
+        |  FROM documents JOIN idx ON i <= length(text) - 199
+        |)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |ORDER BY 1, 2""".stripMargin
     // Not SQL-expressible -> rows-only driver check; exact oracles live in
     // the ScalaTest suites instead:
-    //   q_simhash_neardup, q_substring_dedup (custom hash kernels not
-    //     expressible in DuckDB; DedupLanesSpec asserts exact equality with
-    //     brute-force truth)
+    //   q_simhash_neardup (custom 64-bit hash kernel not expressible in
+    //     DuckDB; DedupLanesSpec asserts exact equality with brute-force
+    //     truth)
     //   q_pages_pipeline (synthesized north-rule pages input not in the
     //     driver's DuckDB tables; NearDupPipelineSpec recall >= 0.99)
     //   q_media_features, q_frame_sample (payloads are hash-chain-generated;
