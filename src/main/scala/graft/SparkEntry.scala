@@ -236,6 +236,36 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
     }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN (the centroid-partitioned scale path):
+      // approximation means neighbor ids can't be pinned by the oracle, so
+      // the query scores ITSELF against in-plan brute-force truth and emits
+      // booleans the oracle pins to TRUE — a broken quantizer or probe path
+      // flips the hash red (same discipline as the sketch-bounds queries).
+      // Bars carry 2x margin under measured recall (the table is isotropic —
+      // IVF's worst case; measured mean 0.83-0.85, per-query min 0.4 at
+      // sf0.01/sf0.1 with k=16, nProbe=8): per-query >= 0.2, mean >= 0.6.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val cents = IvfIndex.fitCentroids(emb, "vec_id", "embedding", k = 16, iters = 5)
+      val ivf = IvfIndex.topK(emb, queries, "vec_id", "embedding",
+          kNeighbors = 10, cents, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val brute = AnnSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+      val hits = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg((count(lit(1)) / 10.0).as("recall"))
+      val perQuery = brute.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("recall"), lit(0.0)).as("recall"))
+      perQuery
+        .withColumn("mean_r",
+          avg(col("recall")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("query_id"),
+          (col("recall") >= 0.2).as("recall_ok"),
+          (col("mean_r") >= 0.6).as("mean_ok"))
+        .orderBy("query_id")
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       // exact cosine near-dup pairs (embedding-cosine dedup lane); the
       // LSH-bucketed scale path is exercised rows-only in q_embed_neardup_lsh
@@ -444,6 +474,9 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS mean_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY 1""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

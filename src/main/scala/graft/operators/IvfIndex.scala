@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest-neighbor index: a deterministic
+  * k-means coarse quantizer partitions the corpus into `k` cells; a query
+  * probes only its `nProbe` nearest cells. This is the centroid-partitioned
+  * scale path next to `AnnSearch.nearDupPairs`' sign-LSH one: at 10^12
+  * vectors the corpus is scanned ONCE for cell assignment (map-only against
+  * broadcast centroids — `cell` is the natural bucketing/partition key for
+  * the stored table), and each query touches ~nProbe/k of the data through
+  * an equi-join on the cell id — no brute-force scan.
+  *
+  * Everything is deterministic (hash-seeded init, fixed Lloyd rounds) so
+  * results are reproducible across runs and parallelism — the same
+  * discipline as the sketch/LSH lanes. (Float-sum reduction order in the
+  * centroid means can differ in final ulps across partitionings; only
+  * vectors exactly on a cell boundary could flip, so consumers assert
+  * recall with margin, not exact cell ids.)
+  */
+object IvfIndex {
+
+  /** Index of the centroid with the highest cosine to `v`. */
+  private[operators] def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cos = AnnSearch.cosineKernel(v, cents(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Indices of the `n` highest-cosine centroids (descending). */
+  private[operators] def nearestCells(v: Array[Double], cents: Array[Array[Double]],
+                                      n: Int): Array[Int] =
+    cents.indices
+      .map(c => (AnnSearch.cosineKernel(v, cents(c)), c))
+      .sortBy { case (cos, c) => (-cos, c) }
+      .take(math.min(n, cents.length))
+      .map(_._2)
+      .toArray
+
+  /** Fit the coarse quantizer. Returns centroids as a driver-side model
+    * (k x dim doubles — tiny; this is the one legitimate driver-side
+    * collect: the fitted MODEL, never the data).
+    *
+    * Deterministic: init picks the k vectors with the smallest
+    * `xxhash64(id)` (a seeded uniform sample, stable under partitioning);
+    * then `iters` fixed Lloyd rounds, each a single distributed pass —
+    * assignment is a compiled UDF over broadcast centroids; the new means
+    * reduce per (cell, dimension) after posexplode, k*dim rows back to the
+    * driver per round. Cells that lose all members keep their previous
+    * centroid. */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                   iters: Int = 5): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0)
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
+      val rows = vecs
+        .withColumn("cell", cellUdf(col("v")))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      bc.destroy()
+      it += 1
+    }
+    cents
+  }
+
+  /** Cell assignment for the corpus: (idCol, vecCol columns preserved) +
+    * `cell`. At scale this is what you bucket/partition the stored index
+    * table by. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             centroids: Array[Array[Double]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
+    corpus.withColumn("cell", cellUdf(col(vecCol).cast("array<double>")))
+  }
+
+  /** Approximate top-k neighbors for each query vector.
+    * @return (query_id, neighbor_id, cos, rnk) with rnk in 1..kNeighbors —
+    *         same shape as `AnnSearch.bruteForceTopK`, so recall is a
+    *         direct set comparison. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           kNeighbors: Int, centroids: Array[Array[Double]],
+           nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
+    val probesUdf = udf((v: Array[Double]) => nearestCells(v, bc.value, nProbe))
+
+    val cells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cell", cellUdf(col("cv")))
+    // queries are small by contract: broadcast (query, probed cell) rows so
+    // the corpus-side join is map-only against its cell partitioning
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cell", explode(probesUdf(col("qv")))))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", AnnSearch.cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cos")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kNeighbors)
+  }
+}

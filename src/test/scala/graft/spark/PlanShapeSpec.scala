@@ -40,8 +40,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // query set — the cross product IS the semantics) are the only two
     // queries allowed a nested-loop plan; both broadcast a tiny side
     // q_theta_set_ops cross-joins two single-row sketch frames (1x1) —
-    // also fine
-    val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_theta_set_ops", "q_pages_pipeline")
+    // also fine. q_ann_ivf embeds a bruteForceTopK as its in-plan recall
+    // truth (the IVF path itself joins hash-equi on the cell id)
+    val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
+      "q_theta_set_ops", "q_pages_pipeline")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
