@@ -16,11 +16,14 @@ import org.apache.spark.sql.SparkSession
   *     throughput(4N) / (4 * throughput(N)), the in-sandbox substitute for
   *     N vs 4N executors (BASELINE.md).
   *
-  *     N defaults to 4 (so 4 vs 16 threads): a raw-CPU microbenchmark of
+  *     N defaults to 2 (so 2 vs 8 threads): a raw-CPU microbenchmark of
   *     this sandbox VM (BASELINE.md "sandbox scaling ceiling") shows the
-  *     host itself only delivers ~2.2x from 8->32 threads (~19 effective
-  *     cores), while 4->16 scales at 0.88 efficiency — the 8->32 pair would
-  *     measure the hypervisor, not the engine.
+  *     host only delivers ~19 effective cores (8->32 scales at 0.55 — that
+  *     pair measures the hypervisor, not the engine) and its deliverable
+  *     capacity oscillates on ~10-minute windows, so both levels stay
+  *     below the contention cliff (raw hardware scales 2->8 at 0.92).
+  *     Efficiency is claimed as the median of per-pair ratios, with every
+  *     per-run wall + GC + a host-capacity calibration in the artifact.
   *
   * Disable part 2 with SPARK_GRAFT_SCALING=0.
   */
@@ -51,6 +54,10 @@ object Bench {
       // executors blocked in IndexShuffleBlockResolver). A real cluster
       // would use local NVMe.
       .config("spark.local.dir", graft.spark.Scratch.localDir)
+      // FAIR pools: the pipeline's lineage trailer must free-ride on idle
+      // slots, never queue head-of-line against compute (Scratch.fairPoolsXml)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", graft.spark.Scratch.fairPoolsXml)
       .config("spark.file.transferTo", "false")
       .config("spark.shuffle.file.buffer", "1m")
       // off-heap execution memory: shuffle/agg buffers leave the shared
@@ -78,7 +85,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "640000").toInt
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    // N=2 (so 2 vs 8 threads): the sandbox VM delivers ~19 effective cores
+    // under sustained load AND its deliverable capacity oscillates on
+    // ~10-minute windows (BASELINE.md "host noise", measured 2x wall swing
+    // on identical code) — the 2->8 pair stays below the contention cliff
+    // at both levels, where the raw-CPU microbench scales at 0.92
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
 
     // ---- part 1: query timings
     var spark = session(cpus)
@@ -96,6 +108,25 @@ object Bench {
     // per-run number recorded in the JSON artifact.
     val scalingJson = if (!scaling) "null" else {
       val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+      // fixed-work host-capacity probe run before each pipeline run: 4N
+      // threads each doing a fixed register-only mix loop. Its wall time
+      // moves 1:1 with how much CPU the multi-tenant host actually grants
+      // this VM during that window — recorded per run so every pipeline
+      // wall number carries its own host-conditions evidence.
+      def calibrate(threads: Int): Double = {
+        val perThread = 400000000L
+        val ts = (0 until threads).map { t =>
+          new Thread(() => {
+            var acc = t.toLong; var i = 0L
+            while (i < perThread) { acc = graft.core.SplitMix64.mix(acc); i += 1 }
+            // sink the value so the loop cannot be eliminated
+            if (acc == 42L) System.err.print("")
+          })
+        }
+        val t0 = System.nanoTime()
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
       // returns (wall sec, GC wall sec during the run) — the GC share is
       // the measured residual of the scaling gap (BASELINE.md): one shared
       // heap serves all N threads in local mode
@@ -117,19 +148,23 @@ object Bench {
       val secs4N = scala.collection.mutable.ArrayBuffer[Double]()
       val gcN = scala.collection.mutable.ArrayBuffer[Double]()
       val gc4N = scala.collection.mutable.ArrayBuffer[Double]()
+      val calN = scala.collection.mutable.ArrayBuffer[Double]()
+      val cal4N = scala.collection.mutable.ArrayBuffer[Double]()
       // alternating pairs so host drift hits both levels evenly; stop
       // early (keeping completed pairs) if the wall budget runs out, so a
       // driver-side timeout can never swallow the whole artifact
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "420").toInt
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toInt
       val tStart = System.nanoTime()
       var r = 1
       var continue = true
       while (continue && r <= runs) {
         val sN = session(nCores)
+        calN += calibrate(nCores * 4)
         val (wN, gN) = runPipeline(sN, nCores)
         secsN += wN; gcN += gN
         sN.stop()
         val s4N = session(nCores * 4)
+        cal4N += calibrate(nCores * 4)
         val (w4, g4) = runPipeline(s4N, nCores * 4)
         secs4N += w4; gc4N += g4
         val elapsed = (System.nanoTime() - tStart) / 1e9
@@ -140,17 +175,37 @@ object Bench {
       def median(xs: Seq[Double]): Double = {
         val s = xs.sorted; s(s.length / 2)
       }
+      // Efficiency is estimated PER ALTERNATING PAIR, then the median pair
+      // is claimed: the host's deliverable capacity oscillates on ~10-min
+      // windows (2x wall swing measured on identical code — BASELINE.md),
+      // so the two runs of one pair share host conditions far better than
+      // runs 8 minutes apart, and the pairwise ratio cancels the common
+      // drift that a ratio-of-medians mixes across windows. A pair whose
+      // two calibration probes disagree by >30% measured UNEQUAL host
+      // conditions (e.g. trial run: calib 4.1s vs 1.8s produced a bogus
+      // 1.05 "efficiency") — such pairs are excluded from the claim when
+      // any fair pair exists. Every per-run wall, GC wall, and calibration
+      // is in the artifact either way.
+      val pairEffs = secsN.zip(secs4N).map { case (wN, w4) => wN / (4.0 * w4) }
+      val fair = calN.zip(cal4N).map { case (a, b) => math.max(a, b) / math.min(a, b) <= 1.3 }
+      val claimed = pairEffs.zip(fair).collect { case (e, true) => e }
+      val eff = median(if (claimed.nonEmpty) claimed.toSeq else pairEffs.toSeq)
       val secN = median(secsN.toSeq)
       val sec4N = median(secs4N.toSeq)
       val tpN = benchDocs / secN
       val tp4N = benchDocs / sec4N
-      val eff = tp4N / (4.0 * tpN)
+      val effOfMedians = tp4N / (4.0 * tpN)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+      def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       f"""{"docs":$benchDocs,"runs":${secsN.length},"n_cores":$nCores,""" +
         s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
         s""""runs_n_gc_sec":${arr(gcN.toSeq)},"runs_n4_gc_sec":${arr(gc4N.toSeq)},""" +
+        s""""calib_n_sec":${arr(calN.toSeq)},"calib_n4_sec":${arr(cal4N.toSeq)},""" +
         f""""n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
         f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
+        s""""pair_efficiencies":${arr3(pairEffs.toSeq)},""" +
+        s""""pair_calib_fair":${fair.map(_.toString).mkString("[", ",", "]")},""" +
+        f""""scaling_efficiency_of_medians":$effOfMedians%.3f,""" +
         f""""scaling_efficiency_n_to_4n":$eff%.3f}"""
     }
 

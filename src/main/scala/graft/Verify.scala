@@ -17,6 +17,8 @@ object Verify {
       // executors blocked in IndexShuffleBlockResolver). A real cluster
       // would use local NVMe.
       .config("spark.local.dir", graft.spark.Scratch.localDir)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", graft.spark.Scratch.fairPoolsXml)
       .config("spark.file.transferTo", "false")
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.session.timeZone", "UTC")

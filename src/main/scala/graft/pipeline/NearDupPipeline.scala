@@ -101,28 +101,40 @@ object NearDupPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // FAIR scheduling between the lane pool and the lineage trailer pool:
+    // under the default FIFO queue a metrics job submitted first (e.g. the
+    // extracted stage's) holds task slots head-of-line against all four
+    // lanes (measured: the extracted metrics trail alone stretched to 65s
+    // of lane wall in a degraded-host window). FAIR makes the trailer a
+    // free-rider on idle slots instead. Pool assignment is per-thread, so
+    // each lane future sets it on its own executor-pool thread; no-op if
+    // the session keeps FIFO scheduling.
+    def inPool[T](pool: String)(body: => T): T = {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+      try body finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
     val laneFutures = Seq(
       // star edges, not C(n,2): a 10^6-member exact-dup group (soft-404 /
       // template boilerplate) must contribute O(group) edges to clustering,
       // not 5*10^11 — connectivity through the hub is all CC needs. The
       // complete-pair contract lives in ExactDedup.pairs (oracle-checked
       // q_exact_dup_pairs), not in the pipeline.
-      "edges_exact" -> Future(m.stage("edges_exact") {
+      "edges_exact" -> Future(inPool("graft-lanes")(m.stage("edges_exact") {
         ExactDedup.starEdges(extracted, "id", "text")
-      }),
-      "edges_minhash" -> Future(m.stage("edges_minhash") {
+      })),
+      "edges_minhash" -> Future(inPool("graft-lanes")(m.stage("edges_minhash") {
         MinHashLSH.nearDupPairs(extracted, "id", "text",
             cfg.jaccardThreshold, cfg.maxBucketSize)
           .select("id_a", "id_b")
-      }),
-      "edges_simhash" -> Future(m.stage("edges_simhash") {
+      })),
+      "edges_simhash" -> Future(inPool("graft-lanes")(m.stage("edges_simhash") {
         SimHashDedup.pairs(extracted, "id", "text", cfg.simhashMaxDist, cfg.maxBucketSize)
           .select("id_a", "id_b")
-      }),
-      "edges_substring" -> Future(m.stage("edges_substring") {
+      })),
+      "edges_substring" -> Future(inPool("graft-lanes")(m.stage("edges_substring") {
         SubstringDedup.pairs(extracted, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
           .select("id_a", "id_b")
-      }))
+      })))
     val Seq(exact, minhash, simhash, substring) =
       laneFutures.map { case (_, f) => Await.result(f, Duration.Inf) }
 
@@ -147,8 +159,13 @@ object NearDupPipeline {
     val stats = m.stage("cluster_stats") {
       val sizes = clusters.groupBy("component").agg(count(lit(1)).as("size"))
       val multi = sizes.filter(col("size") > 1)
-      clusters.join(extracted.select("id", "text"), "id")
-        .join(multi, "component")
+      // join small-first: shrink clusters to dup-cluster members (tiny vs
+      // the corpus) BEFORE the text join, so the corpus-wide join probes
+      // the already-shrunk side. No broadcast hint: at 10^12 docs the
+      // multi-member set is itself huge — AQE converts either join to
+      // broadcast at runtime exactly when its build side is actually small
+      clusters.join(multi, "component")
+        .join(extracted.select("id", "text"), "id")
         .groupBy("component")
         .agg(
           first(col("size")).as("size"),
@@ -221,8 +238,15 @@ class Lineage(spark: SparkSession, io: TableIO, fingerprint: String) {
       synchronized {
         pending += trailer.submit(new Runnable {
           override def run(): Unit = {
+            // low-priority free-rider pool (see FAIR note in `run`): the
+            // trailer must never hold task slots head-of-line against the
+            // pipeline's own stages
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-lineage")
+            val m0 = System.nanoTime()
             appendMetrics(name, snapshotId)
             io.commit(name, fingerprint)
+            if (sys.env.contains("GRAFT_STAGE_TIMING"))
+              System.err.println(f"[graft-metrics] $name trail=${(System.nanoTime() - m0) / 1e9}%.2fs")
           }
         })
       }
@@ -231,8 +255,12 @@ class Lineage(spark: SparkSession, io: TableIO, fingerprint: String) {
   }
 
   /** Join all trailing metrics/commit work (call before returning results). */
-  def awaitCommits(): Unit =
+  def awaitCommits(): Unit = {
+    val t0 = System.nanoTime()
     synchronized { pending.toList }.foreach(_.get())
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      System.err.println(f"[graft-metrics] awaitCommits tail=${(System.nanoTime() - t0) / 1e9}%.2fs")
+  }
 
   private def appendMetrics(stage: String, snapshotId: Long): Unit = {
     val out = io.read(stage)

@@ -31,4 +31,27 @@ object Scratch {
     java.nio.file.Files.createDirectories(p)
     p
   }
+
+  /** FAIR-scheduler allocation file giving the pipeline's lane pool 8x the
+    * weight of the lineage/metrics trailer pool (NearDupPipeline sets the
+    * pool names per thread): the trailer becomes a free-rider on idle task
+    * slots instead of queueing head-of-line against compute stages.
+    * Sessions opt in with
+    * `spark.scheduler.mode=FAIR, spark.scheduler.allocation.file=<this>`. */
+  lazy val fairPoolsXml: String = {
+    val f = java.nio.file.Files.createTempFile("graft-fair-pools", ".xml")
+    java.nio.file.Files.write(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="graft-lanes">
+        |    <schedulingMode>FIFO</schedulingMode><weight>8</weight><minShare>0</minShare>
+        |  </pool>
+        |  <pool name="graft-lineage">
+        |    <schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
 }
