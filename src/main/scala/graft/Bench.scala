@@ -94,6 +94,10 @@ object Bench {
 
     // ---- part 1: query timings
     var spark = session(cpus)
+    // JIT/classload warmup on the smallest SF so the alphabetically-first
+    // timed query doesn't absorb one-time JVM cost (measured ~3s on q1_agg)
+    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
@@ -172,8 +176,12 @@ object Bench {
         if (continue) s4N.stop() else spark = s4N
         r += 1
       }
+      // interpolated median: even-length inputs (e.g. budget stops at 2
+      // pairs) claim the mean of the middle two, not the upper one
       def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted; s(s.length / 2)
+        val s = xs.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
       }
       // Efficiency is estimated PER ALTERNATING PAIR, then the median pair
       // is claimed: the host's deliverable capacity oscillates on ~10-min
