@@ -131,12 +131,19 @@ object Bench {
         ts.foreach(_.start()); ts.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }
-      // returns (wall sec, GC wall sec during the run) — the GC share is
-      // the measured residual of the scaling gap (BASELINE.md): one shared
-      // heap serves all N threads in local mode
-      def runPipeline(s: SparkSession, cores: Int): (Double, Double) = {
+      // returns (wall sec, GC wall sec, summed executor task CPU sec) —
+      // the GC share is a measured residual of the scaling gap; near-equal
+      // task CPU at N and 4N proves the wall gap is scheduling/contention,
+      // not inflated work (one shared heap serves all threads in local mode)
+      def runPipeline(s: SparkSession, cores: Int): (Double, Double, Double) = {
         val work = java.nio.file.Files.createTempDirectory(
           graft.spark.Scratch.workParent, s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
+        val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (e.taskMetrics != null) cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+        }
+        s.sparkContext.addSparkListener(listener)
         // identical corpus at both levels: chunk count fixed at 64
         val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
         val gc0 = gcMillis
@@ -144,8 +151,9 @@ object Bench {
           graft.pipeline.NearDupPipeline.run(s, df,
             graft.pipeline.NearDupPipeline.Config(workDir = work)).clusters.count()
         }
+        s.sparkContext.removeSparkListener(listener)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
-        (sec, (gcMillis - gc0) / 1000.0)
+        (sec, (gcMillis - gc0) / 1000.0, cpuNs.get() / 1e9)
       }
       spark.stop()
       val secsN = scala.collection.mutable.ArrayBuffer[Double]()
@@ -154,6 +162,8 @@ object Bench {
       val gc4N = scala.collection.mutable.ArrayBuffer[Double]()
       val calN = scala.collection.mutable.ArrayBuffer[Double]()
       val cal4N = scala.collection.mutable.ArrayBuffer[Double]()
+      val cpuN = scala.collection.mutable.ArrayBuffer[Double]()
+      val cpu4N = scala.collection.mutable.ArrayBuffer[Double]()
       // alternating pairs so host drift hits both levels evenly; stop
       // early (keeping completed pairs) if the wall budget runs out, so a
       // driver-side timeout can never swallow the whole artifact
@@ -164,13 +174,13 @@ object Bench {
       while (continue && r <= runs) {
         val sN = session(nCores)
         calN += calibrate(nCores * 4)
-        val (wN, gN) = runPipeline(sN, nCores)
-        secsN += wN; gcN += gN
+        val (wN, gN, cN) = runPipeline(sN, nCores)
+        secsN += wN; gcN += gN; cpuN += cN
         sN.stop()
         val s4N = session(nCores * 4)
         cal4N += calibrate(nCores * 4)
-        val (w4, g4) = runPipeline(s4N, nCores * 4)
-        secs4N += w4; gc4N += g4
+        val (w4, g4, c4) = runPipeline(s4N, nCores * 4)
+        secs4N += w4; gc4N += g4; cpu4N += c4
         val elapsed = (System.nanoTime() - tStart) / 1e9
         continue = r < runs && elapsed + (secsN.last + secs4N.last) * 1.2 < budgetSec
         if (continue) s4N.stop() else spark = s4N
@@ -209,6 +219,7 @@ object Bench {
         s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
         s""""runs_n_gc_sec":${arr(gcN.toSeq)},"runs_n4_gc_sec":${arr(gc4N.toSeq)},""" +
         s""""calib_n_sec":${arr(calN.toSeq)},"calib_n4_sec":${arr(cal4N.toSeq)},""" +
+        s""""runs_n_cpu_sec":${arr(cpuN.toSeq)},"runs_n4_cpu_sec":${arr(cpu4N.toSeq)},""" +
         f""""n_sec":$secN%.2f,"n_docs_per_sec":$tpN%.1f,""" +
         f""""n4_cores":${nCores * 4},"n4_sec":$sec4N%.2f,"n4_docs_per_sec":$tp4N%.1f,""" +
         s""""pair_efficiencies":${arr3(pairEffs.toSeq)},""" +
