@@ -95,9 +95,14 @@ object Bench {
     // ---- part 1: query timings
     var spark = session(cpus)
     // JIT/classload warmup on the smallest SF so the alphabetically-first
-    // timed query doesn't absorb one-time JVM cost (measured ~3s on q1_agg)
-    try SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // timed query doesn't absorb one-time JVM cost (measured ~3s on q1_agg);
+    // falls back to the bench dir itself on other data layouts
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(d => new java.io.File(s"$d/lineitem.parquet").exists())
+    warmDir.foreach { d =>
+      try SparkEntry.queries("q1_agg")(spark, d).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try timed(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
@@ -151,6 +156,9 @@ object Bench {
           graft.pipeline.NearDupPipeline.run(s, df,
             graft.pipeline.NearDupPipeline.Config(workDir = work)).clusters.count()
         }
+        // the listener bus is async: drain it before reading the CPU sum or
+        // the final jobs' task-end events undercount runs_n*_cpu_sec
+        org.apache.spark.sql.GraftBridge.drainListenerBus(s.sparkContext)
         s.sparkContext.removeSparkListener(listener)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
         (sec, (gcMillis - gc0) / 1000.0, cpuNs.get() / 1e9)

@@ -57,7 +57,7 @@ object AnnSearch {
       }
     })
 
-  private[operators] def cosineKernel(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosineKernel(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

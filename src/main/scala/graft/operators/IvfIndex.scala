@@ -23,7 +23,7 @@ import org.apache.spark.sql.expressions.Window
 object IvfIndex {
 
   /** Index of the centroid with the highest cosine to `v`. */
-  private[operators] def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[graft] def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestCos = -2.0
     var c = 0
@@ -36,7 +36,7 @@ object IvfIndex {
   }
 
   /** Indices of the `n` highest-cosine centroids (descending). */
-  private[operators] def nearestCells(v: Array[Double], cents: Array[Array[Double]],
+  private[graft] def nearestCells(v: Array[Double], cents: Array[Array[Double]],
                                       n: Int): Array[Int] =
     cents.indices
       .map(c => (AnnSearch.cosineKernel(v, cents(c)), c))
@@ -60,29 +60,32 @@ object IvfIndex {
                    iters: Int = 5): Array[Array[Double]] = {
     require(k > 0 && iters >= 0)
     val spark = corpus.sparkSession
+    // cached for the duration of the fit: init + every Lloyd round scans it
     val vecs = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    var cents: Array[Array[Double]] = vecs
-      .orderBy(xxhash64(col("id")), col("id"))
-      .limit(k)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
-    var it = 0
-    while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
-      val rows = vecs
-        .withColumn("cell", cellUdf(col("v")))
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
+      col(vecCol).cast("array<double>").as("v")).persist()
+    try {
+      var cents: Array[Array[Double]] = vecs
+        .orderBy(xxhash64(col("id")), col("id"))
+        .limit(k)
         .collect()
-      val next = cents.map(_.clone())
-      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      cents = next
-      bc.destroy()
-      it += 1
-    }
-    cents
+        .map(_.getSeq[Double](1).toArray)
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
+        val rows = vecs
+          .withColumn("cell", cellUdf(col("v")))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .collect()
+        val next = cents.map(_.clone())
+        rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next
+        bc.destroy()
+        it += 1
+      }
+      cents
+    } finally vecs.unpersist(false)
   }
 
   /** Cell assignment for the corpus: (idCol, vecCol columns preserved) +
@@ -104,12 +107,13 @@ object IvfIndex {
            nProbe: Int): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
-    val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
     val probesUdf = udf((v: Array[Double]) => nearestCells(v, bc.value, nProbe))
 
-    val cells = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cell", cellUdf(col("cv")))
+    // one assignment implementation: the stored-index path and the search
+    // path must agree on the cell function
+    val cells = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv")),
+      "neighbor_id", "cv", centroids)
     // queries are small by contract: broadcast (query, probed cell) rows so
     // the corpus-side join is map-only against its cell partitioning
     val q = broadcast(queries

@@ -32,10 +32,12 @@ object Scratch {
     p
   }
 
-  /** FAIR-scheduler allocation file giving the pipeline's lane pool 8x the
-    * weight of the lineage/metrics trailer pool (NearDupPipeline sets the
-    * pool names per thread): the trailer becomes a free-rider on idle task
-    * slots instead of queueing head-of-line against compute stages.
+  /** FAIR-scheduler allocation file giving compute pools — the pipeline's
+    * lane pool AND the implicit `default` pool (main-thread stages, bench
+    * queries) — 8x the weight of the lineage/metrics trailer pool
+    * (NearDupPipeline sets the pool names per thread): the trailer becomes
+    * a free-rider on idle task slots instead of queueing head-of-line (or
+    * fair-sharing half the slots) against compute stages.
     * Sessions opt in with
     * `spark.scheduler.mode=FAIR, spark.scheduler.allocation.file=<this>`. */
   lazy val fairPoolsXml: String = {
@@ -43,6 +45,9 @@ object Scratch {
     java.nio.file.Files.write(f,
       """<?xml version="1.0"?>
         |<allocations>
+        |  <pool name="default">
+        |    <schedulingMode>FIFO</schedulingMode><weight>8</weight><minShare>0</minShare>
+        |  </pool>
         |  <pool name="graft-lanes">
         |    <schedulingMode>FIFO</schedulingMode><weight>8</weight><minShare>0</minShare>
         |  </pool>

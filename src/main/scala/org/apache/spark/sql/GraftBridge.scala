@@ -25,6 +25,13 @@ object GraftBridge {
     session.internalCreateDataFrame(rdd, df.schema)
   }
 
+  /** Block until the async listener bus has delivered all queued events —
+    * required before reading metrics accumulated by a SparkListener (the
+    * bus lags behind job completion, so task-end events from the final
+    * jobs may still be in flight). `private[spark]` in Spark itself. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Materialize a `functions.udf(...)` object into a Catalyst ScalaUDF over
     * explicit children — needed by FunctionRegistry/extension builders,
     * where `udf.apply(Column)` would produce an unresolvable lazy

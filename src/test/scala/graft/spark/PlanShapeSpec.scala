@@ -34,6 +34,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
       "partial".r.findFirstIn(p).isDefined, p.take(500))
   }
 
+  test("q_ann_ivf probes cells through a broadcast hash equi-join") {
+    // the IVF search path must join corpus cells to broadcast (query, cell)
+    // probe rows hash-equi on the cell id — never a nested loop (the BNLJ
+    // in this query's plan belongs solely to the in-plan brute-force truth)
+    assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
+  }
+
   test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
     // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
     // (bruteForceTopK: every corpus vector scores against the broadcast
