@@ -79,6 +79,46 @@ object Multimodal {
       bb.array()
     }
 
+    /** Nearest-neighbor resize of a 24bpp bottom-up BMP — real pixel work
+      * on the public byte layout, no external libs. Row padding (rows are
+      * 4-byte aligned) is handled on both sides. */
+    def resizeBmp(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+      require(newW > 0 && newH > 0, s"bad target size ${newW}x$newH")
+      val src = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        "not a BMP payload")
+      require(src.getShort(28) == 24, "only 24bpp supported")
+      val srcW = src.getInt(18)
+      val srcH = src.getInt(22)
+      require(srcH > 0, "top-down BMP not supported")
+      val srcOff = src.getInt(10)
+      val srcRow = ((srcW * 3 + 3) / 4) * 4
+      val dstRow = ((newW * 3 + 3) / 4) * 4
+      val dataSize = dstRow * newH
+      val out = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putInt(0).putInt(54)
+      out.putInt(40).putInt(newW).putInt(newH)
+        .putShort(1).putShort(24).putInt(0)
+        .putInt(dataSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      val arr = out.array()
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * srcH / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * srcW / newW).toInt
+          val s = srcOff + sy * srcRow + sx * 3
+          val d = 54 + y * dstRow + x * 3
+          arr(d) = bytes(s); arr(d + 1) = bytes(s + 1); arr(d + 2) = bytes(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      arr
+    }
+
     def decodeWavMeta(bytes: Array[Byte]): MediaMeta = {
       require(bytes.length >= 44 &&
         bytes(0) == 'R'.toByte && bytes(8) == 'W'.toByte, "not a WAV payload")
@@ -148,6 +188,25 @@ object Multimodal {
           Featurized(id, kind, FakeCodec.decodeMeta(kind, bytes), FakeCodec.embed(bytes, dim))
         }
       }
+  }
+
+  /** Batch image resize over the media table (images only, other kinds pass
+    * through untouched): same mapPartitions batching as featurize — one
+    * decoder instance per partition, never a per-row UDF. The BMP path does
+    * real pixel resampling (Codecs.resizeBmp); swapping in a JPEG/PNG codec
+    * is a Codecs-only change. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "bytes")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val out = if (kind == "image") Codecs.resizeBmp(bytes, width, height) else bytes
+          (id, kind, out)
+        }
+      }
+      .toDF("media_id", "kind", "bytes")
   }
 
   /** Video frame sampling as a generator: one output row per sampled frame,

@@ -50,6 +50,35 @@ class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
     perVideo.foreach(r => assert(r.getLong(1) == 4L))
   }
 
+  test("resizeImages: real BMP pixel resample — dims, pixel identity, pass-through") {
+    val media = Multimodal.mediaTable(spark, 36, seed = 3L, parts = 4)
+    val resized = Multimodal.resizeImages(media, 16, 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    val orig = media.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))).sortBy(_._1)
+    resized.zip(orig).foreach { case ((id, kind, out), (_, _, in)) =>
+      if (kind == "image") {
+        val m = Multimodal.Codecs.decodeBmpMeta(out)
+        assert(m.width == 16 && m.height == 12 && m.channels == 3, s"id=$id $m")
+        // nearest-neighbor identity: dst pixel (x,y) must equal the mapped
+        // src pixel, byte for byte (bottom-up rows, 4-byte-aligned strides)
+        val sm = Multimodal.Codecs.decodeBmpMeta(in)
+        val srcRow = ((sm.width * 3 + 3) / 4) * 4
+        val dstRow = ((16 * 3 + 3) / 4) * 4
+        val srcOff = java.nio.ByteBuffer.wrap(in)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+        for (x <- Seq(0, 7, 15); y <- Seq(0, 5, 11)) {
+          val sx = x.toLong * sm.width / 16
+          val sy = y.toLong * sm.height / 12
+          val s = srcOff + sy.toInt * srcRow + sx.toInt * 3
+          val d = 54 + y * dstRow + x * 3
+          assert(out(d) == in(s) && out(d + 1) == in(s + 1) && out(d + 2) == in(s + 2),
+            s"pixel mismatch id=$id at ($x,$y)")
+        }
+      } else assert(out.sameElements(in), s"non-image $id must pass through")
+    }
+  }
+
   test("embedding near-dup composes with media features (ANN over fake embeddings)") {
     val media = Multimodal.mediaTable(spark, 60, seed = 2L)
     val feats = Multimodal.featurize(media, dim = 16).toDF()
