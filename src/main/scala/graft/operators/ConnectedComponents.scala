@@ -34,16 +34,25 @@ object ConnectedComponents {
   /** @param edges DataFrame with two long columns (src, dst)
     * @return (id, component) — component = min id reachable
     *
-    * Two phases, both fully distributed:
-    *  1. STAR CONTRACTION: l0(id) = min(id ∪ neighbors); edges are relabeled
-    *     through l0 and deduped. Dedup graphs are hub-star shaped (PairGen
-    *     stars, near-clique dup groups), so this one pass shrinks the graph
-    *     by orders of magnitude — most components contract to nothing.
-    *  2. min-label propagation + pointer jumping on the contracted graph
-    *     until the label-sum checksum fixpoint, then compose labels back.
+    * Three phases:
+    *  1. STAR CONTRACTION (distributed): l0(id) = min(id ∪ neighbors);
+    *     edges are relabeled through l0 and deduped. Dedup graphs are
+    *     hub-star shaped with min-id hubs (PairGen stars, ExactDedup
+    *     star edges, near-clique dup groups), so this one pass shrinks the
+    *     graph by orders of magnitude — min-hub stars and cliques contract
+    *     to NOTHING; what survives is only cross-bucket chaining.
+    *  2. If the contracted residual fits `localFinishMaxEdges`, finish with
+    *     a driver-side union-find (micro-seconds) and broadcast the tiny
+    *     label→component map back. This removes the per-iteration job
+    *     latency that otherwise dominates the stage wall — the fixed
+    *     driver-side cost that caps strong-scaling efficiency. The bound
+    *     keeps it safe: 4M edges ≈ 64MB on the driver; a 10^12-doc corpus
+    *     whose residual exceeds it falls through to phase 3 untouched.
+    *  3. Otherwise: distributed min-label propagation + pointer jumping on
+    *     the contracted graph until the label-sum checksum fixpoint.
     */
   def run(edges: DataFrame, srcCol: String = "id_a", dstCol: String = "id_b",
-          maxIterations: Int = 50): DataFrame = {
+          maxIterations: Int = 50, localFinishMaxEdges: Long = 4000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -64,13 +73,75 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         .distinct())
 
-    val contracted = iterate(e1, maxIterations)
+    val e1Count = e1.count() // cheap: e1 is checkpointed
+    if (e1Count == 0) {
+      // every star was a whole component — no phase 2/3 work at all
+      l0.select($"id", $"label".as("component"))
+    } else {
+      val contracted =
+        if (e1Count <= localFinishMaxEdges) localFinish(spark, e1)
+        else iterate(e1, maxIterations)
+      // compose: component(id) = component(l0(id)) in the contracted graph,
+      // or l0(id) itself when its star was already a whole component
+      l0.join(contracted.withColumnRenamed("id", "lid").withColumnRenamed("component", "comp"),
+          $"label" === $"lid", "left")
+        .select($"id", coalesce($"comp", $"label").as("component"))
+    }
+  }
 
-    // compose: component(id) = component(l0(id)) in the contracted graph,
-    // or l0(id) itself when its star was already a whole component
-    l0.join(contracted.withColumnRenamed("id", "lid").withColumnRenamed("component", "comp"),
-        $"label" === $"lid", "left")
-      .select($"id", coalesce($"comp", $"label").as("component"))
+  /** Driver-side union-find over a SMALL contracted edge set (bounded by
+    * `localFinishMaxEdges` — the caller guarantees the collect is tiny).
+    * Deterministic: component = min node id, independent of edge order.
+    * Returned as a LocalRelation so Catalyst sizes it exactly and the
+    * compose join broadcasts. */
+  private def localFinish(spark: SparkSession, e1: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = e1.select($"u", $"v").as[(Long, Long)].collect()
+    // value type MUST be java.lang.Integer: a [Long, Int] map would make
+    // scalac unbox the miss-path null to 0, silently aliasing every new
+    // node to index 0
+    val idx = new java.util.HashMap[Long, Integer](es.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def nodeIdx(id: Long): Int = {
+      val got = idx.get(id)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idx.put(id, i); ids += id; i }
+    }
+    val parent = new Array[Int](es.length * 2)
+    var i = 0
+    while (i < parent.length) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    i = 0
+    while (i < es.length) {
+      val (u, v) = es(i)
+      val ru = find(nodeIdx(u))
+      val rv = find(nodeIdx(v))
+      if (ru != rv) parent(ru) = rv
+      i += 1
+    }
+    // min node id per root, then (node, minOfRoot) rows
+    val minOf = new Array[Long](ids.length)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    i = 0
+    while (i < ids.length) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](ids.length)
+    i = 0
+    while (i < ids.length) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    // tiny maps ride in the plan as an exactly-sized LocalRelation (compose
+    // join broadcasts); larger ones go through parallelize so a multi-MB
+    // row set never bloats the serialized plan
+    if (out.length <= 100000) spark.createDataFrame(out.toSeq).toDF("id", "component")
+    else spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, math.max(1, out.length / 500000)))
+      .toDF("id", "component")
   }
 
   /** Min-label propagation + pointer jumping to fixpoint over (u, v). */

@@ -138,17 +138,22 @@ object NearDupPipeline {
     val Seq(exact, minhash, simhash, substring) =
       laneFutures.map { case (_, f) => Await.result(f, Duration.Inf) }
 
-    // ---- union of lanes -> connected components -> cluster table
+    // ---- union of lanes -> connected components -> cluster table.
+    // ConnectedComponents.run returns labels for EDGE-INCIDENT ids only (a
+    // small fraction of the corpus), so the cluster table is ONE left join
+    // of the corpus against that small side (AQE broadcasts it) — never a
+    // corpus-vs-corpus shuffle join. Singletons take component = id.
     val clusters = m.stage("clusters") {
       val edges = exact
         .unionByName(minhash)
         .unionByName(simhash)
         .unionByName(substring)
         .distinct()
-      ConnectedComponents.clustersWithSingletons(extracted, "id", edges)
-        .withColumnRenamed("id", "cid")
-        .join(extracted.select("url", "id"), col("cid") === col("id"))
-        .select(col("url"), col("id"), col("component"))
+      val comps = ConnectedComponents.run(edges).withColumnRenamed("id", "cid")
+      extracted.select(col("url"), col("id"))
+        .join(comps, col("id") === col("cid"), "left")
+        .select(col("url"), col("id"),
+          coalesce(col("component"), col("id")).as("component"))
     }
 
     // ---- per-cluster stats carried as mergeable sketches. Only clusters
@@ -157,18 +162,24 @@ object NearDupPipeline {
     // its sort-based fallback (fallback threshold is 128 in-memory groups),
     // which measured 4x slower and anti-scaled with thread count.
     val stats = m.stage("cluster_stats") {
-      val sizes = clusters.groupBy("component").agg(count(lit(1)).as("size"))
-      val multi = sizes.filter(col("size") > 1)
-      // join small-first: shrink clusters to dup-cluster members (tiny vs
-      // the corpus) BEFORE the text join, so the corpus-wide join probes
-      // the already-shrunk side. No broadcast hint: at 10^12 docs the
-      // multi-member set is itself huge — AQE converts either join to
-      // broadcast at runtime exactly when its build side is actually small
-      clusters.join(multi, "component")
-        .join(extracted.select("id", "text"), "id")
+      // Multi-member clusters WITHOUT a full-corpus shuffle: component is
+      // the min member id, so the non-root members are exactly the rows
+      // with id != component (a corpus scan with a selective filter, no
+      // shuffle), and each multi-cluster's root is re-added from the
+      // distinct component list. Only dup-cluster members — a small
+      // fraction of the corpus — ever reach a shuffle or the text join;
+      // AQE broadcasts the member side against the corpus-wide probe.
+      val nonRoot = clusters
+        .filter(col("id") =!= col("component"))
+        .select(col("component"), col("id"))
+      val members = nonRoot.unionByName(
+        nonRoot.select("component").distinct()
+          .select(col("component"), col("component").as("id")))
+      members
+        .join(extracted.select("id", "url", "text"), "id")
         .groupBy("component")
         .agg(
-          first(col("size")).as("size"),
+          count(lit(1)).as("size"),
           expr("hll_sketch(url)").as("url_hll"),
           expr("theta_sketch(id)").as("id_theta"),
           expr("req_sketch(length(text))").as("len_req"))

@@ -1,0 +1,73 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+/** Connected components across its three execution paths: contraction-only
+  * (residual empty), driver union-find finish (small residual), and the
+  * distributed label-propagation loop (forced via localFinishMaxEdges = 0).
+  * Truth is a Scala-side union-find over the raw edges. */
+class ConnectedComponentsSpec extends AnyFunSuite with SparkSuiteBase {
+  import spark.implicits._
+
+  /** Brute-force truth: (id -> min reachable id) via union-find. */
+  private def truth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.map(n => n -> minOf(find(n))).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], localMax: Long): Unit = {
+    val df = edges.toDF("id_a", "id_b")
+    val got = ConnectedComponents.run(df, localFinishMaxEdges = localMax)
+      .as[(Long, Long)].collect().toMap
+    assert(got == truth(edges))
+  }
+
+  // min-hub stars and cliques contract to nothing in phase 1
+  test("stars and cliques: residual-empty fast path") {
+    val star = (2L to 20L).map(l => (1L, l))
+    val clique = for (a <- 30L to 36L; b <- (a + 1) to 36L) yield (a, b)
+    check(star ++ clique, localMax = 4000000L)
+  }
+
+  // a long path graph survives contraction; exercises the union-find finish
+  test("chains: driver union-find finish matches truth") {
+    val chainA = (0L until 40L).map(i => (100L + i, 101L + i))
+    val chainB = (0L until 25L).map(i => (500L + 2 * i, 502L + 2 * i))
+    check(chainA ++ chainB ++ Seq((9000L, 9001L)), localMax = 4000000L)
+  }
+
+  test("distributed loop (localFinishMaxEdges = 0) agrees with union-find finish") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(300)(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val viaLocal = ConnectedComponents.run(edges.toDF("id_a", "id_b"),
+      localFinishMaxEdges = 4000000L).as[(Long, Long)].collect().toMap
+    val viaLoop = ConnectedComponents.run(edges.toDF("id_a", "id_b"),
+      localFinishMaxEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(viaLocal == truth(edges))
+    assert(viaLoop == viaLocal)
+  }
+
+  test("clustersWithSingletons: every id labelled, singletons self-labelled") {
+    val all = (1L to 50L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = ConnectedComponents.clustersWithSingletons(all, "id", edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 50)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((4L to 9L).forall(i => got(i) == i))
+  }
+}
