@@ -54,13 +54,33 @@ object TextOps {
     SplitMix64.mix(h)
   }
 
-  /** Token hashes of `text`, allocation-light (one primitive array; no token
-    * strings, no boxing). The dedup/minhash/simhash kernels are memory-bound
-    * in aggregate at corpus scale — per-token String allocations measurably
-    * capped multi-core scaling on the bench box. */
-  def tokenHashes(text: String): Array[Long] = {
+  /** Per-thread reusable scratch buffers. The dedup/minhash/simhash/winnow
+    * kernels run millions of times per task; their INTERMEDIATE arrays
+    * (token hashes, raw shingles, gram hashes, winnow deques) dominated the
+    * allocation churn that showed up as ~1.1x CPU inflation at higher
+    * thread counts (memory-bandwidth contention, BASELINE.md). Only arrays
+    * that escape a kernel are still allocated per call. Spark executes one
+    * task at a time per thread, and no kernel is re-entrant, so a
+    * ThreadLocal per scratch role is safe. */
+  private final class Scratch {
+    var tokens = new Array[Long](256)
+    var shingles = new Array[Long](256)
+    var grams = new Array[Long](512)
+    var deque = new Array[Int](512)
+    var sel = new Array[Long](512)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** Token hashes of `text` into the thread-local scratch (no token
+    * strings, no boxing, no per-call array). Returns the count; the hashes
+    * live in `scratch.get().tokens(0 until count)` until the next
+    * tokenizing call on this thread. */
+  private def tokenHashesScratch(text: String): Int = {
+    val sc = scratch.get()
     val n = text.length
-    var out = new Array[Long](math.max(8, n / 6))
+    var out = sc.tokens
     var cnt = 0
     var i = 0
     while (i < n) {
@@ -68,12 +88,49 @@ object TextOps {
       if (i < n) {
         val s = i
         while (i < n && !isWs(text.charAt(i))) i += 1
-        if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        if (cnt == out.length) { out = java.util.Arrays.copyOf(out, out.length * 2); sc.tokens = out }
         out(cnt) = hashChars(text, s, i)
         cnt += 1
       }
     }
-    if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt)
+    cnt
+  }
+
+  /** Token hashes of `text` as a fresh array (escaping-API variant). */
+  def tokenHashes(text: String): Array[Long] = {
+    val cnt = tokenHashesScratch(text)
+    java.util.Arrays.copyOf(scratch.get().tokens, cnt)
+  }
+
+  /** Distinct shingle hashes, sorted, in the thread-local scratch. Returns
+    * the count; values live in `scratch.get().shingles(0 until count)`
+    * until the next shingling call on this thread. */
+  private def shingleHashesScratch(text: String, k: Int): Int = {
+    val sc = scratch.get()
+    val nTok = tokenHashesScratch(text)
+    val toks = sc.tokens
+    if (nTok == 0) return 0
+    val n = math.max(1, nTok - k + 1)
+    if (sc.shingles.length < n) sc.shingles = new Array[Long](Integer.highestOneBit(n) * 2)
+    val out = sc.shingles
+    var i = 0
+    while (i < n) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      val end = math.min(i + k, nTok)
+      while (j < end) { h = SplitMix64.mix(h ^ toks(j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out, 0, n)
+    // in-place dedup of the sorted range
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    w
   }
 
   /** Distinct hashes of k-token shingles, sorted ascending. A document
@@ -81,28 +138,8 @@ object TextOps {
     * Sorted primitive output: set semantics without boxing, and pairwise
     * Jaccard becomes a linear merge (`sortedJaccard`). */
   def shingleHashes(text: String, k: Int = ShingleSize): Array[Long] = {
-    val toks = tokenHashes(text)
-    if (toks.isEmpty) return Array.empty
-    val n = math.max(1, toks.length - k + 1)
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      var h = 0x9E3779B97F4A7C15L
-      var j = i
-      val end = math.min(i + k, toks.length)
-      while (j < end) { h = SplitMix64.mix(h ^ toks(j)); j += 1 }
-      out(i) = h
-      i += 1
-    }
-    java.util.Arrays.sort(out)
-    // in-place dedup of the sorted array
-    var w = 0
-    i = 0
-    while (i < n) {
-      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    if (w == n) out else java.util.Arrays.copyOf(out, w)
+    val w = shingleHashesScratch(text, k)
+    java.util.Arrays.copyOf(scratch.get().shingles, w)
   }
 
   /** Jaccard of two sorted distinct long arrays (linear merge). */
@@ -121,10 +158,13 @@ object TextOps {
   /** Classic 128-perm MinHash over a shingle-hash set: sig(i) =
     * min over shingles of mix(shingle ^ permSeed(i)). Empty docs get
     * Long.MaxValue lanes (never collide with non-empty docs). */
-  def minHashSignature(shingles: Array[Long], numPerms: Int = NumPerms): Array[Long] = {
+  def minHashSignature(shingles: Array[Long], numPerms: Int = NumPerms): Array[Long] =
+    minHashSignatureRange(shingles, shingles.length, numPerms)
+
+  private def minHashSignatureRange(shingles: Array[Long], n: Int, numPerms: Int): Array[Long] = {
     val sig = Array.fill(numPerms)(Long.MaxValue)
     var s = 0
-    while (s < shingles.length) {
+    while (s < n) {
       val sh = shingles(s)
       var i = 0
       while (i < numPerms) {
@@ -137,7 +177,10 @@ object TextOps {
     sig
   }
 
-  def minHash(text: String): Array[Long] = minHashSignature(shingleHashes(text))
+  def minHash(text: String): Array[Long] = {
+    val w = shingleHashesScratch(text, ShingleSize)
+    minHashSignatureRange(scratch.get().shingles, w, NumPerms)
+  }
 
   /** LSH band keys: hash of each contiguous `RowsPerBand` slice of the
     * signature. Pairs that agree on any band are candidates. */
@@ -155,9 +198,22 @@ object TextOps {
   }
 
   /** Exact Jaccard similarity of the two documents' shingle sets (the
-    * verify lane that decides pairs — SURVEY.md §7 hard part 2). */
-  def jaccardShingles(a: String, b: String): Double =
-    sortedJaccard(shingleHashes(a), shingleHashes(b))
+    * verify lane that decides pairs — SURVEY.md §7 hard part 2). The first
+    * set is copied out of scratch; the second is merged directly from it. */
+  def jaccardShingles(a: String, b: String): Double = {
+    val sa = shingleHashes(a)
+    val nb = shingleHashesScratch(b, ShingleSize)
+    val sb = scratch.get().shingles
+    if (sa.isEmpty && nb == 0) return 1.0
+    if (sa.isEmpty || nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < nb) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + nb - inter)
+  }
 
   /** Estimated Jaccard from two MinHash signatures (lane agreement rate). */
   def estimatedJaccard(sigA: Array[Long], sigB: Array[Long]): Double = {
@@ -167,16 +223,19 @@ object TextOps {
     eq.toDouble / sigA.length
   }
 
-  /** 64-bit SimHash: token-count-weighted bit votes over token hashes. */
+  /** 64-bit SimHash: token-count-weighted bit votes over token hashes.
+    * Votes are branchless (`2*bit - 1`) and the token hashes stay in the
+    * thread-local scratch. */
   def simHash64(text: String): Long = {
     val votes = new Array[Int](64)
-    val toks = tokenHashes(text)
+    val n = tokenHashesScratch(text)
+    val toks = scratch.get().tokens
     var i = 0
-    while (i < toks.length) {
+    while (i < n) {
       val h = toks(i)
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
         b += 1
       }
       i += 1
@@ -219,7 +278,12 @@ object TextOps {
       return if (n == 0) Array.empty else Array(ThetaSketch.hashBytes(text.getBytes("UTF-8")))
     }
     val numGrams = n - gramLen + 1
-    val grams = new Array[Long](numGrams)
+    val sc = scratch.get()
+    if (sc.grams.length < numGrams) {
+      val cap = Integer.highestOneBit(numGrams) * 2
+      sc.grams = new Array[Long](cap); sc.deque = new Array[Int](cap); sc.sel = new Array[Long](cap)
+    }
+    val grams = sc.grams
     // polynomial rolling hash base 257 mod 2^64, then mixed
     val B = 257L
     var pow = 1L
@@ -238,8 +302,8 @@ object TextOps {
     // winnow: min of each window via monotonic deque (O(numGrams), not
     // O(numGrams * window) — window is 128), deduped via sort at the end
     val numWindows = math.max(1, numGrams - window + 1)
-    val sel = new Array[Long](numWindows)
-    val deque = new Array[Int](numGrams) // indices, increasing gram values
+    val sel = sc.sel
+    val deque = sc.deque // indices, increasing gram values
     var head = 0
     var tail = 0 // exclusive
     i = 0
