@@ -19,11 +19,23 @@ object TextOps {
   val RowsPerBand = 8
   require(NumBands * RowsPerBand == NumPerms)
 
-  /** Per-permutation seed table, fixed for the pipeline's lifetime so
-    * signatures are comparable across jobs and parallelism levels. */
-  private val permSeeds: Array[Long] = {
+  /** Per-permutation multiply-add constants (a odd, b arbitrary), fixed for
+    * the pipeline's lifetime so signatures are comparable across jobs and
+    * parallelism levels. Permutation i is `a(i) * h + b(i)` (mod 2^64) over
+    * the already-mixed shingle hash — 2 word ops instead of a full
+    * SplitMix64 finalizer per (shingle, perm); min-wise behavior over a
+    * well-mixed input is equivalent in practice and the verify lane decides
+    * pairs either way (signatures only gate candidates). */
+  private val permA: Array[Long] = {
     val a = new Array[Long](NumPerms)
     var st = 0x5EEDFACE5EEDFACEL
+    var i = 0
+    while (i < NumPerms) { st = SplitMix64.next(st); a(i) = SplitMix64.mix(st) | 1L; i += 1 }
+    a
+  }
+  private val permB: Array[Long] = {
+    val a = new Array[Long](NumPerms)
+    var st = 0xB0BCA75E17ED1E15L
     var i = 0
     while (i < NumPerms) { st = SplitMix64.next(st); a(i) = SplitMix64.mix(st); i += 1 }
     a
@@ -163,16 +175,25 @@ object TextOps {
 
   private def minHashSignatureRange(shingles: Array[Long], n: Int, numPerms: Int): Array[Long] = {
     val sig = Array.fill(numPerms)(Long.MaxValue)
-    var s = 0
-    while (s < n) {
-      val sh = shingles(s)
-      var i = 0
-      while (i < numPerms) {
-        val h = SplitMix64.mix(sh ^ permSeeds(i))
-        if (h < sig(i)) sig(i) = h
-        i += 1
+    val a = permA
+    val b = permB
+    // perms outer / shingles inner: the running min and the permutation
+    // constants stay in registers while the shingle array streams
+    // sequentially — the inner loop is one load + mul + add + min per
+    // element
+    var i = 0
+    while (i < numPerms) {
+      val ai = a(i)
+      val bi = b(i)
+      var m = Long.MaxValue
+      var s = 0
+      while (s < n) {
+        val h = ai * shingles(s) + bi
+        if (h < m) m = h
+        s += 1
       }
-      s += 1
+      sig(i) = m
+      i += 1
     }
     sig
   }
@@ -224,25 +245,45 @@ object TextOps {
   }
 
   /** 64-bit SimHash: token-count-weighted bit votes over token hashes.
-    * Votes are branchless (`2*bit - 1`) and the token hashes stay in the
-    * thread-local scratch. */
+    * Counting is carry-save SWAR: eight 64-wide bitplanes hold an 8-bit
+    * per-position counter, so adding one token's 64 bit-votes costs 16
+    * word ops instead of 64 scalar updates (flushed every 255 tokens).
+    * Output bit b is set iff 2*count(b) > nTokens — identical to the
+    * naive +1/-1 vote loop. */
   def simHash64(text: String): Long = {
-    val votes = new Array[Int](64)
     val n = tokenHashesScratch(text)
     val toks = scratch.get().tokens
-    var i = 0
-    while (i < n) {
-      val h = toks(i)
+    val counts = new Array[Int](64)
+    var base = 0
+    while (base < n) {
+      val chunk = math.min(255, n - base)
+      var c0, c1, c2, c3, c4, c5, c6, c7 = 0L
+      var i = 0
+      while (i < chunk) {
+        var carry = toks(base + i)
+        var t = c0 & carry; c0 ^= carry; carry = t
+        t = c1 & carry; c1 ^= carry; carry = t
+        t = c2 & carry; c2 ^= carry; carry = t
+        t = c3 & carry; c3 ^= carry; carry = t
+        t = c4 & carry; c4 ^= carry; carry = t
+        t = c5 & carry; c5 ^= carry; carry = t
+        t = c6 & carry; c6 ^= carry; carry = t
+        t = c7 & carry; c7 ^= carry; carry = t
+        i += 1
+      }
       var b = 0
       while (b < 64) {
-        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        counts(b) += (((c0 >>> b) & 1L) + (((c1 >>> b) & 1L) << 1) +
+          (((c2 >>> b) & 1L) << 2) + (((c3 >>> b) & 1L) << 3) +
+          (((c4 >>> b) & 1L) << 4) + (((c5 >>> b) & 1L) << 5) +
+          (((c6 >>> b) & 1L) << 6) + (((c7 >>> b) & 1L) << 7)).toInt
         b += 1
       }
-      i += 1
+      base += chunk
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 64) { if (2 * counts(b) > n) out |= (1L << b); b += 1 }
     out
   }
 

@@ -57,7 +57,9 @@ object NearDupPipeline {
     * committed with each stage so resume never reuses a stage computed
     * under a different config. */
   def configFingerprint(cfg: Config): String = {
-    val s = s"v1|j=${cfg.jaccardThreshold}|h=${cfg.simhashMaxDist}|" +
+    // v2: MinHash permutation family changed to multiply-add (r2) — old
+    // committed stage outputs must not be resumed into new-family runs
+    val s = s"v2|j=${cfg.jaccardThreshold}|h=${cfg.simhashMaxDist}|" +
       s"l=${cfg.minSubstringLen}|b=${cfg.maxBucketSize}|x=${cfg.validateExtraction}"
     java.lang.Long.toHexString(graft.core.ThetaSketch.hashBytes(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
