@@ -114,6 +114,28 @@ object SparkEntry {
     "q_simhash_neardup" -> ((s, dir) =>
       SimHashDedup.pairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .select("id_a", "id_b", "hamming")),
+    "q_simhash_complete" -> ((s, dir) => {
+      // The block-probing lane is EXACT below the bucket cap (pigeonhole:
+      // any pair within maxDist agrees on >= 1 of maxDist+1 blocks), so a
+      // brute-force all-pairs Hamming truth over a capped id range must
+      // match it pair-for-pair. Both directions are checked in-plan (the
+      // simhash kernel itself is not SQL-expressible, so the oracle pins
+      // the zero counts — q_ann_ivf-style self-verification).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val sims = docs.select(col("doc_id").as("id"), expr("simhash64(text)").as("sim"))
+      val brute = sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
+        .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")),
+          col("id_a") < col("id_b"))
+        .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+        .select("id_a", "id_b")
+      val lane = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 3)
+        .select("id_a", "id_b")
+      brute.join(lane, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_pairs"))
+        .crossJoin(lane.join(brute, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("extra_pairs")))
+    }),
 
     // -------------------------------------------------- text analysis ops
     "q_token_count" -> ((s, dir) =>
@@ -324,6 +346,26 @@ object SparkEntry {
           graft.pipeline.NearDupPipeline.Config(workDir = work))
         .clusters.select("url", "component").orderBy("url")
     }),
+    "q_pages_recall" -> ((s, dir) => {
+      // The north rule's core claim (dup-pair recall >= 0.99 vs brute-force
+      // truth at the reference shingle/signature config) surfaced as a
+      // driver-checkable result: run the full pipeline on the deterministic
+      // pages corpus, score clusters against WebPages.truthPairs, and emit
+      // booleans the oracle pins TRUE (the pages corpus is synthesized, not
+      // a DuckDB table, so q_ann_ivf-style self-verification).
+      val pages = graft.core.WebPages.generate(800, 42L)
+      val truth = graft.core.WebPages.truthPairs(pages)
+      val work = java.nio.file.Files.createTempDirectory("graft-entry-recall").toString
+      val res = NearDupPipeline.run(s,
+        s.createDataFrame(s.sparkContext.parallelize(pages, 8)),
+        graft.pipeline.NearDupPipeline.Config(workDir = work))
+      import s.implicits._
+      val truthDf = truth.toSeq.map(p => (p._1, p._2)).toDF("url_a", "url_b")
+      val recall = NearDupPipeline.recall(res.clusters, truthDf)
+      val covered = res.clusters.count() == pages.length
+      Seq((covered, truth.nonEmpty, recall >= 0.99))
+        .toDF("clusters_cover_corpus", "truth_nonempty", "recall_ge_99")
+    }),
 
     // --------------------------------------------- multimodal (stub codec)
     "q_media_features" -> ((s, dir) =>
@@ -500,14 +542,19 @@ object SparkEntry {
         |)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_simhash_complete" ->
+      "SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs",
+    "q_pages_recall" ->
+      "SELECT TRUE AS clusters_cover_corpus, TRUE AS truth_nonempty, TRUE AS recall_ge_99"
     // Not SQL-expressible -> rows-only driver check; exact oracles live in
     // the ScalaTest suites instead:
     //   q_simhash_neardup (custom 64-bit hash kernel not expressible in
     //     DuckDB; DedupLanesSpec asserts exact equality with brute-force
-    //     truth)
+    //     truth, and q_simhash_complete pins lane == brute-force in-plan)
     //   q_pages_pipeline (synthesized north-rule pages input not in the
-    //     driver's DuckDB tables; NearDupPipelineSpec recall >= 0.99)
+    //     driver's DuckDB tables; NearDupPipelineSpec recall >= 0.99, and
+    //     q_pages_recall pins the recall claim in-plan)
     //   q_media_features, q_frame_sample (payloads are hash-chain-generated;
     //     MultimodalSpec covers determinism and batch shape)
   )

@@ -49,8 +49,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // q_theta_set_ops cross-joins two single-row sketch frames (1x1) —
     // also fine. q_ann_ivf embeds a bruteForceTopK as its in-plan recall
     // truth (the IVF path itself joins hash-equi on the cell id)
+    // q_simhash_complete's all-pairs Hamming truth and its 1x1 count
+    // cross-join are likewise declared brute force (capped id range);
+    // q_pages_recall only emits a 1-row local result after the pipeline
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
-      "q_theta_set_ops", "q_pages_pipeline")
+      "q_theta_set_ops", "q_pages_pipeline", "q_simhash_complete")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
