@@ -117,9 +117,12 @@ object TextOps {
   /** Distinct shingle hashes, sorted, in the thread-local scratch. Returns
     * the count; values live in `scratch.get().shingles(0 until count)`
     * until the next shingling call on this thread. */
-  private def shingleHashesScratch(text: String, k: Int): Int = {
+  private def shingleHashesScratch(text: String, k: Int): Int =
+    shinglesFromScratchTokens(tokenHashesScratch(text), k)
+
+  /** Shingle step over tokens already in scratch (tokens stay valid). */
+  private def shinglesFromScratchTokens(nTok: Int, k: Int): Int = {
     val sc = scratch.get()
-    val nTok = tokenHashesScratch(text)
     val toks = sc.tokens
     if (nTok == 0) return 0
     val n = math.max(1, nTok - k + 1)
@@ -218,6 +221,21 @@ object TextOps {
     out
   }
 
+  /** One-pass per-document lane features (the pipeline's single full-text
+    * scan): 16 LSH band keys, 64-bit SimHash, winnowed fingerprints —
+    * tokenized ONCE, each value bit-identical to the standalone kernel.
+    * At corpus scale this is the difference between one heavy text scan
+    * and one per lane. */
+  final case class DocFeatures(bands: Array[Long], sim: Long, fps: Array[Long])
+
+  def docFeatures(text: String): DocFeatures = {
+    val nTok = tokenHashesScratch(text)
+    val sim = simHashFromScratchTokens(nTok)
+    val nSh = shinglesFromScratchTokens(nTok, ShingleSize)
+    val bands = bandHashes(minHashSignatureRange(scratch.get().shingles, nSh, NumPerms))
+    DocFeatures(bands, sim, winnowedFingerprints(text))
+  }
+
   /** Exact Jaccard similarity of the two documents' shingle sets (the
     * verify lane that decides pairs — SURVEY.md §7 hard part 2). The first
     * set is copied out of scratch; the second is merged directly from it. */
@@ -250,8 +268,11 @@ object TextOps {
     * word ops instead of 64 scalar updates (flushed every 255 tokens).
     * Output bit b is set iff 2*count(b) > nTokens — identical to the
     * naive +1/-1 vote loop. */
-  def simHash64(text: String): Long = {
-    val n = tokenHashesScratch(text)
+  def simHash64(text: String): Long =
+    simHashFromScratchTokens(tokenHashesScratch(text))
+
+  /** SimHash over tokens already in scratch (tokens stay valid). */
+  private def simHashFromScratchTokens(n: Int): Long = {
     val toks = scratch.get().tokens
     val counts = new Array[Int](64)
     var base = 0

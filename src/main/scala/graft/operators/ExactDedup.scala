@@ -40,8 +40,14 @@ object ExactDedup {
     * where `pairs` would emit O(group^2). Fully distributed: a narrow
     * (hash -> hub) aggregate joined back to the (hash, id) rows — no
     * aggregation buffer ever holds a group's member list. */
-  def starEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
+  def starEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    starEdgesFromHashes(
+      docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id")), "h", "id")
+
+  /** Star edges over precomputed content hashes (the pipeline's one-pass
+    * feature projection supplies these — the corpus text is not rescanned). */
+  def starEdgesFromHashes(hashed0: DataFrame, hashCol: String, idCol: String): DataFrame = {
+    val hashed = hashed0.select(col(hashCol).as("h"), col(idCol).as("id"))
     val hubs = hashed.groupBy("h")
       .agg(min(col("id")).as("hub"), count(lit(1)).as("n"))
       .filter(col("n") > 1)

@@ -34,14 +34,19 @@ object MinHashLSH {
   /** Candidate pairs (idA < idB) from LSH banding over `textCol`. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      maxBucketSize: Int = 1000): DataFrame = {
-    val spark = docs.sparkSession
-    graft.spark.GraftFunctions.register(spark)
-
+    graft.spark.GraftFunctions.register(docs.sparkSession)
     // id + 16 band keys per doc, signatures never materialized to a shuffle
-    val bands = docs.select(
-      col(idCol).as("id"),
-      posexplode(expr(s"band_hashes(minhash128($textCol))")).as(Seq("band", "bh")))
+    candidatePairsFromBands(
+      docs.select(col(idCol).as("id"),
+        expr(s"band_hashes(minhash128($textCol))").as("bands")),
+      maxBucketSize)
+  }
 
+  /** Candidate pairs from precomputed band-key arrays `(id, bands)` (the
+    * pipeline's one-pass feature projection supplies these). */
+  def candidatePairsFromBands(bandArrays: DataFrame, maxBucketSize: Int): DataFrame = {
+    val bands = bandArrays.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
     // salted, size-capped bucket collection per (band, band_hash); hot
     // buckets (boilerplate) fall back to star pairs — linear, keeps the
     // bucket connected for clustering, and no aggregation buffer ever holds
@@ -50,12 +55,12 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Near-dup pairs with exact shingle-Jaccard >= threshold. Returns
-    * (id_a, id_b, jaccard). */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
-    val cands = candidatePairs(docs, idCol, textCol, maxBucketSize)
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+  /** Exact shingle-Jaccard verify join: candidates back to texts; decides
+    * pairs so LSH can only lose recall, never create false positives. */
+  def verifyPairs(cands: DataFrame, texts0: DataFrame, idCol: String,
+                  textCol: String, threshold: Double): DataFrame = {
+    graft.spark.GraftFunctions.register(texts0.sparkSession)
+    val texts = texts0.select(col(idCol).as("id"), col(textCol).as("t"))
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
@@ -63,6 +68,13 @@ object MinHashLSH {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Near-dup pairs with exact shingle-Jaccard >= threshold. Returns
+    * (id_a, id_b, jaccard). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, maxBucketSize: Int = 1000): DataFrame =
+    verifyPairs(candidatePairs(docs, idCol, textCol, maxBucketSize),
+      docs, idCol, textCol, threshold)
 
   /** Brute-force oracle (tests only — O(n^2), small n). */
   def bruteForcePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {

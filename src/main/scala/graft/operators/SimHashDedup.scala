@@ -30,7 +30,14 @@ object SimHashDedup {
     // every consumer
     val hashed = org.apache.spark.sql.GraftBridge.materialize(
       docs.select(col(idCol).as("id"), expr(s"simhash64($textCol)").as("sim")))
+    pairsFromHashes(hashed, maxDist, maxBucketSize)
+  }
 
+  /** Pairs from precomputed `(id, sim)` rows (the pipeline's one-pass
+    * feature projection supplies these, already persisted — no text
+    * rescan, no extra materialization). */
+  def pairsFromHashes(hashed: DataFrame, maxDist: Int, maxBucketSize: Int): DataFrame = {
+    graft.spark.GraftFunctions.register(hashed.sparkSession)
     val probes = hashed.select(col("id"),
       explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))
 

@@ -31,14 +31,25 @@ object SubstringDedup {
 
   def pairs(docs: DataFrame, idCol: String, textCol: String, minLen: Int = 200,
             maxBucketSize: Int = 1000): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    pairsFromFingerprints(
+      docs.select(col(idCol).as("id"), expr(s"winnow_fps($textCol)").as("fps")),
+      docs, idCol, textCol, minLen, maxBucketSize)
+  }
+
+  /** Pairs from precomputed winnowed-fingerprint arrays `(id, fps)` plus a
+    * texts frame for the exact verify join (the pipeline's one-pass
+    * feature projection supplies the fingerprints). */
+  def pairsFromFingerprints(fpArrays: DataFrame, texts1: DataFrame, idCol: String,
+                            textCol: String, minLen: Int,
+                            maxBucketSize: Int): DataFrame = {
+    val texts0 = texts1.select(col(idCol).as("id"), col(textCol).as("t"))
     require(minLen >= LosslessMinLen,
       s"minLen=$minLen below the winnowing guarantee ($LosslessMinLen = " +
         s"gramLen $GramLen + window $Window - 1): the prefilter would silently lose recall")
-    val spark = docs.sparkSession
-    graft.spark.GraftFunctions.register(spark)
+    graft.spark.GraftFunctions.register(fpArrays.sparkSession)
 
-    val fps = docs.select(col(idCol).as("id"),
-      explode(expr(s"winnow_fps($textCol)")).as("fp"))
+    val fps = fpArrays.select(col("id"), explode(col("fps")).as("fp"))
 
     // salted, size-capped bucket collection per fingerprint (winnowed fps
     // are already distinct per doc, so (fp, id) rows are unique); hot
@@ -49,7 +60,7 @@ object SubstringDedup {
     // verify: exact Rabin-Karp decision at the threshold, O(|a|+|b|) per
     // pair (the O(n log^2 n) suffix-array LCS stays available as sa_lcs for
     // exact-length queries; the lane only needs the boolean)
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val texts = texts0.select(col("id"), col("t"))
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")

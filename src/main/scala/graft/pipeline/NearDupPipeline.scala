@@ -115,6 +115,27 @@ object NearDupPipeline {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
       try body finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }
+    // ONE full-text scan computes every lane's keys (content hash, 16 LSH
+    // band keys, 64-bit simhash, winnowed fingerprints — tokenized once,
+    // values bit-identical to the standalone kernels). The lanes then
+    // operate on this NARROW persisted table; the corpus text is only
+    // touched again by the candidate-driven verify joins. At 10^12 docs
+    // this is one heavy scan instead of one per lane. Not a committed
+    // stage: each lane still commits its own edges (same resume
+    // granularity), and features are recomputed only when some lane needs
+    // recomputing.
+    // Materialized EAGERLY as checkpointed UnsafeRows (GraftBridge
+    // .materialize), not a columnar .persist: array-heavy rows pay a real
+    // re-encode cost in the columnar cache builder, and eager one-shot
+    // materialization keeps the four racing lane jobs from interleaving
+    // partition computation behind cache locks.
+    val features = org.apache.spark.sql.GraftBridge.materialize(extracted
+      .select(col("id"), xxhash64(col("text")).as("th"),
+        expr("doc_features(text)").as("f"))
+      .select(col("id"), col("th"), col("f.bands").as("bands"),
+        col("f.sim").as("sim"), col("f.fps").as("fps")))
+    val texts = extracted.select(col("id"), col("text"))
+
     val laneFutures = Seq(
       // star edges, not C(n,2): a 10^6-member exact-dup group (soft-404 /
       // template boilerplate) must contribute O(group) edges to clustering,
@@ -122,23 +143,29 @@ object NearDupPipeline {
       // complete-pair contract lives in ExactDedup.pairs (oracle-checked
       // q_exact_dup_pairs), not in the pipeline.
       "edges_exact" -> Future(inPool("graft-lanes")(m.stage("edges_exact") {
-        ExactDedup.starEdges(extracted, "id", "text")
+        ExactDedup.starEdgesFromHashes(features.select("th", "id"), "th", "id")
       })),
       "edges_minhash" -> Future(inPool("graft-lanes")(m.stage("edges_minhash") {
-        MinHashLSH.nearDupPairs(extracted, "id", "text",
-            cfg.jaccardThreshold, cfg.maxBucketSize)
+        MinHashLSH.verifyPairs(
+            MinHashLSH.candidatePairsFromBands(
+              features.select("id", "bands"), cfg.maxBucketSize),
+            texts, "id", "text", cfg.jaccardThreshold)
           .select("id_a", "id_b")
       })),
       "edges_simhash" -> Future(inPool("graft-lanes")(m.stage("edges_simhash") {
-        SimHashDedup.pairs(extracted, "id", "text", cfg.simhashMaxDist, cfg.maxBucketSize)
+        SimHashDedup.pairsFromHashes(features.select("id", "sim"),
+            cfg.simhashMaxDist, cfg.maxBucketSize)
           .select("id_a", "id_b")
       })),
       "edges_substring" -> Future(inPool("graft-lanes")(m.stage("edges_substring") {
-        SubstringDedup.pairs(extracted, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
+        SubstringDedup.pairsFromFingerprints(features.select("id", "fps"),
+            texts, "id", "text", cfg.minSubstringLen, cfg.maxBucketSize)
           .select("id_a", "id_b")
       })))
     val Seq(exact, minhash, simhash, substring) =
       laneFutures.map { case (_, f) => Await.result(f, Duration.Inf) }
+    // checkpoint blocks behind `features` are released by the
+    // ContextCleaner once the frame goes unreferenced
 
     // ---- union of lanes -> connected components -> cluster table.
     // ConnectedComponents.run returns labels for EDGE-INCIDENT ids only (a

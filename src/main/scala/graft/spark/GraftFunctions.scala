@@ -131,6 +131,7 @@ object GraftFunctions {
     "jaccard_shingles" -> udf((a: String, b: String) => TextOps.jaccardShingles(a, b)),
     "est_jaccard" -> udf((a: Seq[Long], b: Seq[Long]) => TextOps.estimatedJaccard(a.toArray, b.toArray)),
     "winnow_fps" -> udf((t: String) => TextOps.winnowedFingerprints(t)),
+    "doc_features" -> udf((t: String) => TextOps.docFeatures(t)),
     "lcs_len" -> udf((a: String, b: String) => TextOps.longestCommonSubstring(a, b)),
     "sa_lcs" -> udf((a: String, b: String) => SuffixArray.longestCommonSubstring(a, b)),
     "common_substring_atleast" ->
