@@ -124,12 +124,16 @@ object NearDupPipeline {
     // stage: each lane still commits its own edges (same resume
     // granularity), and features are recomputed only when some lane needs
     // recomputing.
-    // Materialized EAGERLY as checkpointed UnsafeRows (GraftBridge
+    // Materialized ONCE as checkpointed UnsafeRows (GraftBridge
     // .materialize), not a columnar .persist: array-heavy rows pay a real
-    // re-encode cost in the columnar cache builder, and eager one-shot
+    // re-encode cost in the columnar cache builder, and one-shot
     // materialization keeps the four racing lane jobs from interleaving
-    // partition computation behind cache locks.
-    val features = org.apache.spark.sql.GraftBridge.materialize(extracted
+    // partition computation behind cache locks. `lazy` so a resume whose
+    // lane stages are all committed never rescans the corpus (stage
+    // compute blocks are only evaluated for uncommitted stages); the first
+    // lane that does compute forces it, synchronized by Scala lazy-val
+    // initialization across the lane futures.
+    lazy val features = org.apache.spark.sql.GraftBridge.materialize(extracted
       .select(col("id"), xxhash64(col("text")).as("th"),
         expr("doc_features(text)").as("f"))
       .select(col("id"), col("th"), col("f.bands").as("bands"),
