@@ -341,9 +341,8 @@ object SparkEntry {
       SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
     "q_pages_pipeline" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
       NearDupPipeline.run(s, pagesDf(s),
-          graft.pipeline.NearDupPipeline.Config(workDir = work))
+          graft.pipeline.NearDupPipeline.Config(workDir = entryPipelineWork))
         .clusters.select("url", "component").orderBy("url")
     }),
     "q_pages_recall" -> ((s, dir) => {
@@ -355,10 +354,9 @@ object SparkEntry {
       // a DuckDB table, so q_ann_ivf-style self-verification).
       val pages = graft.core.WebPages.generate(800, 42L)
       val truth = graft.core.WebPages.truthPairs(pages)
-      val work = java.nio.file.Files.createTempDirectory("graft-entry-recall").toString
       val res = NearDupPipeline.run(s,
         s.createDataFrame(s.sparkContext.parallelize(pages, 8)),
-        graft.pipeline.NearDupPipeline.Config(workDir = work))
+        graft.pipeline.NearDupPipeline.Config(workDir = entryPipelineWork))
       import s.implicits._
       val truthDf = truth.toSeq.map(p => (p._1, p._2)).toDF("url_a", "url_b")
       val recall = NearDupPipeline.recall(res.clusters, truthDf)
@@ -410,6 +408,13 @@ object SparkEntry {
     * Iceberg table; 800 rows at test scale, seed 42). */
   private def pagesDf(s: SparkSession): DataFrame =
     s.createDataFrame(s.sparkContext.parallelize(graft.core.WebPages.generate(800, 42L), 8))
+
+  /** One shared workDir per JVM for the two pages-pipeline queries: they
+    * run the identical pipeline on the identical corpus, so whichever runs
+    * second resumes from the committed stages — which also exercises the
+    * resume path under the driver's gate every round. */
+  private lazy val entryPipelineWork: String =
+    java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
