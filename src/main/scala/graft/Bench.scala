@@ -229,6 +229,17 @@ object Bench {
       val fair = calFair.zip(cpuRatio).map { case (c, r) => c && r <= 1.35 }
       val claimed = pairEffs.zip(fair).collect { case (e, true) => e }
       val eff = median(if (claimed.nonEmpty) claimed.toSeq else pairEffs.toSeq)
+      // best-evidence statistic next to the conservative median: the
+      // efficiency of the calibration-fair pair that ran under the LEAST
+      // external pressure (min cpu ratio). Pair efficiency correlates
+      // r = -0.94 with the pair's own cpu(4N)/cpu(N) ratio (BASELINE.md
+      // "efficiency vs host pressure"), so this is the closest this
+      // multi-tenant box gets to the engine's intrinsic number.
+      val cleanIdx = fair.zipWithIndex.collect { case (true, i) => i }
+        .sortBy(i => cpuRatio(i)).headOption
+      val cleanest = cleanIdx.map(i =>
+        f""","cleanest_pair_cpu_ratio":${cpuRatio(i)}%.3f""" +
+        f""","cleanest_pair_efficiency":${pairEffs(i)}%.3f""").getOrElse("")
       val secN = median(secsN.toSeq)
       val sec4N = median(secs4N.toSeq)
       val tpN = benchDocs / secN
@@ -246,7 +257,7 @@ object Bench {
         s""""pair_efficiencies":${arr3(pairEffs.toSeq)},""" +
         s""""pair_cpu_ratio":${arr3(cpuRatio.toSeq)},""" +
         s""""pair_fair":${fair.map(_.toString).mkString("[", ",", "]")},""" +
-        f""""scaling_efficiency_of_medians":$effOfMedians%.3f,""" +
+        f""""scaling_efficiency_of_medians":$effOfMedians%.3f""" + cleanest + "," +
         f""""scaling_efficiency_n_to_4n":$eff%.3f}"""
     }
 
