@@ -77,8 +77,8 @@ object TextOps {
   private final class Scratch {
     var tokens = new Array[Long](256)
     var shingles = new Array[Long](256)
-    var grams = new Array[Long](512)
-    var deque = new Array[Int](512)
+    var dqVal = new Array[Long](256)
+    var dqIdx = new Array[Int](256)
     var sel = new Array[Long](512)
   }
   private val scratch = new ThreadLocal[Scratch] {
@@ -340,12 +340,22 @@ object TextOps {
       return if (n == 0) Array.empty else Array(ThetaSketch.hashBytes(text.getBytes("UTF-8")))
     }
     val numGrams = n - gramLen + 1
+    val numWindows = math.max(1, numGrams - window + 1)
     val sc = scratch.get()
-    if (sc.grams.length < numGrams) {
-      val cap = Integer.highestOneBit(numGrams) * 2
-      sc.grams = new Array[Long](cap); sc.deque = new Array[Int](cap); sc.sel = new Array[Long](cap)
+    if (sc.sel.length < numWindows) sc.sel = new Array[Long](Integer.highestOneBit(numWindows) * 2)
+    // monotone deque over (gram value, gram index) holds at most `window`
+    // live entries — ring buffers in scratch, no per-gram hash array at all
+    // (the rolling hash, the mix, and the window-min fuse into ONE pass)
+    // power-of-two ring capacity > window so positions mask instead of mod
+    val ringCap = Integer.highestOneBit(window) * 2
+    val mask = ringCap - 1
+    if (sc.dqVal.length < ringCap) {
+      sc.dqVal = new Array[Long](ringCap)
+      sc.dqIdx = new Array[Int](ringCap)
     }
-    val grams = sc.grams
+    val dqVal = sc.dqVal // ring: gram values, increasing within deque
+    val dqIdx = sc.dqIdx // ring: gram indices
+    val sel = sc.sel
     // polynomial rolling hash base 257 mod 2^64, then mixed
     val B = 257L
     var pow = 1L
@@ -354,28 +364,18 @@ object TextOps {
     var h = 0L
     i = 0
     while (i < gramLen) { h = h * B + text.charAt(i); i += 1 }
-    grams(0) = SplitMix64.mix(h)
-    i = 1
-    while (i < numGrams) {
-      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + gramLen - 1)
-      grams(i) = SplitMix64.mix(h)
-      i += 1
-    }
-    // winnow: min of each window via monotonic deque (O(numGrams), not
-    // O(numGrams * window) — window is 128), deduped via sort at the end
-    val numWindows = math.max(1, numGrams - window + 1)
-    val sel = sc.sel
-    val deque = sc.deque // indices, increasing gram values
     var head = 0
-    var tail = 0 // exclusive
-    i = 0
+    var tail = 0 // exclusive; ring positions are x % ringCap
     var w = 0
+    i = 0
     while (i < numGrams) {
-      while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
-      deque(tail) = i; tail += 1
-      if (deque(head) <= i - window) head += 1
+      if (i > 0) h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + gramLen - 1)
+      val g = SplitMix64.mix(h)
+      while (tail > head && dqVal((tail - 1) & mask) >= g) tail -= 1
+      dqVal(tail & mask) = g; dqIdx(tail & mask) = i; tail += 1
+      if (dqIdx(head & mask) <= i - window) head += 1
       if (i >= window - 1 || i == numGrams - 1) {
-        if (i >= window - 1 || numGrams < window) { sel(w) = grams(deque(head)); w += 1 }
+        if (i >= window - 1 || numGrams < window) { sel(w) = dqVal(head & mask); w += 1 }
       }
       i += 1
     }

@@ -1,0 +1,78 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-kernel properties for TextOps (no Spark). */
+class TextOpsSpec extends AnyFunSuite {
+
+  /** Naive winnowing reference: hash every gram, take the min of every
+    * window by direct scan, dedup+sort — O(n*window), used only here. */
+  private def naiveWinnow(text: String, gramLen: Int, window: Int): Array[Long] = {
+    val n = text.length
+    if (n < gramLen)
+      return if (n == 0) Array.empty else Array(ThetaSketch.hashBytes(text.getBytes("UTF-8")))
+    val numGrams = n - gramLen + 1
+    val B = 257L
+    val grams = new Array[Long](numGrams)
+    var i = 0
+    while (i < numGrams) {
+      var h = 0L
+      var j = 0
+      while (j < gramLen) { h = h * B + text.charAt(i + j); j += 1 }
+      grams(i) = SplitMix64.mix(h)
+      i += 1
+    }
+    val sel =
+      if (numGrams < window) Array(grams.min)
+      else (0 to numGrams - window).map(s => grams.slice(s, s + window).min).toArray
+    sel.distinct.sorted
+  }
+
+  test("winnowedFingerprints matches the naive reference on random texts") {
+    val rnd = new scala.util.Random(11)
+    val alphabets = Seq("ab", "abcdefgh ", "the quick brown fox .")
+    for (len <- Seq(0, 3, 47, 48, 49, 120, 175, 400, 1500); a <- alphabets) {
+      val t = Array.fill(len)(a(rnd.nextInt(a.length))).mkString
+      val got = TextOps.winnowedFingerprints(t).toSeq
+      val want = naiveWinnow(t, 48, 128).toSeq
+      assert(got == want, s"len=$len alphabet='${a.take(5)}'")
+    }
+    // repetitive text stresses the equal-values deque path
+    val rep = "abcdef" * 300
+    assert(TextOps.winnowedFingerprints(rep).toSeq == naiveWinnow(rep, 48, 128).toSeq)
+  }
+
+  test("simHash64 equals the naive vote loop") {
+    def naive(text: String): Long = {
+      val votes = new Array[Int](64)
+      TextOps.tokenHashes(text).foreach { h =>
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "longertoken")
+    // cross the 255-token SWAR flush boundary
+    for (nTok <- Seq(0, 1, 63, 254, 255, 256, 700)) {
+      val t = Seq.fill(nTok)(words(rnd.nextInt(words.length))).mkString(" ")
+      assert(TextOps.simHash64(t) == naive(t), s"nTok=$nTok")
+    }
+  }
+
+  test("docFeatures equals the standalone kernels") {
+    val texts = Seq("", "one two three four five six seven eight nine ten",
+      ("lorem ipsum dolor sit amet " * 40).trim)
+    texts.foreach { t =>
+      val f = TextOps.docFeatures(t)
+      assert(f.bands.toSeq == TextOps.bandHashes(TextOps.minHash(t)).toSeq)
+      assert(f.sim == TextOps.simHash64(t))
+      assert(f.fps.toSeq == TextOps.winnowedFingerprints(t).toSeq)
+    }
+  }
+}
