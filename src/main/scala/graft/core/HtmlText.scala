@@ -30,8 +30,30 @@ object HtmlText {
   def extract(html: Array[Byte]): String = extract(new String(html, StandardCharsets.UTF_8))
 
   def extract(html: String): String = {
-    val out = new java.lang.StringBuilder(html.length / 2)
     val n = html.length
+    // chars stream through the SAME whitespace state machine `normalize`
+    // implements, fused into the tag scan — no intermediate full-page
+    // string between the two passes (this kernel runs once per page over
+    // the whole corpus)
+    val sb = new java.lang.StringBuilder(html.length / 2)
+    var lineHasContent = false
+    var pendingSpace = false
+    var pendingNewline = false
+    @inline def feed(c: Char): Unit = {
+      if (c == '\n') {
+        if (lineHasContent) pendingNewline = true
+        lineHasContent = false
+        pendingSpace = false
+      } else if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f' || c == '\r') {
+        if (lineHasContent) pendingSpace = true
+      } else {
+        if (pendingNewline) { sb.append('\n'); pendingNewline = false }
+        if (pendingSpace && lineHasContent) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+        lineHasContent = true
+      }
+    }
     var i = 0
     var dropDepth = 0
     var dropTag: String = null
@@ -58,7 +80,7 @@ object HtmlText {
             } else if (!isEnd && DropTags.contains(name) && !inner.endsWith("/")) {
               dropDepth = 1; dropTag = name
             } else if (name == "br" || (isEnd && BlockTags.contains(name))) {
-              out.append('\n')
+              feed('\n')
             }
             i = close + 1
           }
@@ -66,24 +88,19 @@ object HtmlText {
       } else {
         if (dropDepth == 0) {
           if (c == '&') {
-            val (decoded, skip) = decodeEntity(html, i)
-            out.append(decoded); i += skip
-          } else { out.append(c); i += 1 }
+            // allocation-free entity decode (this branch fires per '&')
+            if (html.startsWith("&amp;", i)) { feed('&'); i += 5 }
+            else if (html.startsWith("&lt;", i)) { feed('<'); i += 4 }
+            else if (html.startsWith("&gt;", i)) { feed('>'); i += 4 }
+            else if (html.startsWith("&quot;", i)) { feed('"'); i += 6 }
+            else if (html.startsWith("&#39;", i)) { feed('\''); i += 5 }
+            else if (html.startsWith("&nbsp;", i)) { feed(' '); i += 6 }
+            else { feed('&'); i += 1 }
+          } else { feed(c); i += 1 }
         } else i += 1
       }
     }
-    normalize(out.toString)
-  }
-
-  private def decodeEntity(s: String, i: Int): (Char, Int) = {
-    @inline def at(lit: String, ch: Char): (Char, Int) =
-      if (s.startsWith(lit, i)) (ch, lit.length) else ('\u0000', 0)
-    val candidates = Seq(("&amp;", '&'), ("&lt;", '<'), ("&gt;", '>'),
-      ("&quot;", '"'), ("&#39;", '\''), ("&nbsp;", ' '))
-    candidates.foreach { case (lit, ch) =>
-      val r = at(lit, ch); if (r._2 > 0) return r
-    }
-    ('&', 1)
+    sb.toString
   }
 
   /** Trim lines, collapse intra-line whitespace runs, drop empties.
