@@ -129,7 +129,12 @@ object SparkEntry {
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
         .select("id_a", "id_b")
-      val lane = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 3)
+      // bucket cap > the capped id range so the exactness claim is
+      // UNCONDITIONAL here: no probe bucket can ever exceed the corpus
+      // subset, so the star fallback (which would drop non-hub pairs that
+      // brute force keeps) cannot engage
+      val lane = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 3,
+          maxBucketSize = 4096)
         .select("id_a", "id_b")
       brute.join(lane, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("missed_pairs"))
@@ -412,7 +417,10 @@ object SparkEntry {
   /** One shared workDir per JVM for the two pages-pipeline queries: they
     * run the identical pipeline on the identical corpus, so whichever runs
     * second resumes from the committed stages — which also exercises the
-    * resume path under the driver's gate every round. */
+    * resume path under the driver's gate every round. Fresh per JVM (the
+    * driver runs each round's Verify/Bench in a new JVM), so cross-round
+    * results are still independently recomputed; within one JVM the
+    * queries run sequentially, so the two runs never race on the dir. */
   private lazy val entryPipelineWork: String =
     java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
 

@@ -158,16 +158,22 @@ object TextOps {
   }
 
   /** Jaccard of two sorted distinct long arrays (linear merge). */
-  def sortedJaccard(a: Array[Long], b: Array[Long]): Double = {
-    if (a.isEmpty && b.isEmpty) return 1.0
-    if (a.isEmpty || b.isEmpty) return 0.0
+  def sortedJaccard(a: Array[Long], b: Array[Long]): Double =
+    sortedJaccardRange(a, a.length, b, b.length)
+
+  /** Range variant — the single source of truth for the merge and the
+    * empty-set conventions (1.0 for both-empty, 0.0 for one-empty); the
+    * scratch-backed `jaccardShingles` shares it. */
+  private def sortedJaccardRange(a: Array[Long], na: Int, b: Array[Long], nb: Int): Double = {
+    if (na == 0 && nb == 0) return 1.0
+    if (na == 0 || nb == 0) return 0.0
     var i = 0; var j = 0; var inter = 0
-    while (i < a.length && j < b.length) {
+    while (i < na && j < nb) {
       if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
       else if (a(i) < b(j)) i += 1
       else j += 1
     }
-    inter.toDouble / (a.length + b.length - inter)
+    inter.toDouble / (na + nb - inter)
   }
 
   /** Classic 128-perm MinHash over a shingle-hash set: sig(i) =
@@ -242,16 +248,7 @@ object TextOps {
   def jaccardShingles(a: String, b: String): Double = {
     val sa = shingleHashes(a)
     val nb = shingleHashesScratch(b, ShingleSize)
-    val sb = scratch.get().shingles
-    if (sa.isEmpty && nb == 0) return 1.0
-    if (sa.isEmpty || nb == 0) return 0.0
-    var i = 0; var j = 0; var inter = 0
-    while (i < sa.length && j < nb) {
-      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
-      else if (sa(i) < sb(j)) i += 1
-      else j += 1
-    }
-    inter.toDouble / (sa.length + nb - inter)
+    sortedJaccardRange(sa, sa.length, scratch.get().shingles, nb)
   }
 
   /** Estimated Jaccard from two MinHash signatures (lane agreement rate). */

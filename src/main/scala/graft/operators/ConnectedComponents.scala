@@ -46,8 +46,12 @@ object ConnectedComponents {
     *     label→component map back. This removes the per-iteration job
     *     latency that otherwise dominates the stage wall — the fixed
     *     driver-side cost that caps strong-scaling efficiency. The bound
-    *     keeps it safe: 4M edges ≈ 64MB on the driver; a 10^12-doc corpus
-    *     whose residual exceeds it falls through to phase 3 untouched.
+    *     keeps it safe: the union-find uses primitive arrays + an
+    *     open-addressed index, ~64B/edge transient at the 4M default
+    *     (≈256MB peak, dominated by the collected tuples; measured dedup
+    *     residuals are orders of magnitude smaller). A 10^12-doc corpus
+    *     whose residual exceeds the bound falls through to phase 3
+    *     untouched.
     *  3. Otherwise: distributed min-label propagation + pointer jumping on
     *     the contracted graph until the label-sum checksum fixpoint.
     */
@@ -90,24 +94,42 @@ object ConnectedComponents {
   }
 
   /** Driver-side union-find over a SMALL contracted edge set (bounded by
-    * `localFinishMaxEdges` — the caller guarantees the collect is tiny).
+    * `localFinishMaxEdges` — the caller guarantees the collect is small).
     * Deterministic: component = min node id, independent of edge order.
+    * All driver structures are primitive arrays + one open-addressed
+    * long->int index (no boxed Longs/tuples beyond the transient collect),
+    * so the bound's footprint really is O(edges * 16 bytes).
     * Returned as a LocalRelation so Catalyst sizes it exactly and the
     * compose join broadcasts. */
   private def localFinish(spark: SparkSession, e1: DataFrame): DataFrame = {
     import spark.implicits._
     val es = e1.select($"u", $"v").as[(Long, Long)].collect()
-    // value type MUST be java.lang.Integer: a [Long, Int] map would make
-    // scalac unbox the miss-path null to 0, silently aliasing every new
-    // node to index 0
-    val idx = new java.util.HashMap[Long, Integer](es.length * 2)
-    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    val maxNodes = es.length * 2
+    // open-addressed hash index node-id -> dense index (power-of-two table,
+    // linear probing; EMPTY = -1). A java.util.HashMap[Long, Int] here is a
+    // Scala trap — get() unboxes a miss to 0, aliasing every new node to
+    // index 0 — and a [Long, Integer] map boxes every key.
+    val tabCap = math.max(16, Integer.highestOneBit(maxNodes) * 4)
+    val tabMask = tabCap - 1
+    val tabKey = new Array[Long](tabCap)
+    val tabVal = new Array[Int](tabCap)
+    java.util.Arrays.fill(tabVal, -1)
+    val ids = new Array[Long](math.max(1, maxNodes))
+    var nIds = 0
     def nodeIdx(id: Long): Int = {
-      val got = idx.get(id)
-      if (got != null) got.intValue()
-      else { val i = ids.length; idx.put(id, i); ids += id; i }
+      var p = (graft.core.SplitMix64.mix(id) & tabMask).toInt
+      while (true) {
+        val v = tabVal(p)
+        if (v == -1) {
+          tabKey(p) = id; tabVal(p) = nIds; ids(nIds) = id; nIds += 1
+          return nIds - 1
+        }
+        if (tabKey(p) == id) return v
+        p = (p + 1) & tabMask
+      }
+      -1 // unreachable
     }
-    val parent = new Array[Int](es.length * 2)
+    val parent = new Array[Int](math.max(1, maxNodes))
     var i = 0
     while (i < parent.length) { parent(i) = i; i += 1 }
     def find(x0: Int): Int = {
@@ -124,17 +146,17 @@ object ConnectedComponents {
       i += 1
     }
     // min node id per root, then (node, minOfRoot) rows
-    val minOf = new Array[Long](ids.length)
+    val minOf = new Array[Long](math.max(1, nIds))
     java.util.Arrays.fill(minOf, Long.MaxValue)
     i = 0
-    while (i < ids.length) {
+    while (i < nIds) {
       val r = find(i)
       if (ids(i) < minOf(r)) minOf(r) = ids(i)
       i += 1
     }
-    val out = new Array[(Long, Long)](ids.length)
+    val out = new Array[(Long, Long)](nIds)
     i = 0
-    while (i < ids.length) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    while (i < nIds) { out(i) = (ids(i), minOf(find(i))); i += 1 }
     // tiny maps ride in the plan as an exactly-sized LocalRelation (compose
     // join broadcasts); larger ones go through parallelize so a multi-MB
     // row set never bloats the serialized plan

@@ -47,6 +47,7 @@ object SubstringDedup {
     require(minLen >= LosslessMinLen,
       s"minLen=$minLen below the winnowing guarantee ($LosslessMinLen = " +
         s"gramLen $GramLen + window $Window - 1): the prefilter would silently lose recall")
+    // idempotent: standalone callers need the verify kernel registered
     graft.spark.GraftFunctions.register(fpArrays.sparkSession)
 
     val fps = fpArrays.select(col("id"), explode(col("fps")).as("fp"))
@@ -60,7 +61,7 @@ object SubstringDedup {
     // verify: exact Rabin-Karp decision at the threshold, O(|a|+|b|) per
     // pair (the O(n log^2 n) suffix-array LCS stays available as sa_lcs for
     // exact-length queries; the lane only needs the boolean)
-    val texts = texts0.select(col("id"), col("t"))
+    val texts = texts0
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")

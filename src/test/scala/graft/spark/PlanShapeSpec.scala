@@ -51,9 +51,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // truth (the IVF path itself joins hash-equi on the cell id)
     // q_simhash_complete's all-pairs Hamming truth and its 1x1 count
     // cross-join are likewise declared brute force (capped id range);
-    // q_pages_recall only emits a 1-row local result after the pipeline
+    // q_pages_recall is exempted like q_pages_pipeline — building it runs
+    // the whole 800-page pipeline, and its result is a 1-row local
+    // relation whose plan cannot contain a join anyway
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
-      "q_theta_set_ops", "q_pages_pipeline", "q_simhash_complete")
+      "q_theta_set_ops", "q_pages_pipeline", "q_pages_recall",
+      "q_simhash_complete")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
