@@ -235,8 +235,13 @@ object Bench {
       // r = -0.94 with the pair's own cpu(4N)/cpu(N) ratio (BASELINE.md
       // "efficiency vs host pressure"), so this is the closest this
       // multi-tenant box gets to the engine's intrinsic number.
-      val cleanIdx = fair.zipWithIndex.collect { case (true, i) => i }
-        .sortBy(i => cpuRatio(i)).headOption
+      val cleanIdx = {
+        val fairIdx = fair.zipWithIndex.collect { case (true, i) => i }
+        // no fair pair (uniformly pressured window): still surface the
+        // least-pressured pair — the attached cpu ratio qualifies it
+        (if (fairIdx.nonEmpty) fairIdx else cpuRatio.indices)
+          .sortBy(i => cpuRatio(i)).headOption
+      }
       val cleanest = cleanIdx.map(i =>
         f""","cleanest_pair_cpu_ratio":${cpuRatio(i)}%.3f""" +
         f""","cleanest_pair_efficiency":${pairEffs(i)}%.3f""").getOrElse("")
