@@ -60,7 +60,10 @@ object BucketedPairs {
     val spark = members.sparkSession
     PairGen.register(spark)
     val keys = keyCols.map(col)
-    val id = col(idCol)
+    // ids are longs end-to-end (CappedIds buffers, PairGen); cast here so an
+    // int/short id column from a caller widens once instead of crashing the
+    // aggregate's update path
+    val id = col(idCol).cast("long")
     // null keys can't bucket; filtering here keeps the (rare) monster join
     // from being the only branch with an isnotnull pushdown
     val rows = members.where(keys.map(_.isNotNull).reduce(_ && _))

@@ -79,7 +79,16 @@ object IvfIndex {
           .groupBy("cell", "pos").agg(avg("x").as("m"))
           .collect()
         val next = cents.map(_.clone())
-        rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        rows.foreach { r =>
+          val cell = r.getInt(0)
+          val pos = r.getInt(1)
+          // IVF is a fixed-dimension structure; a mixed-dim corpus must
+          // fail loudly here, not with an index crash mid-update
+          require(pos < next(cell).length,
+            s"corpus vector has dimension > ${next(cell).length} (quantizer dim): " +
+              "IvfIndex requires a fixed-dimension embedding column")
+          next(cell)(pos) = r.getDouble(2)
+        }
         cents = next
         bc.destroy()
         it += 1

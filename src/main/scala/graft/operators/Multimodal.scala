@@ -36,17 +36,23 @@ object Multimodal {
   object Codecs {
     import java.nio.{ByteBuffer, ByteOrder}
 
-    /** 24bpp bottom-up BMP with deterministic pixel bytes. */
-    def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
-      val rowSize = ((width * 3 + 3) / 4) * 4
-      val dataSize = rowSize * height
-      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    /** One 54-byte 24bpp BMP header writer shared by encode and resize —
+      * a header fix must never have to land in two places. */
+    private def writeBmpHeader(bb: ByteBuffer, width: Int, height: Int, dataSize: Int): Unit = {
       bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
         .putInt(0).putInt(54)                       // reserved, pixel offset
       bb.putInt(40).putInt(width).putInt(height)    // BITMAPINFOHEADER
         .putShort(1).putShort(24).putInt(0)         // planes, bpp, BI_RGB
         .putInt(dataSize).putInt(2835).putInt(2835) // size, 72dpi
         .putInt(0).putInt(0)
+    }
+
+    /** 24bpp bottom-up BMP with deterministic pixel bytes. */
+    def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val dataSize = rowSize * height
+      val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      writeBmpHeader(bb, width, height, dataSize)
       var st = SplitMix64.mix(seed)
       var i = 0
       while (i < dataSize) { st = SplitMix64.mix(st); bb.put(st.toByte); i += 1 }
@@ -93,15 +99,15 @@ object Multimodal {
       require(srcH > 0, "top-down BMP not supported")
       val srcOff = src.getInt(10)
       val srcRow = ((srcW * 3 + 3) / 4) * 4
+      // truncated or header-lying payloads fail loudly like every other
+      // malformed-input path here, not with an index crash mid-pixel-loop
+      require(srcW > 0 && srcOff >= 54 &&
+        bytes.length.toLong >= srcOff.toLong + srcH.toLong * srcRow,
+        s"BMP payload too short for claimed ${srcW}x$srcH@$srcOff")
       val dstRow = ((newW * 3 + 3) / 4) * 4
       val dataSize = dstRow * newH
       val out = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
-      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
-        .putInt(0).putInt(54)
-      out.putInt(40).putInt(newW).putInt(newH)
-        .putShort(1).putShort(24).putInt(0)
-        .putInt(dataSize).putInt(2835).putInt(2835)
-        .putInt(0).putInt(0)
+      writeBmpHeader(out, newW, newH, dataSize)
       val arr = out.array()
       var y = 0
       while (y < newH) {
@@ -127,6 +133,11 @@ object Multimodal {
       val sampleRate = bb.getInt(24)
       val bitsPerSample = bb.getShort(34).toInt
       val dataSize = bb.getInt(40)
+      // fail loudly on layouts this decoder doesn't support (e.g. 4-bit
+      // ADPCM would integer-divide to a zero byte width) instead of an
+      // ArithmeticException mid-partition
+      require(channels > 0 && sampleRate > 0 && bitsPerSample >= 8,
+        s"unsupported WAV layout: ch=$channels rate=$sampleRate bits=$bitsPerSample")
       val durationMs = dataSize.toLong * 1000 / (sampleRate.toLong * channels * (bitsPerSample / 8))
       MediaMeta(0, 0, channels, durationMs)
     }
@@ -196,17 +207,22 @@ object Multimodal {
     * real pixel resampling (Codecs.resizeBmp); swapping in a JPEG/PNG codec
     * is a Codecs-only change. */
   def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "kind", "bytes")
-      .as[(Long, String, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, kind, bytes) =>
-          val out = if (kind == "image") Codecs.resizeBmp(bytes, width, height) else bytes
-          (id, kind, out)
-        }
+    // schema-preserving: every input column (source_url, provenance, ...)
+    // passes through — only the image rows' bytes cell is rewritten
+    val schema = media.schema
+    val kindIdx = schema.fieldIndex("kind")
+    val bytesIdx = schema.fieldIndex("bytes")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.getString(kindIdx) == "image") {
+          val vals = r.toSeq.toArray
+          vals(bytesIdx) = Codecs.resizeBmp(r.getAs[Array[Byte]](bytesIdx), width, height)
+          Row.fromSeq(vals.toIndexedSeq)
+        } else r
       }
-      .toDF("media_id", "kind", "bytes")
+    }
   }
 
   /** Video frame sampling as a generator: one output row per sampled frame,

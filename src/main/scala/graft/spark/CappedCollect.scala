@@ -117,13 +117,17 @@ object CappedIds {
     StructField("ids", ArrayType(LongType, containsNull = false), nullable = true)))
 }
 
-/** `capped_ids(id, cap)` — aggregate long ids into a CappedIds buffer. */
+/** `capped_ids(id, cap)` — aggregate long ids into a CappedIds buffer.
+  * Declares `LongType` input so a non-bigint id column fails at ANALYSIS
+  * (with Spark's implicit cast where one exists) instead of a runtime
+  * ClassCastException inside `update`. */
 case class CappedIdsAgg(
     child: Expression,
     cap: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[CappedIds] {
+) extends TypedImperativeAggregate[CappedIds]
+    with org.apache.spark.sql.GraftExpectsLongInput {
 
   override def prettyName: String = "capped_ids"
   override def children: Seq[Expression] = child :: Nil

@@ -92,56 +92,71 @@ object GraftFunctions {
     })
 
   /** Every scalar finisher / text kernel, name -> compiled UDF (shared by
-    * register() and GraftExtensions). */
+    * register() and GraftExtensions).
+    *
+    * NULL discipline: Spark auto-nulls UDF calls only for PRIMITIVE-typed
+    * parameters; reference-typed ones (binary sketches, strings, arrays)
+    * receive the null itself. Every function here follows the built-in
+    * convention — null in, null out (via Option) — so e.g.
+    * `req_quantile(s.len_sketch, 0.5)` over a LEFT JOIN's unmatched rows
+    * yields NULL instead of killing the query with an NPE. */
   private[spark] lazy val scalarUdfs: Seq[(String, UserDefinedFunction)] = Seq(
     // ---- sketch finishers over serialized sketches (BinaryType) ----
-    "req_quantile" -> udf((b: Array[Byte], r: Double) => ReqSketch.deserialize(b).quantile(r)),
-    "req_quantile_lte" -> udf((b: Array[Byte], r: Double) => ReqSketch.deserialize(b).quantile(r, inclusive = true)),
-    "req_quantiles" -> udf((b: Array[Byte], rs: Seq[Double]) => ReqSketch.deserialize(b).quantiles(rs)),
-    "req_rank" -> udf((b: Array[Byte], v: Double) => ReqSketch.deserialize(b).rank(v)),
-    "req_rank_lte" -> udf((b: Array[Byte], v: Double) => ReqSketch.deserialize(b).rank(v, inclusive = true)),
-    "req_cdf" -> udf((b: Array[Byte], splits: Seq[Double]) => ReqSketch.deserialize(b).cdf(splits).orNull),
-    "req_pmf" -> udf((b: Array[Byte], splits: Seq[Double]) => ReqSketch.deserialize(b).pmf(splits).orNull),
-    "req_count" -> udf((b: Array[Byte]) => ReqSketch.deserialize(b).count),
-    "req_sum" -> udf((b: Array[Byte]) => ReqSketch.deserialize(b).sum),
-    "req_min" -> udf((b: Array[Byte]) => ReqSketch.deserialize(b).minimum),
-    "req_max" -> udf((b: Array[Byte]) => ReqSketch.deserialize(b).maximum),
-    "req_retained" -> udf((b: Array[Byte]) => ReqSketch.deserialize(b).retainedItemCount),
-    "req_rank_lb" -> udf((b: Array[Byte], r: Double, sd: Int) => ReqSketch.deserialize(b).rankLowerBound(r, sd)),
-    "req_rank_ub" -> udf((b: Array[Byte], r: Double, sd: Int) => ReqSketch.deserialize(b).rankUpperBound(r, sd)),
-    "kll_quantile" -> udf((b: Array[Byte], r: Double) => KllSketch.deserialize(b).quantile(r)),
-    "kll_quantiles" -> udf((b: Array[Byte], rs: Seq[Double]) => KllSketch.deserialize(b).quantiles(rs)),
-    "kll_rank" -> udf((b: Array[Byte], v: Double) => KllSketch.deserialize(b).rank(v)),
-    "kll_count" -> udf((b: Array[Byte]) => KllSketch.deserialize(b).count),
-    "kll_rank_error" -> udf((b: Array[Byte]) => KllSketch.deserialize(b).normalizedRankError),
-    "theta_estimate" -> udf((b: Array[Byte]) => ThetaSketch.deserialize(b).estimate),
-    "theta_lb" -> udf((b: Array[Byte], sd: Int) => ThetaSketch.deserialize(b).lowerBound(sd)),
-    "theta_ub" -> udf((b: Array[Byte], sd: Int) => ThetaSketch.deserialize(b).upperBound(sd)),
+    "req_quantile" -> udf((b: Array[Byte], r: Double) => Option(b).map(ReqSketch.deserialize(_).quantile(r))),
+    "req_quantile_lte" -> udf((b: Array[Byte], r: Double) => Option(b).map(ReqSketch.deserialize(_).quantile(r, inclusive = true))),
+    "req_quantiles" -> udf((b: Array[Byte], rs: Seq[Double]) => Option(b).filter(_ => rs != null).map(ReqSketch.deserialize(_).quantiles(rs))),
+    "req_rank" -> udf((b: Array[Byte], v: Double) => Option(b).map(ReqSketch.deserialize(_).rank(v))),
+    "req_rank_lte" -> udf((b: Array[Byte], v: Double) => Option(b).map(ReqSketch.deserialize(_).rank(v, inclusive = true))),
+    "req_cdf" -> udf((b: Array[Byte], splits: Seq[Double]) => Option(b).filter(_ => splits != null).flatMap(ReqSketch.deserialize(_).cdf(splits))),
+    "req_pmf" -> udf((b: Array[Byte], splits: Seq[Double]) => Option(b).filter(_ => splits != null).flatMap(ReqSketch.deserialize(_).pmf(splits))),
+    "req_count" -> udf((b: Array[Byte]) => Option(b).map(ReqSketch.deserialize(_).count)),
+    "req_sum" -> udf((b: Array[Byte]) => Option(b).map(ReqSketch.deserialize(_).sum)),
+    "req_min" -> udf((b: Array[Byte]) => Option(b).map(ReqSketch.deserialize(_).minimum)),
+    "req_max" -> udf((b: Array[Byte]) => Option(b).map(ReqSketch.deserialize(_).maximum)),
+    "req_retained" -> udf((b: Array[Byte]) => Option(b).map(ReqSketch.deserialize(_).retainedItemCount)),
+    "req_rank_lb" -> udf((b: Array[Byte], r: Double, sd: Int) => Option(b).map(ReqSketch.deserialize(_).rankLowerBound(r, sd))),
+    "req_rank_ub" -> udf((b: Array[Byte], r: Double, sd: Int) => Option(b).map(ReqSketch.deserialize(_).rankUpperBound(r, sd))),
+    "kll_quantile" -> udf((b: Array[Byte], r: Double) => Option(b).map(KllSketch.deserialize(_).quantile(r))),
+    "kll_quantiles" -> udf((b: Array[Byte], rs: Seq[Double]) => Option(b).filter(_ => rs != null).map(KllSketch.deserialize(_).quantiles(rs))),
+    "kll_rank" -> udf((b: Array[Byte], v: Double) => Option(b).map(KllSketch.deserialize(_).rank(v))),
+    "kll_count" -> udf((b: Array[Byte]) => Option(b).map(KllSketch.deserialize(_).count)),
+    "kll_rank_error" -> udf((b: Array[Byte]) => Option(b).map(KllSketch.deserialize(_).normalizedRankError)),
+    "theta_estimate" -> udf((b: Array[Byte]) => Option(b).map(ThetaSketch.deserialize(_).estimate)),
+    "theta_lb" -> udf((b: Array[Byte], sd: Int) => Option(b).map(ThetaSketch.deserialize(_).lowerBound(sd))),
+    "theta_ub" -> udf((b: Array[Byte], sd: Int) => Option(b).map(ThetaSketch.deserialize(_).upperBound(sd))),
     "theta_intersect_estimate" -> udf((a: Array[Byte], b: Array[Byte]) =>
-      ThetaSketch.intersection(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate),
+      if (a == null || b == null) None
+      else Some(ThetaSketch.intersection(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate)),
     "theta_anotb_estimate" -> udf((a: Array[Byte], b: Array[Byte]) =>
-      ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate),
-    "hll_estimate" -> udf((b: Array[Byte]) => HllSketch.deserialize(b).estimate),
+      if (a == null || b == null) None
+      else Some(ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate)),
+    "hll_estimate" -> udf((b: Array[Byte]) => Option(b).map(HllSketch.deserialize(_).estimate)),
     // ---- text / dedup kernels (shared with Scala-side oracles) ----
-    "shingles5" -> udf((t: String) => TextOps.shingleHashes(t)),
-    "minhash128" -> udf((t: String) => TextOps.minHash(t)),
-    "band_hashes" -> udf((sig: Seq[Long]) => TextOps.bandHashes(sig.toArray)),
-    "simhash64" -> udf((t: String) => TextOps.simHash64(t)),
+    "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),
+    "minhash128" -> udf((t: String) => Option(t).map(TextOps.minHash)),
+    "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),
+    "simhash64" -> udf((t: String) => Option(t).map(TextOps.simHash64)),
     "simhash_probes" -> udf((sim: Long, maxDist: Int) => TextOps.simHashProbeKeys(sim, maxDist)),
-    "jaccard_shingles" -> udf((a: String, b: String) => TextOps.jaccardShingles(a, b)),
-    "est_jaccard" -> udf((a: Seq[Long], b: Seq[Long]) => TextOps.estimatedJaccard(a.toArray, b.toArray)),
-    "winnow_fps" -> udf((t: String) => TextOps.winnowedFingerprints(t)),
-    "doc_features" -> udf((t: String) => TextOps.docFeatures(t)),
-    "lcs_len" -> udf((a: String, b: String) => TextOps.longestCommonSubstring(a, b)),
-    "sa_lcs" -> udf((a: String, b: String) => SuffixArray.longestCommonSubstring(a, b)),
-    "common_substring_atleast" ->
-      udf((a: String, b: String, minLen: Int) => TextOps.commonSubstringAtLeast(a, b, minLen)),
-    "extract_text" -> udf((html: Array[Byte]) => HtmlText.extract(html)),
-    "lang_id" -> udf((t: String) => TextOps.langId(t)),
-    "quality_score" -> udf((t: String) => TextOps.qualityScore(t)),
-    "stop_count" -> udf((toks: Seq[String]) => toks.count(t => TextOps.StopWords.contains(t.toLowerCase))),
+    "jaccard_shingles" -> udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(TextOps.jaccardShingles(a, b))),
+    "est_jaccard" -> udf((a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) None else Some(TextOps.estimatedJaccard(a.toArray, b.toArray))),
+    "winnow_fps" -> udf((t: String) => Option(t).map(TextOps.winnowedFingerprints(_))),
+    "doc_features" -> udf((t: String) => Option(t).map(TextOps.docFeatures)),
+    "lcs_len" -> udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(TextOps.longestCommonSubstring(a, b))),
+    "sa_lcs" -> udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(SuffixArray.longestCommonSubstring(a, b))),
+    "common_substring_atleast" -> udf((a: String, b: String, minLen: Int) =>
+      if (a == null || b == null) None else Some(TextOps.commonSubstringAtLeast(a, b, minLen))),
+    "extract_text" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.extract)),
+    "lang_id" -> udf((t: String) => Option(t).map(TextOps.langId)),
+    "quality_score" -> udf((t: String) => Option(t).map(TextOps.qualityScore)),
+    "stop_count" -> udf((toks: Seq[String]) =>
+      Option(toks).map(_.count(t => TextOps.StopWords.contains(t.toLowerCase)))),
     // ---- bucket pair expansion (PairGen kernel) ----
-    "pair_combos" -> udf((ids: Seq[Long], cap: Int) => graft.operators.PairGen.idPairs(ids, cap)))
+    "pair_combos" -> udf((ids: Seq[Long], cap: Int) =>
+      Option(ids).map(graft.operators.PairGen.idPairs(_, cap))))
 
   /** Register everything on the given session. Idempotent. */
   def register(spark: SparkSession): Unit = {

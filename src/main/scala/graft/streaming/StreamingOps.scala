@@ -28,15 +28,30 @@ object StreamingOps {
   }
 
   /** Streaming exact dedup: keep the first occurrence of each content hash.
-    * State is the 8-byte hash only (dropDuplicates state store); with a
-    * watermark the state is GC'd beyond the lateness horizon — the unbounded
-    * variant matches the batch lane exactly. */
+    * State is the 8-byte hash only (dropDuplicates state store). NOTE:
+    * `dropDuplicates` on the hash alone keeps one state row per distinct
+    * hash FOREVER (Spark only ages dedup state out when the event-time
+    * column is part of the key subset) — this unbounded variant matches the
+    * batch lane exactly but is for bounded replays. For infinite streams
+    * use `streamingExactDedupWithinWatermark`, which bounds state to the
+    * watermark horizon (duplicates farther apart than the horizon are then
+    * NOT collapsed — the standard streaming trade). */
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
 
+  /** Watermark-bounded streaming exact dedup: the caller sets
+    * `withWatermark` upstream; state for a hash is dropped once it falls
+    * beyond the lateness horizon. */
+  def streamingExactDedupWithinWatermark(docs: DataFrame, idCol: String,
+                                         textCol: String): DataFrame =
+    docs.withColumn("_h", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("_h").drop("_h")
+
   /** Per-bucket streaming state for LSH candidate generation: ids already
-    * seen in this band bucket (capped, like the batch hot-bucket cap). */
-  case class BucketState(ids: List[Long])
+    * seen in this band bucket (capped, like the batch hot-bucket cap).
+    * `hub` is the minimum id ever seen — arrivals after the cap still pair
+    * with it (star edges), mirroring the batch hot-bucket fallback. */
+  case class BucketState(ids: List[Long], hub: Long)
   case class BandedDoc(bucket: Long, id: Long)
   case class CandPair(id_a: Long, id_b: Long)
 
@@ -54,18 +69,29 @@ object StreamingOps {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
-          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val st = state.getOption.getOrElse(BucketState(Nil, Long.MaxValue))
           val out = scala.collection.mutable.ArrayBuffer[CandPair]()
-          var cur = seen
+          var cur = st.ids
+          var n = cur.length
+          var hub = st.hub
           rows.foreach { r =>
-            if (!cur.contains(r.id) && cur.length < maxBucketSize) {
-              cur.foreach { old =>
-                out += CandPair(math.min(old, r.id), math.max(old, r.id))
+            if (n < maxBucketSize) {
+              if (!cur.contains(r.id)) {
+                cur.foreach { old =>
+                  out += CandPair(math.min(old, r.id), math.max(old, r.id))
+                }
+                cur = r.id :: cur
+                n += 1
+                if (r.id < hub) hub = r.id
               }
-              cur = r.id :: cur
+            } else if (r.id != hub) {
+              // over-cap arrival: STAR edge to the bucket's minimum id —
+              // the doc stays connected for clustering with O(1) state,
+              // exactly the batch hot-bucket fallback (PairGen star)
+              out += CandPair(math.min(hub, r.id), math.max(hub, r.id))
             }
           }
-          state.update(BucketState(cur))
+          state.update(BucketState(cur, hub))
           out.iterator
         })
   }

@@ -41,3 +41,14 @@ object GraftBridge {
     classic.UserDefinedFunctionUtils.toScalaUDF(
       f.asInstanceOf[expressions.SparkUserDefinedFunction], children)
 }
+
+/** `AbstractDataType` is `private[sql]`, so expressions outside the Spark
+  * tree cannot declare `inputTypes` directly; this bridge trait gives them
+  * a bigint-input contract with Spark's implicit input casting (analysis
+  * fails or casts — never a runtime ClassCastException in `update`). */
+trait GraftExpectsLongInput
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType)
+}
