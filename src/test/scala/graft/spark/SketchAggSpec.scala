@@ -99,4 +99,26 @@ class SketchAggSpec extends AnyFunSuite with SparkSuiteBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
   }
+
+  test("finishers follow null-in-null-out over a LEFT JOIN's unmatched sketches") {
+    val sq = spark
+    import sq.implicits._
+    graft.spark.GraftFunctions.register(sq)
+    val sketches = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+      .groupBy("g").agg(org.apache.spark.sql.functions.expr("req_sketch(v)").as("sk"),
+        org.apache.spark.sql.functions.expr("theta_sketch(v)").as("th"),
+        org.apache.spark.sql.functions.expr("hll_sketch(v)").as("hl"),
+        org.apache.spark.sql.functions.expr("kll_sketch(v)").as("kl"))
+    val dims = Seq("a", "b").toDF("g")
+    val joined = dims.join(sketches, Seq("g"), "left")
+      .selectExpr("g", "req_quantile(sk, 0.5d) AS q", "req_count(sk) AS c",
+        "theta_estimate(th) AS t", "hll_estimate(hl) AS h",
+        "kll_quantile(kl, 0.5d) AS k", "theta_intersect_estimate(th, th) AS ti")
+      .orderBy("g").collect()
+    assert(joined.length == 2)
+    val a = joined(0); val b = joined(1)
+    assert(!a.isNullAt(1) && a.getDouble(1) == 2.0)
+    assert(b.isNullAt(1) && b.isNullAt(2) && b.isNullAt(3) && b.isNullAt(4) &&
+      b.isNullAt(5) && b.isNullAt(6), s"unmatched row not all-null: $b")
+  }
 }

@@ -126,4 +126,27 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
       assert(truth.subsetOf(cands), s"missing: ${(truth -- cands).take(5)}")
     } finally q.stop()
   }
+
+  test("over-cap bucket arrivals emit star edges to the hub (batch hot-bucket parity)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[StreamingOps.BandedDoc]
+    // one bucket, cap 3: ids 5,9,2 store (hub tracks min = 2); 7 and 8
+    // arrive over-cap and must still connect via a star edge to 2
+    val q = StreamingOps.streamingCandidatePairs(input.toDS(), maxBucketSize = 3)
+      .writeStream.format("memory").queryName("starcap").outputMode("append").start()
+    try {
+      input.addData(Seq(5L, 9L, 2L).map(StreamingOps.BandedDoc(77L, _)): _*)
+      q.processAllAvailable()
+      input.addData(Seq(7L, 8L).map(StreamingOps.BandedDoc(77L, _)): _*)
+      q.processAllAvailable()
+      val pairs = sq.sql("SELECT id_a, id_b FROM starcap").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((2L, 7L)), s"over-cap doc 7 not starred to hub: $pairs")
+      assert(pairs.contains((2L, 8L)), s"over-cap doc 8 not starred to hub: $pairs")
+      // stored phase emitted all-pairs among 5,9,2
+      assert(pairs.contains((5L, 9L)) && pairs.contains((2L, 5L)) && pairs.contains((2L, 9L)))
+    } finally q.stop()
+  }
 }
