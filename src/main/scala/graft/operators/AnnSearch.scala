@@ -93,12 +93,16 @@ object AnnSearch {
     out
   }
 
-  /** Compiled cosine for DataFrame plans (replaces the interpreted
-    * `aggregate(zip_with(...))` HOFs of r1). */
-  def cosine(a: Column, b: Column): Column = {
-    val f = udf(cosineKernel _)
-    f(a.cast("array<double>"), b.cast("array<double>"))
-  }
+  /** Cosine for DataFrame plans as a native codegen Catalyst Expression
+    * (graft.spark.CosineSimilarity): the loop runs over Tungsten ArrayData
+    * inside the enclosing WholeStageCodegen span — no UDF boundary, no
+    * per-row array materialization. (r1 shipped interpreted
+    * `aggregate(zip_with(...))` HOFs; r2 a compiled UDF; this is the final
+    * form of the ladder.) */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.spark.CosineSimilarity(
+      org.apache.spark.sql.GraftBridge.expression(a.cast("array<double>")),
+      org.apache.spark.sql.GraftBridge.expression(b.cast("array<double>"))))
 
   // ---------------------------------------------------------- tuning
 

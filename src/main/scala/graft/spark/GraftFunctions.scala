@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Registration surface for all graft sketch/text functions.
   *
@@ -53,6 +53,15 @@ object GraftFunctions {
     case Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
   }
+
+  /** Native scalar Catalyst expressions (codegen'd — no UDF boundary),
+    * name -> SQL expression builder (shared by register() and
+    * GraftExtensions). */
+  private[spark] val expressionBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> {
+      case Seq(a, b) => CosineSimilarity(Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType)))
+      case args => throw new IllegalArgumentException(s"cosine_sim expects 2 args, got ${args.length}")
+    })
 
   /** Every aggregate, name -> SQL expression builder (shared by register()
     * and GraftExtensions). */
@@ -161,7 +170,7 @@ object GraftFunctions {
   /** Register everything on the given session. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    aggregateBuilders.foreach { case (name, builder) =>
+    (expressionBuilders ++ aggregateBuilders).foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
     scalarUdfs.foreach { case (name, f) => spark.udf.register(name, f) }
@@ -178,8 +187,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
     def info(name: String) = new ExpressionInfo("graft", name)
-    GraftFunctions.aggregateBuilders.foreach { case (name, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    (GraftFunctions.expressionBuilders ++ GraftFunctions.aggregateBuilders).foreach {
+      case (name, builder) =>
+        ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
     GraftFunctions.scalarUdfs.foreach { case (name, f) =>
       ext.injectFunction((FunctionIdentifier(name), info(name),

@@ -103,4 +103,33 @@ class AnnSearchSpec extends AnyFunSuite with SparkSuiteBase {
     }.toSet
     assert(got == local)
   }
+
+  test("CosineSimilarity codegen expression matches the Scala kernel; null in, null out") {
+    val sq = spark
+    import sq.implicits._
+    graft.spark.GraftFunctions.register(sq)
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.tabulate(50) { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()), Array.fill(16)(rnd.nextGaussian()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", graft.operators.AnnSearch.cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val want = graft.operators.AnnSearch.cosineKernel(a, b)
+      assert(math.abs(got(id) - want) < 1e-12, s"id=$id got=${got(id)} want=$want")
+    }
+    // SQL surface + null discipline
+    df.createOrReplaceTempView("cs_vecs")
+    val viaSql = sq.sql("SELECT id, cosine_sim(a, b) AS c FROM cs_vecs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == got)
+    val withNull = sq.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d, 2.0d)) AS c").collect()
+    assert(withNull.head.isNullAt(0))
+    // zero-norm convention matches the kernel (0.0, not NaN)
+    val zero = sq.sql("SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(zero == 0.0)
+  }
 }
