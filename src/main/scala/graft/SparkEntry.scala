@@ -102,6 +102,12 @@ object SparkEntry {
       ExactDedup.clusters(docsWithDups(s, dir), "doc_id", "text")),
     "q_exact_dup_pairs" -> ((s, dir) =>
       ExactDedup.pairs(docsWithDups(s, dir), "doc_id", "text")),
+    "q_exact_survivors" -> ((s, dir) =>
+      // keep-one-copy dedup over the dup-injected corpus: the survivor set
+      // is every doc whose id is the minimum of its exact-text group
+      ExactDedup.survivors(docsWithDups(s, dir), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")),
     "q_cc_clusters" -> ((s, dir) => {
       val docs = docsWithDups(s, dir)
       val edges = ExactDedup.pairs(docs, "doc_id", "text")
@@ -456,6 +462,11 @@ object SparkEntry {
       s"""$allDocsCte
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM all_docs a JOIN all_docs b ON a.text = b.text AND a.doc_id < b.doc_id""".stripMargin,
+    "q_exact_survivors" ->
+      s"""$allDocsCte
+         |SELECT doc_id FROM all_docs a
+         |WHERE doc_id = (SELECT min(doc_id) FROM all_docs b WHERE b.text = a.text)
+         |ORDER BY doc_id""".stripMargin,
     "q_cc_clusters" ->
       s"""$allDocsCte
          |SELECT a.doc_id AS id, min(b.doc_id) AS component

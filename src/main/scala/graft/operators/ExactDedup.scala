@@ -57,11 +57,17 @@ object ExactDedup {
       .select(col("hub").as("id_a"), col("id").as("id_b"))
   }
 
-  /** Survivors: keep the minimum id per distinct text (left-anti style
-    * dedup used by training-data pipelines). */
+  /** Survivors: keep the minimum id per distinct text (the keep-one-copy
+    * dedup a training-data pipeline applies before tokenization). Narrow:
+    * only (hash, id) rows reach the survivor-selection shuffle; the full
+    * documents join back LEFT SEMI against the small survivor-id set (a
+    * window over the text-hash partitioning would shuffle every full row
+    * instead). */
   def survivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val keep = docs
+      .select(xxhash64(col(textCol)).as("h"), col(idCol).as("_sid"))
+      .groupBy("h").agg(min("_sid").as("_sid"))
+      .select("_sid")
+    docs.join(keep, docs(idCol) === keep("_sid"), "left_semi")
   }
 }
