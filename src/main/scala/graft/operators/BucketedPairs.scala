@@ -35,13 +35,14 @@ import graft.spark.{CappedIdsAgg, CappedIdsMergeAgg}
   * localCheckpoint-rebuild pattern from ConnectedComponents; blocks are
   * freed by the ContextCleaner when the result is dropped): its three
   * consumers — kept-pair explode, monster gate, monster-join build side —
-  * read the stored blocks. The monster branch is gated by a driver-side
-  * emptiness check against those blocks because the join's probe side
-  * re-computes the caller's band/probe projection (the expensive
-  * minhash/simhash kernel), a cost only corpora with real monster buckets
-  * should pay. AQE cannot make that call: empty-relation propagation sees
-  * stage row counts, not post-filter emptiness. Consequently `edges` is
-  * EAGER — it runs the bucket aggregation at call time.
+  * read the stored blocks. The monster branch is gated driver-side because
+  * the join's probe side re-computes the caller's band/probe projection
+  * (the expensive minhash/simhash kernel), a cost only corpora with real
+  * monster buckets should pay; AQE cannot make that call (empty-relation
+  * propagation sees stage row counts, not post-filter emptiness). The gate
+  * count is folded INTO the materialization pass as an accumulator
+  * (GraftBridge.materializeCounting), so `edges` costs exactly one Spark
+  * job at call time — EAGER, but never a second gate job.
   */
 object BucketedPairs {
 
@@ -49,8 +50,6 @@ object BucketedPairs {
     GraftBridge.column(CappedIdsAgg(GraftBridge.expression(c), keep).toAggregateExpression())
   private def cappedIdsMerge(c: Column, keep: Int): Column =
     GraftBridge.column(CappedIdsMergeAgg(GraftBridge.expression(c), keep).toAggregateExpression())
-
-  private def materialize(df: DataFrame): DataFrame = GraftBridge.materialize(df)
 
   /** Candidate edges (id_a < id_b), NOT deduplicated across keys — callers
     * `.distinct()` after unioning bands/probes. Eager (see object doc). */
@@ -78,8 +77,14 @@ object BucketedPairs {
           .groupBy(keys: _*)
           .agg(cappedIdsMerge(col("s"), saltBuckets * (cap + 1)).as("s"))
 
-    // one computation, three consumers (explode / gate / join build side)
-    val buckets = materialize(slices.filter(col("s.n") >= 2))
+    // one computation, three consumers (explode / gate / join build side);
+    // the monster gate is an accumulator over the SAME pass: within rows
+    // where n >= 2, a null kept-ids array means exactly "overflowed"
+    // (CappedIds.result nulls ids only for overflow or n < 2)
+    val sIdx = keyCols.length // schema after the agg: key columns, then `s`
+    val (buckets, monsterCount) = GraftBridge.materializeCounting(
+      slices.filter(col("s.n") >= 2),
+      row => row.getStruct(sIdx, 3).isNullAt(2))
 
     // kept list survived: all pairs when n <= cap, star otherwise — both
     // handled inside the compiled pair_combos kernel
@@ -88,14 +93,13 @@ object BucketedPairs {
       .select(explode(expr(s"pair_combos(s.ids, $cap)")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
 
-    val monsterKeys = buckets
-      .filter(col("s.ids").isNull)
-      .select(keys :+ col("s.hub").as("_hub"): _*)
-
-    if (monsterKeys.isEmpty) keptPairs
+    if (monsterCount == 0L) keptPairs
     else {
       // members of monster buckets recovered from the membership rows —
       // the one case worth re-running the caller's band/probe projection
+      val monsterKeys = buckets
+        .filter(col("s.ids").isNull)
+        .select(keys :+ col("s.hub").as("_hub"): _*)
       val starPairs = rows
         .join(monsterKeys, keyCols)
         .filter(id =!= col("_hub"))

@@ -25,6 +25,27 @@ object GraftBridge {
     session.internalCreateDataFrame(rdd, df.schema)
   }
 
+  /** `materialize` that additionally counts rows matching `pred` DURING the
+    * one materialization pass (a long accumulator folded into the
+    * checkpoint's `count()` job) — callers that need a driver-side gate on
+    * "does any such row exist" (e.g. BucketedPairs' monster-bucket branch)
+    * get it without scheduling a second job over the stored blocks.
+    * Task retries can only OVER-count the accumulator (each successful
+    * attempt adds), never under-count — safe for existence gates, where a
+    * false positive merely runs a branch that then finds no rows. */
+  def materializeCounting(df: Dataset[Row],
+                          pred: catalyst.InternalRow => Boolean): (Dataset[Row], Long) = {
+    val session = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val acc = session.sparkContext.longAccumulator("graft.materialize.matched")
+    val rdd = df.queryExecution.toRdd.map { r =>
+      if (pred(r)) acc.add(1L)
+      r.copy()
+    }
+    rdd.localCheckpoint()
+    rdd.count()
+    (session.internalCreateDataFrame(rdd, df.schema), acc.value)
+  }
+
   /** Block until the async listener bus has delivered all queued events —
     * required before reading metrics accumulated by a SparkListener (the
     * bus lags behind job completion, so task-end events from the final
