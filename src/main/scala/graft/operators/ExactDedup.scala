@@ -1,34 +1,68 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact deduplication by content hash — the linear lane that also covers
   * whatever the LSH lane's hot-bucket cap drops (template/boilerplate
-  * clusters). `xxhash64` is Spark-codegen'd; grouping on the 8-byte hash
-  * instead of the full text keeps shuffle rows narrow, and the full text is
-  * only compared within a hash bucket (collision safety) when `paranoid`.
+  * clusters). Every operator here groups on a codegen'd content hash,
+  * never on the text itself, so shuffle rows stay narrow `(hash, id)` at
+  * any corpus size — the full documents only move in `survivors`' final
+  * left-semi join-back, which never crosses an aggregation.
+  *
+  * `paranoid = true` widens the grouping key from 64 to 128 bits (two
+  * independently-keyed xxhash64 lanes). At the 10^12-doc target scale the
+  * 64-bit birthday bound expects thousands of colliding non-duplicate
+  * pairs — silently merged clusters / dropped docs; 128 bits push the
+  * expectation below 10^-13. This beats the alternative (a text-equality
+  * confirm join within hash groups) because the confirm join would
+  * shuffle corpus text bytes — exactly what the narrow-key design avoids.
   */
 object ExactDedup {
 
-  /** One row per duplicate cluster: canonical id (min), cluster size. */
-  def clusters(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Exact-lane grouping key: 64-bit codegen `xxhash64(text)`, or a
+    * 128-bit struct of two xxhash64 lanes when `paranoid`. The second
+    * lane prepends a constant 64-bit salt to the hashed input stream,
+    * which changes the internal state before the text bytes are mixed —
+    * the two outputs collide together only with ~2^-128 probability. */
+  private def contentKey(textCol: String, paranoid: Boolean): Column =
+    if (paranoid)
+      struct(xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit(0x9E3779B97F4A7C15L), col(textCol)).as("h2"))
+    else xxhash64(col(textCol))
+
+  /** One row per duplicate cluster: canonical id (min), cluster size.
+    * Shuffle rows are (hash, id) — the text stays below the exchange
+    * (asserted in PlanShapeSpec). */
+  def clusters(docs: DataFrame, idCol: String, textCol: String,
+               paranoid: Boolean = false): DataFrame =
     docs
-      .groupBy(col(textCol).as("t"))
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("cluster_size"))
+      .select(contentKey(textCol, paranoid).as("h"), col(idCol).as("id"))
+      .groupBy("h")
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") > 1)
       .select("canonical_id", "cluster_size")
 
-  /** All duplicate pairs (a<b) with identical text. Narrow shuffle: rows are
-    * (hash, id); texts never shuffle. */
-  def pairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** All duplicate pairs (a<b) with identical text — the COMPLETE C(n,2)
+    * contract, SQL-oracle-checked; the pipeline's scale path is
+    * [[starEdges]]. Guarded: a duplicate group larger than `maxGroupSize`
+    * fails the query loudly instead of silently materializing ~n^2/2 rows
+    * (a 10^6-member boilerplate group would emit 5*10^11 pairs); callers
+    * that genuinely want bigger groups raise the bound explicitly. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            paranoid: Boolean = false, maxGroupSize: Int = 1 << 16): DataFrame = {
     graft.operators.PairGen.register(docs.sparkSession)
-    val hashed = docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id"))
+    val hashed = docs.select(contentKey(textCol, paranoid).as("h"), col(idCol).as("id"))
     val grouped = hashed.groupBy("h").agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) > 1)
-    // full C(n,2) semantics (no star cap): this operator's contract is the
-    // complete duplicate-pair list, SQL-oracle-checked
+    // the guard lives INSIDE the expression feeding the explode — an
+    // unreferenced assert_true column would be pruned by the optimizer
     grouped
+      .select(when(size(col("ids")) <= maxGroupSize, col("ids"))
+        .otherwise(raise_error(concat(
+          lit(s"ExactDedup.pairs: duplicate group exceeds maxGroupSize=$maxGroupSize (size "),
+          size(col("ids")),
+          lit("); use starEdges for clustering or raise maxGroupSize")))).as("ids"))
       .select(explode(expr(s"pair_combos(ids, ${Int.MaxValue})")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
   }
@@ -40,9 +74,10 @@ object ExactDedup {
     * where `pairs` would emit O(group^2). Fully distributed: a narrow
     * (hash -> hub) aggregate joined back to the (hash, id) rows — no
     * aggregation buffer ever holds a group's member list. */
-  def starEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def starEdges(docs: DataFrame, idCol: String, textCol: String,
+                paranoid: Boolean = false): DataFrame =
     starEdgesFromHashes(
-      docs.select(xxhash64(col(textCol)).as("h"), col(idCol).as("id")), "h", "id")
+      docs.select(contentKey(textCol, paranoid).as("h"), col(idCol).as("id")), "h", "id")
 
   /** Star edges over precomputed content hashes (the pipeline's one-pass
     * feature projection supplies these — the corpus text is not rescanned). */
@@ -63,9 +98,10 @@ object ExactDedup {
     * documents join back LEFT SEMI against the small survivor-id set (a
     * window over the text-hash partitioning would shuffle every full row
     * instead). */
-  def survivors(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def survivors(docs: DataFrame, idCol: String, textCol: String,
+                paranoid: Boolean = false): DataFrame = {
     val keep = docs
-      .select(xxhash64(col(textCol)).as("h"), col(idCol).as("_sid"))
+      .select(contentKey(textCol, paranoid).as("h"), col(idCol).as("_sid"))
       .groupBy("h").agg(min("_sid").as("_sid"))
       .select("_sid")
     docs.join(keep, docs(idCol) === keep("_sid"), "left_semi")

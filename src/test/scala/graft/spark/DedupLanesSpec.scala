@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.{TextOps, WebPages}
-import graft.operators.{SimHashDedup, SubstringDedup}
+import graft.operators.{ExactDedup, SimHashDedup, SubstringDedup}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -46,5 +46,30 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
     val got = SubstringDedup.pairs(docs, "doc_id", "text", minLen)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("exact lane: paranoid 128-bit key is result-identical; pairs guard trips on over-cap groups") {
+    import spark.implicits._
+    // dup-injected corpus: each text appears 1-4 times under distinct ids
+    val rows = local.take(30).flatMap { case (id, t) =>
+      (0 to (id % 4).toInt).map(k => (id * 10 + k, t))
+    }
+    val df = rows.toDF("doc_id", "text")
+    def norm(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+    assert(norm(ExactDedup.clusters(df, "doc_id", "text")) ==
+      norm(ExactDedup.clusters(df, "doc_id", "text", paranoid = true)))
+    assert(norm(ExactDedup.pairs(df, "doc_id", "text")) ==
+      norm(ExactDedup.pairs(df, "doc_id", "text", paranoid = true)))
+    assert(norm(ExactDedup.survivors(df, "doc_id", "text")) ==
+      norm(ExactDedup.survivors(df, "doc_id", "text", paranoid = true)))
+    // the corpus has a 4-member group: a bound of 3 must fail loudly, not
+    // silently emit a capped/star subset
+    val ex = intercept[Throwable] {
+      ExactDedup.pairs(df, "doc_id", "text", maxGroupSize = 3).count()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxGroupSize"), msgs.take(500))
   }
 }

@@ -41,6 +41,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     assert(plan("q_ann_ivf").contains("BroadcastHashJoin"))
   }
 
+  test("q_exact_dedup shuffles only narrow (hash, id) rows — no text below any exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exec0 = SparkEntry.queries("q_exact_dedup")(spark, dir).queryExecution.executedPlan
+    val exec = exec0 match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty, "expected a hash-partitioning exchange")
+    for (s <- shuffles; a <- s.child.output)
+      assert(a.dataType != org.apache.spark.sql.types.StringType,
+        s"string column ${a.name} is shuffled in the exact-dedup lane")
+  }
+
   test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
     // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
     // (bruteForceTopK: every corpus vector scores against the broadcast
