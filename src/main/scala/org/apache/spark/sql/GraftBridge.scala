@@ -46,6 +46,19 @@ object GraftBridge {
     (session.internalCreateDataFrame(rdd, df.schema), acc.value)
   }
 
+  /** The physical-plan rows of `df` (UnsafeRow buffers ARE reused — copy
+    * before buffering) plus a rebuild hook, for pass-through taps that
+    * observe rows on their way to a sink without a Row conversion. */
+  def internalRows(df: Dataset[Row]): org.apache.spark.rdd.RDD[catalyst.InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Rebuild a DataFrame over an InternalRow RDD (inverse of
+    * [[internalRows]]; schema must match the rows). */
+  def fromInternalRows(session: SparkSession,
+                       rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+                       schema: types.StructType): Dataset[Row] =
+    session.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Block until the async listener bus has delivered all queued events —
     * required before reading metrics accumulated by a SparkListener (the
     * bus lags behind job completion, so task-end events from the final

@@ -55,7 +55,11 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
   test("resume: re-run skips committed stages and reproduces identical clusters") {
     val (df, _) = pagesDf(300, 9L)
     val dir = tmpDir("resume")
-    val cfg = NearDupPipeline.Config(workDir = dir)
+    // pinned input snapshot id (the production Iceberg path): the resume
+    // run below passes an EMPTY frame to prove stages are read, not
+    // recomputed — without the pin the input-identity scan would
+    // (correctly) invalidate them
+    val cfg = NearDupPipeline.Config(workDir = dir, inputSnapshotId = Some("snap-1"))
 
     val first = NearDupPipeline.run(spark, df, cfg)
     val firstClusters = first.clusters.orderBy("url").collect().map(r => (r.getString(0), r.getLong(2)))
@@ -84,7 +88,7 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
   test("resume: changed config invalidates committed stages (fingerprint mismatch)") {
     val (df, _) = pagesDf(200, 3L)
     val dir = tmpDir("fp")
-    val cfg = NearDupPipeline.Config(workDir = dir)
+    val cfg = NearDupPipeline.Config(workDir = dir, inputSnapshotId = Some("snap-1"))
     NearDupPipeline.run(spark, df, cfg).clusters.count()
 
     // same workDir, different jaccard threshold, EMPTY input: if the stages
@@ -100,6 +104,49 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
     // committed empty snapshots rather than recompute
     val resumed = NearDupPipeline.run(spark, df, cfg2)
     assert(resumed.clusters.count() == 0, "committed stages were recomputed despite matching fingerprint")
+  }
+
+  test("resume: same workDir + config but DIFFERENT input recomputes all stages") {
+    val (df, _) = pagesDf(150, 13L)
+    val dir = tmpDir("inputfp")
+    val cfg = NearDupPipeline.Config(workDir = dir) // no snapshot pin: identity is computed
+    NearDupPipeline.run(spark, df, cfg).clusters.count()
+
+    // a disjoint 50-page corpus against the same workDir: stale reuse
+    // would return the 150-row cluster table of the first run
+    val (df2, _) = pagesDf(50, 99L)
+    val second = NearDupPipeline.run(spark, df2, cfg)
+    assert(second.clusters.count() == 50,
+      "committed stages reused despite a different input table")
+  }
+
+  test("metrics come from the write job: one read per stage, schema + values intact") {
+    val (df, _) = pagesDf(200, 17L)
+    val dir = tmpDir("tap")
+    val reads = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    val io = new graft.pipeline.ParquetTableIO(spark, dir) {
+      override def read(table: String): DataFrame = {
+        reads.synchronized { reads(table) += 1 }
+        super.read(table)
+      }
+    }
+    val cfg = NearDupPipeline.Config(workDir = dir)
+    val res = NearDupPipeline.run(spark, df, cfg, io)
+    val nClusters = res.clusters.count()
+
+    // r2 re-read every stage output for metrics (2 reads of `extracted`
+    // per fresh run); the tap must keep it at exactly one
+    assert(reads("extracted") == 1, s"extracted read ${reads("extracted")}x")
+
+    val m = res.metrics
+    assert(m.columns.toSeq == Seq(
+      "stage", "partition_id", "rows", "sketch", "snapshot_id", "config_fp", "ts"))
+    // tap row counts must equal the written tables' true counts
+    import org.apache.spark.sql.functions._
+    val byStage = m.groupBy("stage").agg(sum("rows").as("rows")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("extracted") == 200, byStage.toString)
+    assert(byStage("clusters") == nClusters, byStage.toString)
   }
 
   test("skew stress: one dominant template (2000 copies) stays linear and clusters whole") {
