@@ -68,7 +68,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // relation whose plan cannot contain a join anyway
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
       "q_theta_set_ops", "q_pages_pipeline", "q_pages_recall",
-      "q_simhash_complete")
+      "q_simhash_complete", "q_simhash_neardup")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
