@@ -47,13 +47,61 @@ object StreamingOps {
     docs.withColumn("_h", xxhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("_h").drop("_h")
 
-  /** Per-bucket streaming state for LSH candidate generation: ids already
-    * seen in this band bucket (capped, like the batch hot-bucket cap).
+  /** Per-bucket streaming state for LSH candidate generation: the SORTED
+    * array of ids already seen in this bucket (capped, like the batch
+    * hot-bucket cap — membership is a binary search, not a list walk).
     * `hub` is the minimum id ever seen — arrivals after the cap still pair
-    * with it (star edges), mirroring the batch hot-bucket fallback. */
-  case class BucketState(ids: List[Long], hub: Long)
+    * with it (star edges), mirroring the batch hot-bucket fallback.
+    *
+    * State-schema history (a changed schema needs a FRESH checkpoint dir —
+    * flatMapGroupsWithState cannot migrate old state): v1 (r1) was
+    * `ids: List[Long]`; v2 (r2) added `hub`; v3 (r3) makes `ids` a sorted
+    * primitive array. v2→v3 encodes identically (`array<bigint>` + bigint)
+    * but the sortedness invariant differs, so a v2 checkpoint restored into
+    * v3 code would corrupt membership tests — new checkpoint dir required. */
+  case class BucketState(ids: Array[Long], hub: Long)
   case class BandedDoc(bucket: Long, id: Long)
+  case class TimedBandedDoc(bucket: Long, id: Long, ts: java.sql.Timestamp)
   case class CandPair(id_a: Long, id_b: Long)
+
+  /** Shared per-bucket arrival logic for the streaming LSH operators:
+    * under the cap, a new id pairs with every stored id and is inserted in
+    * sort position (O(log n) membership + O(n) primitive copy — the copy
+    * is bounded by the cap and cheaper than the O(n) emission it rides
+    * with); over the cap, the arrival emits one star edge to the hub and
+    * leaves state untouched, so state stays O(cap) no matter how many
+    * members a hot bucket sees. */
+  private def absorbArrivals(rows: Iterator[Long], st: BucketState, cap: Int,
+                             out: scala.collection.mutable.ArrayBuffer[CandPair]): BucketState = {
+    var cur = st.ids
+    var hub = st.hub
+    rows.foreach { id =>
+      if (cur.length < cap) {
+        val idx = java.util.Arrays.binarySearch(cur, id)
+        if (idx < 0) {
+          var i = 0
+          while (i < cur.length) {
+            val old = cur(i)
+            out += CandPair(math.min(old, id), math.max(old, id))
+            i += 1
+          }
+          val ins = -idx - 1
+          val next = new Array[Long](cur.length + 1)
+          System.arraycopy(cur, 0, next, 0, ins)
+          next(ins) = id
+          System.arraycopy(cur, ins, next, ins + 1, cur.length - ins)
+          cur = next
+          if (id < hub) hub = id
+        }
+      } else if (id != hub) {
+        // over-cap arrival: STAR edge to the bucket's minimum id — the doc
+        // stays connected for clustering with O(1) marginal state, exactly
+        // the batch hot-bucket fallback (PairGen star)
+        out += CandPair(math.min(hub, id), math.max(hub, id))
+      }
+    }
+    BucketState(cur, hub)
+  }
 
   /** Stateful streaming MinHash-LSH candidate pairs: every incoming doc is
     * exploded to its 16 band keys upstream; this operator keeps the set of
@@ -61,7 +109,12 @@ object StreamingOps {
     * emits (new doc x stored docs) candidate pairs incrementally — the
     * streaming twin of the batch `MinHashLSH.candidatePairs` bucket join.
     * Downstream, pairs are verified against a (static or stored) text table
-    * exactly like the batch lane. */
+    * exactly like the batch lane.
+    *
+    * Bucket state here lives FOREVER (`NoTimeout`) — correct for bounded
+    * replays, unbounded state on an infinite stream; the production
+    * variant is [[streamingCandidatePairsExpiring]], which ages idle
+    * buckets out on event time. */
   def streamingCandidatePairs(banded: Dataset[BandedDoc],
                               maxBucketSize: Int = 1000): Dataset[CandPair] = {
     import banded.sparkSession.implicits._
@@ -69,30 +122,45 @@ object StreamingOps {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         (_: Long, rows: Iterator[BandedDoc], state: GroupState[BucketState]) => {
-          val st = state.getOption.getOrElse(BucketState(Nil, Long.MaxValue))
+          val st = state.getOption.getOrElse(BucketState(Array.emptyLongArray, Long.MaxValue))
           val out = scala.collection.mutable.ArrayBuffer[CandPair]()
-          var cur = st.ids
-          var n = cur.length
-          var hub = st.hub
-          rows.foreach { r =>
-            if (n < maxBucketSize) {
-              if (!cur.contains(r.id)) {
-                cur.foreach { old =>
-                  out += CandPair(math.min(old, r.id), math.max(old, r.id))
-                }
-                cur = r.id :: cur
-                n += 1
-                if (r.id < hub) hub = r.id
-              }
-            } else if (r.id != hub) {
-              // over-cap arrival: STAR edge to the bucket's minimum id —
-              // the doc stays connected for clustering with O(1) state,
-              // exactly the batch hot-bucket fallback (PairGen star)
-              out += CandPair(math.min(hub, r.id), math.max(hub, r.id))
-            }
-          }
-          state.update(BucketState(cur, hub))
+          val next = absorbArrivals(rows.map(_.id), st, maxBucketSize, out)
+          state.update(next)
           out.iterator
+        })
+  }
+
+  /** Event-time-expiring streaming LSH candidate pairs — the infinite-
+    * stream twin of [[streamingCandidatePairs]], mirroring the watermark
+    * story of `streamingExactDedupWithinWatermark`: the caller watermarks
+    * the input on `ts`, and a bucket that stays idle until the watermark
+    * passes (last event time + `ttlMs`) has its whole state DROPPED, so
+    * live state is bounded by the buckets active inside the horizon.
+    * Duplicates arriving farther apart than the horizon pair only through
+    * a fresh bucket (the standard streaming trade). */
+  def streamingCandidatePairsExpiring(banded: Dataset[TimedBandedDoc],
+                                      maxBucketSize: Int = 1000,
+                                      ttlMs: Long = 3600L * 1000L): Dataset[CandPair] = {
+    import banded.sparkSession.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (_: Long, rows: Iterator[TimedBandedDoc], state: GroupState[BucketState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(BucketState(Array.emptyLongArray, Long.MaxValue))
+            val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+            var maxTs = Long.MinValue
+            val next = absorbArrivals(rows.map { r =>
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+              r.id
+            }, st, maxBucketSize, out)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.iterator
+          }
         })
   }
 

@@ -149,4 +149,66 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
       assert(pairs.contains((5L, 9L)) && pairs.contains((2L, 5L)) && pairs.contains((2L, 9L)))
     } finally q.stop()
   }
+
+  test("a 10^4-member hot bucket stays O(cap): stars only, no quadratic emission") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val cap = 64
+    val n = 10000
+    val input = MemoryStream[StreamingOps.BandedDoc]
+    val q = StreamingOps.streamingCandidatePairs(input.toDS(), maxBucketSize = cap)
+      .writeStream.format("memory").queryName("hotcap").outputMode("append").start()
+    try {
+      // id 1 first so it is the hub; then 10^4 arrivals into the same bucket
+      input.addData((1 to n).map(i => StreamingOps.BandedDoc(42L, i.toLong)): _*)
+      q.processAllAvailable()
+      // under-cap phase: C(cap,2) all-pairs; over-cap phase: one star edge
+      // per arrival to hub id 1 — a List.contains/quadratic regression
+      // would emit ~5*10^7 pairs (and crawl); the bound is exact
+      val count = sq.sql("SELECT count(*) FROM hotcap").collect().head.getLong(0)
+      val expected = cap.toLong * (cap - 1) / 2 + (n - cap)
+      assert(count == expected, s"emitted $count pairs, expected $expected")
+      val stars = sq.sql(s"SELECT count(*) FROM hotcap WHERE id_a = 1 AND id_b > $cap")
+        .collect().head.getLong(0)
+      assert(stars == (n - cap).toLong, s"over-cap arrivals not starred to hub: $stars")
+    } finally q.stop()
+  }
+
+  test("expiring variant drops idle bucket state once the watermark passes its ttl") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val t0 = 1700000000000L
+    def ts(offsetMin: Long) = new Timestamp(t0 + offsetMin * 60000L)
+    val input = MemoryStream[StreamingOps.TimedBandedDoc]
+    val banded = input.toDS().withWatermark("ts", "10 minutes")
+      .as[StreamingOps.TimedBandedDoc]
+    val q = StreamingOps.streamingCandidatePairsExpiring(banded, maxBucketSize = 100,
+        ttlMs = 60L * 60000L) // 1h ttl
+      .writeStream.format("memory").queryName("ttlcand").outputMode("append").start()
+    try {
+      // bucket A gets two members at t=0 -> pair (1,2); timeout armed at 1h
+      input.addData(StreamingOps.TimedBandedDoc(7L, 1L, ts(0)),
+        StreamingOps.TimedBandedDoc(7L, 2L, ts(0)))
+      q.processAllAvailable()
+      // other-bucket traffic advances the watermark past A's timeout
+      // (watermark = max event time - 10m, updated after the batch)...
+      input.addData(StreamingOps.TimedBandedDoc(8L, 50L, ts(180)))
+      q.processAllAvailable()
+      // ...and the NEXT batch fires A's timeout (A has no data in it)
+      input.addData(StreamingOps.TimedBandedDoc(8L, 51L, ts(190)))
+      q.processAllAvailable()
+      // A's state is gone: a new member pairs with nobody
+      input.addData(StreamingOps.TimedBandedDoc(7L, 3L, ts(200)))
+      q.processAllAvailable()
+      val pairs = sq.sql("SELECT id_a, id_b FROM ttlcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"pre-expiry pair missing: $pairs")
+      assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+        s"expired bucket state survived — id 3 paired with stale members: $pairs")
+      // the live bucket 8 kept its state across those batches
+      assert(pairs.contains((50L, 51L)), s"live bucket lost state: $pairs")
+    } finally q.stop()
+  }
 }
