@@ -5,59 +5,126 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 /** Storage seam for pipeline stage tables (SURVEY.md §7 hard part 4).
   *
   * The pipeline's resume logic is written against this trait only: a stage
-  * is recomputed unless a committed snapshot exists whose fingerprint
-  * (pipeline Config hash) matches. The sandbox realization is parquet dirs
-  * with a fingerprint marker file; the production realization is an Iceberg
-  * catalog where `commit` is the table commit and `committedFingerprint`
-  * reads the snapshot's summary properties — the pipeline code is identical.
+  * is recomputed unless its HEAD snapshot is committed with a fingerprint
+  * (pipeline Config + input identity hash) matching this run's. The
+  * sandbox realization is parquet dirs with versioned snapshot subdirs and
+  * a commit log; the production realization is an Iceberg catalog where
+  * `commit` is the table commit, `snapshots` reads the snapshot log, and
+  * `readAt` is `VERSION AS OF` time travel — the pipeline code is
+  * identical.
   */
 trait TableIO {
+  /** Read the table HEAD (the latest written snapshot, committed or not —
+    * a stage reads its own output back immediately after writing, before
+    * the trailing commit lands). */
   def read(table: String): DataFrame
-  /** Write the full table content (stage output). NOT yet committed. */
+  /** Write the full table content as a NEW head snapshot. NOT yet
+    * committed; a crash before `commit` leaves the previous committed
+    * snapshots untouched and the head is overwritten by the next run. */
   def overwrite(table: String, df: DataFrame): Unit
   /** Append rows (metrics/lineage table). Appends are self-committing. */
   def append(table: String, df: DataFrame): Unit
   def exists(table: String): Boolean
-  /** Mark `table` committed under `fingerprint` (atomic wrt `committedFingerprint`). */
+  /** Commit the head snapshot under `fingerprint` (atomic wrt
+    * `committedFingerprint`); the snapshot becomes visible in
+    * [[snapshots]] and addressable by [[readAt]]. */
   def commit(table: String, fingerprint: String): Unit
-  /** The fingerprint the table was committed under, if committed. */
+  /** The fingerprint the HEAD snapshot was committed under, if committed. */
   def committedFingerprint(table: String): Option[String]
+  /** Committed snapshot history, oldest first: (snapshotId, fingerprint).
+    * The Iceberg shape: every successful commit is retained and
+    * addressable — resume reads head, audits/time travel read any. */
+  def snapshots(table: String): Seq[(Long, String)]
+  /** Read the table as of a COMMITTED snapshot id (time travel). */
+  def readAt(table: String, snapshotId: Long): DataFrame
 }
 
-/** Parquet-directory realization: one dir per table under `root`;
-  * the commit marker is `_GRAFT_COMMIT` holding the fingerprint (written
-  * after the parquet job's own `_SUCCESS`, read-checked on resume — a
-  * changed Config therefore invalidates previously committed stages
-  * instead of silently reusing them). */
+/** Parquet-directory realization with snapshot history: each `overwrite`
+  * writes a fresh `v<N>` subdir under the table dir, and `commit` appends
+  * `(N, fingerprint)` to the `_GRAFT_COMMITS` log. The head is the
+  * highest-numbered version dir; an uncommitted head (crash before the
+  * trailing commit) is simply rewritten by the next run's overwrite, so
+  * committed history is never mutated. Append-mode tables (`_metrics`)
+  * stay flat parquet-append dirs — they are their own log. */
 class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
   import org.apache.hadoop.fs.Path
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def dir(table: String) = new Path(s"$root/$table")
-  private def marker(table: String) = new Path(s"$root/$table/_GRAFT_COMMIT")
+  private def versionDir(table: String, v: Long) = new Path(s"$root/$table/v$v")
+  private def commitLog(table: String) = new Path(s"$root/$table/_GRAFT_COMMITS")
 
-  override def read(table: String): DataFrame = spark.read.parquet(s"$root/$table")
-  override def overwrite(table: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$root/$table")
+  /** Highest version dir present (written, not necessarily committed). */
+  private def headVersion(table: String): Option[Long] = {
+    val d = dir(table)
+    if (!fs.exists(d)) None
+    else {
+      val vs = fs.listStatus(d).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  private def readLog(table: String): Seq[(Long, String)] = {
+    val log = commitLog(table)
+    if (!fs.exists(log)) Nil
+    else {
+      val in = fs.open(log)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(log).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+            val i = line.indexOf('\t')
+            (line.substring(0, i).toLong, line.substring(i + 1))
+          }
+      } finally in.close()
+    }
+  }
+
+  override def read(table: String): DataFrame = headVersion(table) match {
+    case Some(v) => spark.read.parquet(versionDir(table, v).toString)
+    case None    => spark.read.parquet(s"$root/$table") // flat append table
+  }
+
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    // advance past the last committed snapshot; an uncommitted head from a
+    // crashed run is reused (rewritten in place)
+    val committed = readLog(table).map(_._1).toSet
+    val next = headVersion(table) match {
+      case Some(h) if committed(h) => h + 1
+      case Some(h)                 => h
+      case None                    => 1L
+    }
+    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next).toString)
+  }
+
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(s"$root/$table")
+
   override def exists(table: String): Boolean = fs.exists(dir(table))
 
   override def commit(table: String, fingerprint: String): Unit = {
-    val out = fs.create(marker(table), true)
-    try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = headVersion(table).getOrElse(
+      throw new IllegalStateException(s"commit($table): nothing written"))
+    val entries = readLog(table).filterNot(_._1 == head) :+ (head -> fingerprint)
+    val out = fs.create(commitLog(table), true)
+    try out.write(entries.map { case (v, f) => s"$v\t$f" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  override def committedFingerprint(table: String): Option[String] = {
-    val m = marker(table)
-    if (!fs.exists(m) || !fs.exists(new Path(s"$root/$table/_SUCCESS"))) None
-    else {
-      val in = fs.open(m)
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
-        in.readFully(bytes)
-        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
+  override def committedFingerprint(table: String): Option[String] =
+    headVersion(table).flatMap { h =>
+      if (!fs.exists(new Path(versionDir(table, h), "_SUCCESS"))) None
+      else readLog(table).collectFirst { case (v, f) if v == h => f }
     }
+
+  override def snapshots(table: String): Seq[(Long, String)] = readLog(table)
+
+  override def readAt(table: String, snapshotId: Long): DataFrame = {
+    require(readLog(table).exists(_._1 == snapshotId),
+      s"readAt($table, $snapshotId): not a committed snapshot " +
+        s"(committed: ${readLog(table).map(_._1).mkString(",")})")
+    spark.read.parquet(versionDir(table, snapshotId).toString)
   }
 }

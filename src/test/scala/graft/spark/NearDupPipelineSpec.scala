@@ -149,6 +149,27 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
     assert(byStage("clusters") == nClusters, byStage.toString)
   }
 
+  test("snapshot history: pinning an older committed snapshot reproduces its clusters") {
+    val (df, _) = pagesDf(150, 23L)
+    val dir = tmpDir("snap")
+    val cfg = NearDupPipeline.Config(workDir = dir, inputSnapshotId = Some("in-1"))
+    val firstClusters = NearDupPipeline.run(spark, df, cfg)
+      .clusters.orderBy("url", "id").collect().map(_.toSeq)
+
+    // a config change commits a SECOND clusters snapshot (full recompute)
+    NearDupPipeline.run(spark, df, cfg.copy(jaccardThreshold = 0.5)).clusters.count()
+
+    val io = new graft.pipeline.ParquetTableIO(spark, dir)
+    val snaps = io.snapshots("clusters")
+    assert(snaps.size == 2, s"expected 2 committed snapshots: $snaps")
+    assert(snaps.map(_._2).distinct.size == 2, s"fingerprints should differ: $snaps")
+    // head reads the new run; the PINNED older snapshot is byte-stable
+    val pinned = io.readAt("clusters", snaps.head._1)
+      .orderBy("url", "id").collect().map(_.toSeq)
+    assert(pinned.sameElements(firstClusters),
+      "older snapshot does not reproduce its run's clusters")
+  }
+
   test("skew stress: one dominant template (2000 copies) stays linear and clusters whole") {
     // a boilerplate page repeated 2000x under distinct urls — every lane's
     // buckets for it are hot (over maxBucketSize=64), so candidate
@@ -172,8 +193,9 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
     assert(tplComponents.head.getLong(1) == 2000)
 
     // and the edge stages stayed linear in the group size
+    val io = new graft.pipeline.ParquetTableIO(spark, cfg.workDir)
     val edgeCounts = Seq("edges_exact", "edges_minhash", "edges_simhash", "edges_substring")
-      .map(st => spark.read.parquet(s"${cfg.workDir}/$st").count())
+      .map(st => io.read(st).count())
     assert(edgeCounts.forall(_ < 20000), s"edge blowup: $edgeCounts")
   }
 
