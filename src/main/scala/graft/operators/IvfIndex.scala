@@ -107,6 +107,73 @@ object IvfIndex {
     corpus.withColumn("cell", cellUdf(col(vecCol).cast("array<double>")))
   }
 
+  /** Fingerprint the stored-index commit carries (quantizer config + dim):
+    * a consumer resuming against the stored table can tell whether it was
+    * built by the quantizer it expects. */
+  private def indexFingerprint(k: Int, iters: Int, dim: Int): String =
+    s"ivf-v1|k=$k|iters=$iters|dim=$dim"
+
+  /** Fit + PERSIST the index through `io` (the 10^12-vector path): the
+    * assigned corpus is written partitioned by `cell` — the probe join's
+    * pruning key — and the k x dim centroid model as a sibling
+    * `<table>_centroids` table, both committed under the quantizer
+    * fingerprint. Search then runs from the stored table via
+    * [[topKStored]] without ever re-running assignment. Returns the
+    * fitted centroids. */
+  def buildStored(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+                  io: graft.pipeline.TableIO, table: String,
+                  iters: Int = 5): Array[Array[Double]] = {
+    val cents = fitCentroids(corpus, idCol, vecCol, k, iters)
+    val fp = indexFingerprint(k, iters, cents.head.length)
+    val assigned = assign(
+      corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")),
+      "neighbor_id", "cv", cents)
+    io.overwrite(table, assigned, partitionBy = Seq("cell"))
+    io.commit(table, fp)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    io.overwrite(s"${table}_centroids",
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
+    io.commit(s"${table}_centroids", fp)
+    cents
+  }
+
+  /** Reload the centroid model of a stored index (k x dim — tiny). */
+  def loadCentroids(io: graft.pipeline.TableIO, table: String): Array[Array[Double]] =
+    io.read(s"${table}_centroids").orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Top-k search against a STORED index. Probe cells are computed on the
+    * driver from the small-by-contract query set, so the index scan
+    * carries a STATIC `cell IN (...)` predicate — parquet partition
+    * pruning drops unprobed cells at file listing and the scan reads
+    * ~nProbe/k of the corpus (plan-asserted in IvfIndexSpec). Assignment
+    * work is never repeated per query, unlike [[topK]], which assigns the
+    * in-memory corpus on every call. */
+  def topKStored(io: graft.pipeline.TableIO, table: String, queries: DataFrame,
+                 idCol: String, vecCol: String, kNeighbors: Int,
+                 centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val probeRows = qRows.toSeq.flatMap { case (qid, qv) =>
+      nearestCells(qv, centroids, nProbe).map(c => (qid, qv.toSeq, c))
+    }
+    val probedCells = probeRows.map(_._3).distinct
+    val q = broadcast(probeRows.toDF("query_id", "qv", "cell"))
+    val cells = io.read(table).filter(col("cell").isin(probedCells: _*))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", AnnSearch.cosine(col("qv"), col("cv")))
+      .select("query_id", "neighbor_id", "cos")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kNeighbors)
+  }
+
   /** Approximate top-k neighbors for each query vector.
     * @return (query_id, neighbor_id, cos, rnk) with rnk in 1..kNeighbors —
     *         same shape as `AnnSearch.bruteForceTopK`, so recall is a

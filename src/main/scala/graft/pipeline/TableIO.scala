@@ -20,8 +20,10 @@ trait TableIO {
   def read(table: String): DataFrame
   /** Write the full table content as a NEW head snapshot. NOT yet
     * committed; a crash before `commit` leaves the previous committed
-    * snapshots untouched and the head is overwritten by the next run. */
-  def overwrite(table: String, df: DataFrame): Unit
+    * snapshots untouched and the head is overwritten by the next run.
+    * `partitionBy` lays the snapshot out partitioned by those columns
+    * (e.g. the IVF index's `cell`), enabling partition pruning on read. */
+  def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit
   /** Append rows (metrics/lineage table). Appends are self-committing. */
   def append(table: String, df: DataFrame): Unit
   def exists(table: String): Boolean
@@ -86,7 +88,7 @@ class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     case None    => spark.read.parquet(s"$root/$table") // flat append table
   }
 
-  override def overwrite(table: String, df: DataFrame): Unit = {
+  override def overwrite(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     // advance past the last committed snapshot; an uncommitted head from a
     // crashed run is reused (rewritten in place)
     val committed = readLog(table).map(_._1).toSet
@@ -95,7 +97,9 @@ class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
       case Some(h)                 => h
       case None                    => 1L
     }
-    df.write.mode(SaveMode.Overwrite).parquet(versionDir(table, next).toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(versionDir(table, next).toString)
   }
 
   override def append(table: String, df: DataFrame): Unit =

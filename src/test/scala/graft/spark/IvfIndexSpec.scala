@@ -82,6 +82,38 @@ class IvfIndexSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
+  test("stored index: search equals the in-plan path, centroids round-trip, unprobed cells pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val vecs = clusteredVecs(800, 32, 8, 41L)
+    val df = toDf(vecs)
+    val queries = df.filter(col("id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val io = new graft.pipeline.ParquetTableIO(spark, dir)
+    val cents = IvfIndex.buildStored(df, "id", "v", k = 16, io, "ivf_index", iters = 3)
+
+    val reloaded = IvfIndex.loadCentroids(io, "ivf_index")
+    cents.zip(reloaded).foreach { case (a, b) => assert(a.sameElements(b)) }
+
+    val stored = IvfIndex.topKStored(io, "ivf_index", queries, "id", "v",
+      kNeighbors = 10, reloaded, nProbe = 4)
+    val inPlan = IvfIndex.topK(df, queries, "id", "v", kNeighbors = 10, cents, nProbe = 4)
+    def s(res: org.apache.spark.sql.DataFrame) =
+      res.select("query_id", "neighbor_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(s(stored) == s(inPlan), "stored-index search diverges from the in-plan path")
+
+    // the stored scan must carry the static cell predicate as a PARTITION
+    // filter — pruning happens at file listing, not post-scan
+    val exec0 = stored.queryExecution.executedPlan
+    val exec = exec0 match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val scans = exec.collect { case f: FileSourceScanExec => f }
+    val idxScan = scans.find(_.relation.partitionSchema.fieldNames.contains("cell"))
+    assert(idxScan.isDefined, s"no cell-partitioned scan in plan:\n$exec")
+    assert(idxScan.get.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"cell predicate not pushed to partition pruning: ${idxScan.get.partitionFilters}")
+  }
+
   test("assign covers every vector and only fitted cells") {
     val vecs = clusteredVecs(300, 16, 4, 37L)
     val df = toDf(vecs)
