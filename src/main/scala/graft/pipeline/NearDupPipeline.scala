@@ -47,6 +47,16 @@ object NearDupPipeline {
       // shared by 10^6 pages must never enumerate its pairs
       maxBucketSize: Int = 64,
       validateExtraction: Boolean = true,
+      // 64-bit doc ids expect ~27k birthday collisions at 10^12 urls —
+      // each one silently merges two unrelated documents into one graph
+      // node. With this flag the extracted stage computes a SECOND
+      // salted url hash and deterministically remaps colliding ids
+      // (resolveIdCollisions), making ids collision-free by construction
+      // while every downstream shuffle (edges/CC/clusters) keeps its
+      // narrow 8-byte key — strictly cheaper at scale than threading a
+      // 128-bit id through the graph. Off by default: the remap costs
+      // one narrow (id, id2) aggregate pass per resolution round.
+      collisionSafeIds: Boolean = false,
       // identity of the input table for the resume fingerprint. Production
       // passes the Iceberg snapshot id (zero cost); when None the pipeline
       // computes [[NearDupPipeline.inputIdentity]] — a pruned 2-column
@@ -64,10 +74,12 @@ object NearDupPipeline {
     * committed with each stage so resume never reuses a stage computed
     * under a different config. */
   def configFingerprint(cfg: Config): String = {
-    // v2: MinHash permutation family changed to multiply-add (r2) — old
-    // committed stage outputs must not be resumed into new-family runs
-    val s = s"v2|j=${cfg.jaccardThreshold}|h=${cfg.simhashMaxDist}|" +
-      s"l=${cfg.minSubstringLen}|b=${cfg.maxBucketSize}|x=${cfg.validateExtraction}"
+    // v2: MinHash permutation family changed to multiply-add (r2).
+    // v3: collisionSafeIds added (r3) — it changes the id column, so old
+    // committed stage outputs must not be resumed into new-config runs.
+    val s = s"v3|j=${cfg.jaccardThreshold}|h=${cfg.simhashMaxDist}|" +
+      s"l=${cfg.minSubstringLen}|b=${cfg.maxBucketSize}|x=${cfg.validateExtraction}|" +
+      s"c=${cfg.collisionSafeIds}"
     java.lang.Long.toHexString(graft.core.ThetaSketch.hashBytes(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
@@ -85,6 +97,43 @@ object NearDupPipeline {
     val hu = if (r.isNullAt(1)) 0L else r.getLong(1)
     val ht = if (r.isNullAt(2)) 0L else r.getLong(2)
     s"${r.getLong(0)}-${java.lang.Long.toHexString(hu)}-${java.lang.Long.toHexString(ht)}"
+  }
+
+  /** Salt for the second url-hash lane of `collisionSafeIds`. */
+  private val IdSalt = 0x9E3779B97F4A7C15L
+
+  /** Deterministically remap colliding 64-bit ids using a second
+    * independent hash column: within a collision group (one `idCol` value
+    * covering >1 distinct `tieCol`), the minimum-`tieCol` member keeps the
+    * id and every other member is re-keyed through `xxhash64(id, tie)`.
+    * Remapped ids can collide again (prob ~groups*n/2^64 per round), so
+    * the pass repeats until clean — 2 rounds w.h.p. at 10^12 docs. Each
+    * round is one narrow (id, tie) aggregate + one equi-join; the
+    * collision-group side is tiny (~27k rows at 10^12), so AQE broadcasts
+    * it. Fails loudly if collisions survive `maxRounds` (never observed;
+    * would mean adversarial input). */
+  def resolveIdCollisions(rows: DataFrame, idCol: String, tieCol: String,
+                          maxRounds: Int = 3): DataFrame = {
+    var cur = rows
+    var round = 0
+    while (round < maxRounds) {
+      val groups = cur.groupBy(idCol)
+        .agg(min(tieCol).as("_keep_tie"), count(lit(1)).as("_n"))
+        .filter(col("_n") > 1)
+        .select(col(idCol), col("_keep_tie"))
+      if (groups.isEmpty) return cur
+      cur = cur.join(groups, Seq(idCol), "left")
+        .withColumn(idCol,
+          when(col("_keep_tie").isNull || col(tieCol) === col("_keep_tie"), col(idCol))
+            .otherwise(xxhash64(col(idCol), col(tieCol))))
+        .drop("_keep_tie")
+      round += 1
+    }
+    // verify the final round left no collisions — raise in-plan otherwise
+    val leftover = cur.groupBy(idCol).agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+    require(leftover.isEmpty,
+      s"resolveIdCollisions: collisions survive $maxRounds rounds")
+    cur
   }
 
   def run(spark: SparkSession, pages: DataFrame, cfg: Config): Result =
@@ -119,8 +168,13 @@ object NearDupPipeline {
                 .otherwise(raise_error(concat(lit("extraction mismatch for "), col("url")))))
             .drop("_ok")
         } else base
-      checked.select(col("url"), xxhash64(col("url")).as("id"),
+      val withIds = checked.select(col("url"), xxhash64(col("url")).as("id"),
+        xxhash64(lit(IdSalt), col("url")).as("id2"),
         col("extracted_text").as("text"), col("lang"))
+      val resolved =
+        if (cfg.collisionSafeIds) resolveIdCollisions(withIds, "id", "id2")
+        else withIds
+      resolved.select("url", "id", "text", "lang") // schema flag-invariant
     }
     // all four lanes + clustering + stats scan this table; cache the
     // columnar batches once instead of re-reading the parquet snapshot

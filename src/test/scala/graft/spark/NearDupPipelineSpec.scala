@@ -149,6 +149,30 @@ class NearDupPipelineSpec extends AnyFunSuite with SparkSuiteBase {
     assert(byStage("clusters") == nClusters, byStage.toString)
   }
 
+  test("collision-safe ids: resolver splits synthetic collisions; flag-on pipeline parity") {
+    import spark.implicits._
+    // three docs share id 100 (synthetic 64-bit collision); id2 breaks ties
+    val rows = Seq((100L, 7L, "a"), (100L, 3L, "b"), (100L, 9L, "c"), (200L, 1L, "d"))
+      .toDF("id", "id2", "url")
+    def resolve() = NearDupPipeline.resolveIdCollisions(rows, "id", "id2")
+      .select("url", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val resolved = resolve()
+    assert(resolved.values.toSet.size == 4, s"ids not distinct: $resolved")
+    assert(resolved("b") == 100L, "min-tie member must keep the original id")
+    assert(resolved("d") == 200L, "collision-free id must not change")
+    assert(resolve() == resolved, "remap not deterministic")
+
+    // on a collision-free corpus the flag must not change any output
+    val (df, _) = pagesDf(150, 31L)
+    val off = NearDupPipeline.run(spark, df,
+        NearDupPipeline.Config(workDir = tmpDir("cid-off")))
+      .clusters.orderBy("url").collect().map(_.toSeq)
+    val on = NearDupPipeline.run(spark, df,
+        NearDupPipeline.Config(workDir = tmpDir("cid-on"), collisionSafeIds = true))
+      .clusters.orderBy("url").collect().map(_.toSeq)
+    assert(on.sameElements(off), "collisionSafeIds changed collision-free output")
+  }
+
   test("snapshot history: pinning an older committed snapshot reproduces its clusters") {
     val (df, _) = pagesDf(150, 23L)
     val dir = tmpDir("snap")
