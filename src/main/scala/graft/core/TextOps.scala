@@ -80,7 +80,23 @@ object TextOps {
     var dqVal = new Array[Long](256)
     var dqIdx = new Array[Int](256)
     var sel = new Array[Long](512)
+
+    /** Capacities grow to the largest document a thread ever saw and would
+      * otherwise be retained for the executor thread's lifetime — one
+      * pathological multi-MB document would permanently inflate every pool
+      * thread (r2 ADVICE). Called on kernel entry: any array beyond
+      * [[TextOps.MaxRetainedScratch]] entries (8 MB of longs) is released
+      * back to its default size, so steady-state retention stays bounded
+      * while the pathological doc itself still gets what it needs. */
+    def shrinkIfOversized(): Unit = {
+      if (tokens.length > MaxRetainedScratch) tokens = new Array[Long](256)
+      if (shingles.length > MaxRetainedScratch) shingles = new Array[Long](256)
+      if (dqVal.length > MaxRetainedScratch) dqVal = new Array[Long](256)
+      if (dqIdx.length > MaxRetainedScratch) dqIdx = new Array[Int](256)
+      if (sel.length > MaxRetainedScratch) sel = new Array[Long](512)
+    }
   }
+  private val MaxRetainedScratch = 1 << 20
   private val scratch = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
   }
@@ -91,6 +107,7 @@ object TextOps {
     * tokenizing call on this thread. */
   private def tokenHashesScratch(text: String): Int = {
     val sc = scratch.get()
+    sc.shrinkIfOversized()
     val n = text.length
     var out = sc.tokens
     var cnt = 0
@@ -339,6 +356,7 @@ object TextOps {
     val numGrams = n - gramLen + 1
     val numWindows = math.max(1, numGrams - window + 1)
     val sc = scratch.get()
+    sc.shrinkIfOversized()
     if (sc.sel.length < numWindows) sc.sel = new Array[Long](Integer.highestOneBit(numWindows) * 2)
     // monotone deque over (gram value, gram index) holds at most `window`
     // live entries — ring buffers in scratch, no per-gram hash array at all
