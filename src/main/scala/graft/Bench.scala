@@ -202,8 +202,13 @@ object Bench {
         val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
         val gc0 = gcMillis
         val sec = timed {
+          // the corpus is deterministic in (docs, seed, chunks) — pass the
+          // identity as a snapshot id (the production Iceberg path) so the
+          // measured wall is the pipeline, not an input-identity scan the
+          // generator would pay twice
           graft.pipeline.NearDupPipeline.run(s, df,
-            graft.pipeline.NearDupPipeline.Config(workDir = work)).clusters.count()
+            graft.pipeline.NearDupPipeline.Config(workDir = work,
+              inputSnapshotId = Some(s"bench-$benchDocs-42-64"))).clusters.count()
         }
         // the listener bus is async: drain it before reading the CPU sum or
         // the final jobs' task-end events undercount runs_n*_cpu_sec

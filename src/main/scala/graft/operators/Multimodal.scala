@@ -10,14 +10,14 @@ import graft.core.SplitMix64
   * per-partition batches (the Scala/Tungsten analog of `mapInPandas`
   * batching: one "decoder" instance per partition, amortized across rows).
   *
-  * Codec status (r2): image and audio metadata decode is REAL — the
-  * synthetic table carries actual BMP (BITMAPINFOHEADER, 24bpp) and WAV
-  * (RIFF PCM16 mono) payloads and `decodeMeta` parses their headers, so
-  * the lane exercises genuine byte-format parsing end to end. Video
-  * container demuxing and learned embeddings remain STUBBED behind
-  * `FakeCodec` (no ffmpeg/model in this container) — deterministic
-  * stand-ins with the real call shape; swapping them for javacv/ffmpeg is
-  * a single-object change.
+  * Codec status (r3): image, audio AND video byte-format work is REAL —
+  * the synthetic table carries actual BMP (BITMAPINFOHEADER, 24bpp), WAV
+  * (RIFF PCM16 mono) and AVI (RIFF 'AVI ', uncompressed 24bpp DIB
+  * streams) payloads; `decodeMeta` parses all three headers and the video
+  * lane demuxes genuine '00db' frame chunks out of the 'movi' list. The
+  * one remaining stub is `FakeCodec.embed` (LEARNED embeddings need a
+  * model that does not exist in this container) — a deterministic
+  * stand-in with the real call shape.
   */
 object Multimodal {
 
@@ -141,22 +141,144 @@ object Multimodal {
       val durationMs = dataSize.toLong * 1000 / (sampleRate.toLong * channels * (bitsPerSample / 8))
       MediaMeta(0, 0, channels, durationMs)
     }
-  }
 
-  /** STUB codec for what genuinely needs external libraries (video
-    * demuxing, learned embeddings): deterministic pure functions of the
-    * payload bytes with the signature a real decoder would have. */
-  object FakeCodec {
-    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
-      case "image" => Codecs.decodeBmpMeta(bytes)
-      case "audio" => Codecs.decodeWavMeta(bytes)
-      case _ => // video: container demuxing stubbed
-        val h = graft.core.ThetaSketch.hashBytes(bytes)
-        MediaMeta(64 + (math.abs(h) % 1024).toInt,
-          64 + (math.abs(SplitMix64.mix(h)) % 1024).toInt, 3,
-          1000L + math.abs(h) % 600000L)
+    // ------------------------------------------------------------- AVI
+    // RIFF 'AVI ' with one uncompressed 24bpp DIB video stream — the same
+    // public-byte-layout discipline as the BMP/WAV codecs (MainAVIHeader /
+    // AVIStreamHeader / BITMAPINFOHEADER are all documented structures).
+    // Real container DEMUXING: frames are '00db' chunks in the 'movi'
+    // LIST, found by walking the chunk tree, not by offset guessing.
+
+    private def fourcc(s: String): Int =
+      (s.charAt(0) & 0xFF) | ((s.charAt(1) & 0xFF) << 8) |
+        ((s.charAt(2) & 0xFF) << 16) | ((s.charAt(3) & 0xFF) << 24)
+
+    /** Single-stream uncompressed AVI with deterministic frame pixels. */
+    def encodeAvi(width: Int, height: Int, fps: Int, nFrames: Int, seed: Long): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0 && nFrames > 0)
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      val frameSize = rowSize * height
+      val framePadded = frameSize + (frameSize & 1)
+      val hdrlContent = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40))) // 'hdrl' avih LIST(strl strh strf)
+      val moviContent = 4 + nFrames * (8 + framePadded)
+      val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+      val bb = ByteBuffer.allocate(8 + riffContent).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(fourcc("RIFF")).putInt(riffContent).putInt(fourcc("AVI "))
+      // LIST hdrl
+      bb.putInt(fourcc("LIST")).putInt(hdrlContent).putInt(fourcc("hdrl"))
+      //   avih: MainAVIHeader (56 bytes)
+      bb.putInt(fourcc("avih")).putInt(56)
+      bb.putInt(1000000 / fps)                   // dwMicroSecPerFrame
+        .putInt(frameSize * fps).putInt(0).putInt(0) // maxBytesPerSec, padding, flags (no idx1 -> no HASINDEX)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(frameSize) // totalFrames, initial, streams, sugBuf
+        .putInt(width).putInt(height)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      //   LIST strl
+      bb.putInt(fourcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).putInt(fourcc("strl"))
+      //     strh: AVIStreamHeader (56 bytes)
+      bb.putInt(fourcc("strh")).putInt(56)
+      bb.putInt(fourcc("vids")).putInt(fourcc("DIB "))
+        .putInt(0).putInt(0)                     // flags, prio+lang
+        .putInt(0).putInt(1).putInt(fps)         // initFrames, scale, rate
+        .putInt(0).putInt(nFrames)               // start, length (frames)
+        .putInt(frameSize).putInt(0).putInt(0)   // sugBuf, quality, sampleSize
+        .putShort(0).putShort(0)                 // rcFrame left, top
+        .putShort(width.toShort).putShort(height.toShort)
+      //     strf: BITMAPINFOHEADER (40 bytes)
+      bb.putInt(fourcc("strf")).putInt(40)
+      bb.putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).putInt(0)      // planes, bpp, BI_RGB
+        .putInt(frameSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      // LIST movi with one 00db chunk per frame
+      bb.putInt(fourcc("LIST")).putInt(moviContent).putInt(fourcc("movi"))
+      var st = SplitMix64.mix(seed)
+      var f = 0
+      while (f < nFrames) {
+        bb.putInt(fourcc("00db")).putInt(frameSize)
+        var i = 0
+        while (i < frameSize) { st = SplitMix64.mix(st); bb.put(st.toByte); i += 1 }
+        if ((frameSize & 1) == 1) bb.put(0.toByte)
+        f += 1
+      }
+      bb.array()
     }
 
+    /** Walk every chunk of a RIFF tree, descending into LISTs. */
+    private def walkRiff(bb: ByteBuffer, from: Int, until: Int)
+                        (visit: (Int, Int, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val cc = bb.getInt(p)
+        val sz = bb.getInt(p + 4)
+        if (cc == fourcc("LIST") && p + 12 <= until)
+          visit(cc, bb.getInt(p + 8), p + 12, sz - 4)
+        else visit(cc, 0, p + 8, sz)
+        if (cc == fourcc("LIST")) walkRiff(bb, p + 12, math.min(until, p + 8 + sz))(visit)
+        p += 8 + sz + (sz & 1)
+      }
+    }
+
+    /** AVI header round trip: dimensions from avih, channels from strf's
+      * bit depth, duration from microSecPerFrame x totalFrames. */
+    def decodeAviMeta(bytes: Array[Byte]): MediaMeta = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 && bb.getInt(0) == fourcc("RIFF") &&
+        bb.getInt(8) == fourcc("AVI "), "not a RIFF AVI payload")
+      var microPerFrame = 0L; var totalFrames = 0L; var w = 0; var h = 0; var bpp = 24
+      walkRiff(bb, 12, bytes.length) { (cc, _, dataAt, _) =>
+        if (cc == fourcc("avih")) {
+          microPerFrame = bb.getInt(dataAt).toLong & 0xFFFFFFFFL
+          totalFrames = bb.getInt(dataAt + 16).toLong & 0xFFFFFFFFL
+          w = bb.getInt(dataAt + 32)
+          h = bb.getInt(dataAt + 36)
+        } else if (cc == fourcc("strf")) bpp = bb.getShort(dataAt + 14) & 0xFFFF
+      }
+      require(w > 0 && h > 0, "AVI: no avih header found")
+      MediaMeta(w, h, math.max(1, bpp / 8), microPerFrame * totalFrames / 1000L)
+    }
+
+    /** REAL demux: the '##db'/'##dc' frame chunk payloads inside the
+      * 'movi' LIST, in stream order. */
+    def demuxAviFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 && bb.getInt(0) == fourcc("RIFF") &&
+        bb.getInt(8) == fourcc("AVI "), "not a RIFF AVI payload")
+      val dbTag = ('d' & 0xFF) | (('b' & 0xFF) << 8)
+      val dcTag = ('d' & 0xFF) | (('c' & 0xFF) << 8)
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      walkRiff(bb, 12, bytes.length) { (cc, _, dataAt, sz) =>
+        val suffix = (cc >>> 16) & 0xFFFF
+        if (cc != fourcc("LIST") && (suffix == dbTag || suffix == dcTag))
+          out += java.util.Arrays.copyOfRange(bytes, dataAt, dataAt + sz)
+      }
+      out.toArray
+    }
+
+    /** `n` evenly-spaced REAL frames of an AVI payload (all frames when
+      * the video has fewer than `n`). */
+    def sampleAviFrames(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
+      val frames = demuxAviFrames(bytes)
+      if (frames.isEmpty || n <= 0) Array.empty
+      else {
+        val take = math.min(n, frames.length)
+        Array.tabulate(take)(i => frames((i.toLong * frames.length / take).toInt))
+      }
+    }
+
+    /** Kind-dispatched header decode — every branch is a real parser. */
+    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = kind match {
+      case "image" => decodeBmpMeta(bytes)
+      case "audio" => decodeWavMeta(bytes)
+      case "video" => decodeAviMeta(bytes)
+      case other   => throw new IllegalArgumentException(s"unknown media kind: $other")
+    }
+  }
+
+  /** STUB for the one capability that genuinely needs an external model
+    * (LEARNED embeddings): a deterministic pure function of the payload
+    * bytes with the signature a real encoder would have. Header decode and
+    * video demux are real — see [[Codecs]]. */
+  object FakeCodec {
     /** Deterministic fixed-dim pseudo-embedding (rolling-hash features). */
     def embed(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -174,15 +296,6 @@ object Multimodal {
       out.map(_ * inv)
     }
 
-    /** Deterministic n evenly-spaced "frames" (byte slices) of a video. */
-    def sampleFrames(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
-      if (bytes.isEmpty || n <= 0) return Array.empty
-      val stride = math.max(1, bytes.length / n)
-      (0 until math.min(n, bytes.length)).map { i =>
-        val from = i * stride
-        java.util.Arrays.copyOfRange(bytes, from, math.min(from + stride, bytes.length))
-      }.toArray
-    }
   }
 
   /** Batch feature extraction over the media table via `mapPartitions`: one
@@ -196,7 +309,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init goes here (decoder/model handle in production)
         rows.map { case (id, kind, bytes) =>
-          Featurized(id, kind, FakeCodec.decodeMeta(kind, bytes), FakeCodec.embed(bytes, dim))
+          Featurized(id, kind, Codecs.decodeMeta(kind, bytes), FakeCodec.embed(bytes, dim))
         }
       }
   }
@@ -226,37 +339,34 @@ object Multimodal {
   }
 
   /** Video frame sampling as a generator: one output row per sampled frame,
-    * `(media_id, frame_idx, frame_bytes)` — the explode-style plumbing a
-    * real frame-dedup lane (hash frames, join back) builds on. */
+    * `(media_id, frame_idx, frame_bytes)` — REAL container demuxing: the
+    * frames are the '00db' DIB chunk payloads of the AVI's 'movi' list,
+    * evenly sampled. The explode-style plumbing a frame-dedup lane (hash
+    * frames, join back) builds on. */
   def sampleFrames(media: DataFrame, framesPerVideo: Int = 4): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val frames = media.filter(col("kind") === "video")
       .select("media_id", "bytes").as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        FakeCodec.sampleFrames(bytes, framesPerVideo).zipWithIndex.map {
+        Codecs.sampleAviFrames(bytes, framesPerVideo).zipWithIndex.map {
           case (frame, idx) => (id, idx, frame)
         }
       }
     frames.toDF("media_id", "frame_idx", "frame_bytes")
   }
 
-  /** Deterministic synthetic media table: REAL BMP and WAV payloads for
-    * image/audio rows (parsed back by the codecs above); opaque bytes for
-    * video rows (demuxing stubbed). */
+  /** Deterministic synthetic media table: REAL BMP, WAV and AVI payloads —
+    * every kind is parsed back by the codecs above, byte-format work
+    * included. */
   def mediaTable(spark: SparkSession, n: Int, seed: Long = 42L, parts: Int = 8): DataFrame = {
     val rows = (0 until n).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
       val bytes = kind match {
         case "image" => Codecs.encodeBmp(4 + i % 60, 4 + (i * 7) % 44, seed ^ i)
         case "audio" => Codecs.encodeWav(8000, 800 + (i * 37) % 4000, seed ^ i)
-        case _ =>
-          var st = SplitMix64.mix(seed ^ i)
-          val len = 256 + (math.abs(st) % 2048).toInt
-          val out = new Array[Byte](len)
-          var j = 0
-          while (j < len) { st = SplitMix64.mix(st); out(j) = st.toByte; j += 1 }
-          out
+        case _ => Codecs.encodeAvi(4 + i % 28, 4 + (i * 5) % 20,
+          10 + i % 20, 4 + i % 9, seed ^ i)
       }
       Row(i.toLong, kind, bytes, s"https://media.example/$kind/$i")
     }

@@ -27,8 +27,12 @@ class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
           assert(f.meta.channels == 1)
           val samples = 800 + (i * 37) % 4000
           assert(f.meta.durationMs == samples.toLong * 1000 / 8000, f)
-        case _ => // video demux stubbed: just shape checks
-          assert(f.meta.width >= 64 && f.meta.height >= 64 && f.meta.channels == 3)
+        case _ => // REAL AVI header round trip: decoded == generated
+          assert(f.meta.width == 4 + i % 28 && f.meta.height == 4 + (i * 5) % 20, f)
+          assert(f.meta.channels == 3)
+          val fps = 10 + i % 20
+          val nFrames = 4 + i % 9
+          assert(f.meta.durationMs == (1000000 / fps).toLong * nFrames / 1000, f)
       }
     }
 
@@ -48,6 +52,28 @@ class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
     assert(frames.count() == nVideos * 4)
     val perVideo = frames.groupBy("media_id").count().collect()
     perVideo.foreach(r => assert(r.getLong(1) == 4L))
+  }
+
+  test("AVI codec: encode -> demux recovers every frame, deterministic, sampling evenly spaced") {
+    val bytes = Multimodal.Codecs.encodeAvi(width = 6, height = 4, fps = 12, nFrames = 7, seed = 99L)
+    val frames = Multimodal.Codecs.demuxAviFrames(bytes)
+    assert(frames.length == 7, s"demuxed ${frames.length} frames")
+    val rowSize = ((6 * 3 + 3) / 4) * 4
+    frames.foreach(f => assert(f.length == rowSize * 4, s"frame size ${f.length}"))
+    // frames carry distinct pixel content and demux is deterministic
+    assert(frames.map(_.toSeq).distinct.length == 7)
+    val again = Multimodal.Codecs.demuxAviFrames(
+      Multimodal.Codecs.encodeAvi(6, 4, 12, 7, 99L))
+    frames.zip(again).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // sampling 3 of 7: evenly spaced REAL frames (indices 0, 2, 4)
+    val sampled = Multimodal.Codecs.sampleAviFrames(bytes, 3)
+    assert(sampled.length == 3)
+    assert(sampled(0).sameElements(frames(0)) && sampled(1).sameElements(frames(2)) &&
+      sampled(2).sameElements(frames(4)))
+    // header round trip
+    val meta = Multimodal.Codecs.decodeAviMeta(bytes)
+    assert(meta.width == 6 && meta.height == 4 && meta.channels == 3)
+    assert(meta.durationMs == (1000000 / 12).toLong * 7 / 1000)
   }
 
   test("resizeImages: real BMP pixel resample — dims, pixel identity, pass-through") {
