@@ -78,6 +78,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.spark.Scratch.warmBlockManager(s)
     s
   }
 

@@ -117,6 +117,13 @@ object SparkEntry {
       MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.9)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      // exact (non-probabilistic) near-dup lane: AllPairs prefix-filter
+      // candidates + integer-exact verify; DuckDB brute-forces the truth
+      // from the literal gram strings
+      NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
     "q_simhash_neardup" -> ((s, dir) => {
       // Self-verifying PRODUCTION-config lane gate (r2 judge item #6 —
       // this query was rows-only until r3). The default-cap SimHash lane
@@ -412,12 +419,22 @@ object SparkEntry {
         .toDF("clusters_cover_corpus", "truth_nonempty", "recall_ge_99")
     }),
 
-    // --------------------------------------------- multimodal (stub codec)
+    // ------------------------------------------------------- multimodal
+    // The generator's payload parameters are pure arithmetic in media_id,
+    // so DuckDB recomputes the EXPECTED metadata from range(300) and the
+    // hash match verifies the real byte path end-to-end: BMP/WAV/AVI
+    // encode -> header decode (featurize) and AVI chunk-tree demux
+    // (sampleFrames) must reproduce the generator's parameters exactly.
     "q_media_features" -> ((s, dir) =>
       Multimodal.featurize(Multimodal.mediaTable(s, 300), dim = 32).toDF()
         .select(col("media_id"), col("kind"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          element_at(col("embedding"), 1).as("e0"))
+          col("meta.channels").as("channels"),
+          col("meta.durationMs").as("duration_ms"),
+          // the learned-embedding stand-in is not SQL-expressible; its
+          // L2-normalization contract is, as a boolean the oracle pins
+          (abs(aggregate(col("embedding").cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + x * x) - 1.0d) < 0.001d).as("emb_unit_norm"))
         .orderBy("media_id")),
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.mediaTable(s, 300), framesPerVideo = 4)
@@ -543,6 +560,31 @@ object SparkEntry {
         |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
         |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+    // exact 3-gram Jaccard truth: same gram construction as the minhash
+    // oracle (token 3-grams, short docs contribute their one full-sequence
+    // gram), all-integer outputs so no float round-trip can drift
+    "q_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, greatest(len(toks) - 1, 2))]) sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) g FROM s
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |)
+        |SELECT da AS id_a, db AS id_b,
+        |       len(list_intersect(sa.sh, sb.sh))::INT AS common_grams,
+        |       len(sa.sh)::INT AS grams_a, len(sb.sh)::INT AS grams_b
+        |FROM cand
+        |JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
         |FROM documents""".stripMargin,
@@ -625,14 +667,40 @@ object SparkEntry {
       ("SELECT CAST(0 AS BIGINT) AS extra_pairs, CAST(0 AS BIGINT) AS uncovered_pairs, " +
         "TRUE AS direct_pairs_nonzero"),
     "q_pages_recall" ->
-      "SELECT TRUE AS clusters_cover_corpus, TRUE AS truth_nonempty, TRUE AS recall_ge_99"
+      "SELECT TRUE AS clusters_cover_corpus, TRUE AS truth_nonempty, TRUE AS recall_ge_99",
+    // The media generator's payload parameters are arithmetic in media_id
+    // (Multimodal.mediaTable), so DuckDB recomputes the EXPECTED metadata
+    // from range(300): a hash match proves the real BMP/WAV/AVI byte
+    // codecs (headers, row padding, chunk sizes) decode back to exactly
+    // the generator's parameters. WAV duration = nSamples*2*1000 /
+    // (rate*ch*bytesPerSample) in integer math; AVI duration =
+    // (1000000/fps)*nFrames/1000, both divisions truncating like the
+    // Long/Int arithmetic in Codecs.
+    "q_media_features" ->
+      """WITH m AS (SELECT unnest(range(0, 300)) AS i)
+        |SELECT i AS media_id,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  (CASE i % 3 WHEN 0 THEN 4 + i % 60 WHEN 1 THEN 0 ELSE 4 + i % 28 END)::INT AS width,
+        |  (CASE i % 3 WHEN 0 THEN 4 + (i * 7) % 44 WHEN 1 THEN 0 ELSE 4 + (i * 5) % 20 END)::INT AS height,
+        |  (CASE i % 3 WHEN 1 THEN 1 ELSE 3 END)::INT AS channels,
+        |  (CASE i % 3 WHEN 0 THEN 0
+        |    WHEN 1 THEN ((800 + (i * 37) % 4000) * 2 * 1000) // (8000 * 2)
+        |    ELSE ((1000000 // (10 + i % 20)) * (4 + i % 9)) // 1000 END)::BIGINT AS duration_ms,
+        |  TRUE AS emb_unit_norm
+        |FROM m ORDER BY media_id""".stripMargin,
+    // frame demux truth: every video has >= 4 frames so the sampler takes
+    // exactly 4; each demuxed '00db' payload is rowSize*height bytes with
+    // BMP-style 4-byte row alignment
+    "q_frame_sample" ->
+      """WITH v AS (SELECT unnest(range(0, 300)) AS i)
+        |SELECT i AS media_id, 4::BIGINT AS n_frames,
+        |  (4 * ((((4 + i % 28) * 3 + 3) // 4) * 4) * (4 + (i * 5) % 20))::BIGINT AS bytes
+        |FROM v WHERE i % 3 = 2 ORDER BY media_id""".stripMargin
     // Not SQL-expressible -> rows-only driver check; exact oracles live in
     // the ScalaTest suites instead:
     //   q_pages_pipeline (synthesized north-rule pages input not in the
     //     driver's DuckDB tables; NearDupPipelineSpec recall >= 0.99, and
     //     q_pages_recall pins the recall claim in-plan)
-    //   q_media_features, q_frame_sample (payloads are hash-chain-generated;
-    //     MultimodalSpec covers determinism and batch shape)
   )
 
   /** DuckDB mirror of TextOps.langId: per-language marker counts via

@@ -25,14 +25,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.spark.Scratch.warmBlockManager(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,7 +41,42 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // written BEFORE the query loop: if a query wedges the session, the
+    // driver still gets the oracle map + every completed dump
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query watchdog: one wedged Spark job (e.g. the rare local-mode
+    // BlockManagerMaster lazy-endpoint RPC stall observed in rehearsal,
+    // Spark-internal) must not zero the whole round's correctness. Each
+    // query runs under a job group; on timeout the group is cancelled and
+    // the loop moves on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
+    import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+    val pool = Executors.newCachedThreadPool()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(s"verify-$name", name,
+            interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelling")
+          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          task.cancel(true)
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    pool.shutdownNow()
     spark.stop()
+    // a cancelled-but-wedged job can leave non-daemon threads behind; the
+    // dumps and oracle json are on disk, so a hard exit is safe and keeps
+    // the driver's subprocess from hanging on JVM teardown
+    sys.exit(0)
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.TextOps
+
+/** EXACT n-gram Jaccard near-duplicate detection via AllPairs prefix
+  * filtering (Bayardo, Ma, Srikant — "Scaling Up All Pairs Similarity
+  * Search", WWW'07; public algorithm).
+  *
+  * This is the deterministic sibling of the MinHash lane: where LSH banding
+  * is probabilistic (recall ~0.99 at the tuned band config), prefix
+  * filtering guarantees *complete* recall at the chosen threshold — every
+  * pair with token-n-gram Jaccard >= t shares at least one gram inside both
+  * documents' prefixes, so the inverted-index join over prefixes alone is a
+  * sound candidate generator and the exact verify decides.
+  *
+  * Prefix lemma: fix any global total order on grams (we use the 64-bit
+  * gram hash value itself — no frequency pass, no extra shuffle). If
+  * J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and two sets with
+  * overlap >= a must collide within their first |A|-a+1 / |B|-a+1 elements;
+  * since ceil(t*|A|) <= ceil(t*max(|A|,|B|)), indexing the first
+  * |A| - ceil(t*|A|) + 1 grams of each doc is sufficient.
+  *
+  * Scale design (10^12 docs):
+  *  - Only prefixes are exploded: at t=0.5 that's ~half the grams of each
+  *    doc, as narrow (gram_hash, id) rows — never the text.
+  *  - Hot grams (boilerplate) go through the same salted, size-capped
+  *    bucket collection as every other lane ([[BucketedPairs]]); a gram
+  *    hotter than `maxPostings` falls back to star edges, which trades the
+  *    completeness guarantee on *that gram only* for linear cost (the
+  *    standard df-ordered prefix optimization would push hot grams out of
+  *    prefixes entirely at the cost of a frequency pass — noted, not
+  *    needed while caps don't trigger).
+  *  - The verify join ships each candidate pair's two texts once; pair
+  *    multiplicity is bounded by the bucket cap, AQE handles residual skew.
+  */
+object NgramJaccard {
+
+  /** Candidate pairs (id_a < id_b) from the prefix-filter inverted index.
+    * Superset of all pairs with n-gram Jaccard >= threshold (exact while no
+    * gram exceeds `maxPostings`). */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, threshold: Double,
+                     maxPostings: Int = 10000): DataFrame = {
+    require(n >= 1 && threshold > 0.0 && threshold <= 1.0,
+      s"bad config n=$n t=$threshold")
+    val prefix = udf { (t: String) =>
+      val g = TextOps.shingleHashes(t, n) // sorted ascending = global order
+      val keep = g.length - math.ceil(threshold * g.length).toInt + 1
+      g.take(math.max(0, math.min(keep, g.length)))
+    }
+    val postings = docs.select(col(idCol).as("id"),
+      explode(prefix(col(textCol))).as("gram"))
+    BucketedPairs.edges(postings, Seq("gram"), "id", maxPostings).distinct()
+  }
+
+  /** (intersection, |A|, |B|) over the two docs' distinct n-gram-hash sets
+    * — integer outputs so the DuckDB oracle compares exactly, no float
+    * round-trip. */
+  def overlapStats(a: String, b: String, n: Int): (Int, Int, Int) = {
+    val sa = TextOps.shingleHashes(a, n)
+    val sb = TextOps.shingleHashes(b, n)
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    (inter, sa.length, sb.length)
+  }
+
+  /** Exact n-gram Jaccard pairs: prefix-filter candidates + exact verify.
+    * Returns (id_a, id_b, common_grams, grams_a, grams_b) with
+    * common/(a+b-common) >= threshold — all-integer output. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            n: Int = 3, threshold: Double = 0.5,
+            maxPostings: Int = 10000): DataFrame = {
+    val stats = udf((a: String, b: String) => overlapStats(a, b, n))
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    candidatePairs(docs, idCol, textCol, n, threshold, maxPostings)
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("st", stats(col("t_a"), col("t_b")))
+      .select(col("id_a"), col("id_b"),
+        col("st._1").as("common_grams"),
+        col("st._2").as("grams_a"),
+        col("st._3").as("grams_b"))
+      .filter(col("common_grams").cast("double") /
+        (col("grams_a") + col("grams_b") - col("common_grams")) >= threshold)
+  }
+
+  /** Brute-force oracle (tests only — O(n^2), small n). */
+  def bruteForcePairs(docs: Seq[(Long, String)], n: Int,
+                      threshold: Double): Set[(Long, Long)] = {
+    (for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs
+      if ia < ib
+      st = overlapStats(ta, tb, n)
+      if st._2 + st._3 > 0 &&
+        st._1.toDouble / (st._2 + st._3 - st._1) >= threshold
+    } yield (ia, ib)).toSet
+  }
+}

@@ -59,4 +59,19 @@ object Scratch {
     f.toFile.deleteOnExit()
     f.toString
   }
+
+  /** Force the BlockManagerMaster registration + lazy driver-endpoint
+    * lookup paths once, while the session is otherwise quiet. A rehearsal
+    * run wedged forever inside Spark's own
+    * `BlockManagerMasterEndpoint.driverEndpoint$lzycompute` (the dedicated
+    * dispatcher thread issuing a blocking self-RPC when the first *stored*
+    * block triggered registration work mid-query). Storing one tiny cached
+    * partition at startup walks those lazies deterministically at a point
+    * where a stall would at worst delay startup, not strand a half-finished
+    * query run. */
+  def warmBlockManager(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val rdd = spark.sparkContext.parallelize(Seq(1), 1).cache()
+    rdd.count()
+    rdd.unpersist(blocking = true)
+  }
 }

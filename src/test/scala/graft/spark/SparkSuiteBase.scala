@@ -36,6 +36,7 @@ object SparkSuiteBase {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.spark.Scratch.warmBlockManager(s)
     s
   }
 }
