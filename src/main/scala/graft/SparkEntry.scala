@@ -108,6 +108,35 @@ object SparkEntry {
       ExactDedup.survivors(docsWithDups(s, dir), "doc_id", "text")
         .select("doc_id")
         .orderBy("doc_id")),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // daily-crawl-increment shape: survivors of a new batch against an
+      // already-clean corpus. Batch copies of corpus docs must vanish in
+      // the anti join; within-batch copies must lose keep-one-copy — the
+      // hash check catches a failure of either mechanism.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "q_training_prep" -> ((s, dir) => {
+      // end-to-end training-set preparation: language filter + quality
+      // floor (token count, stopword ratio) -> exact keep-one-copy dedup
+      // -> per-doc stats. Every stage is SQL-mirrorable, so the whole
+      // composition is hash-checked, not just its pieces.
+      GraftFunctions.register(s)
+      val scored = docsWithDups(s, dir)
+        .withColumn("lang", expr("lang_id(text)"))
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("int"))
+        .withColumn("n_stop", expr("stop_count(split(trim(text), '\\\\s+'))").cast("int"))
+      val kept = scored.filter(col("lang") === "en" && col("n_tokens") >= 30 &&
+        col("n_stop").cast("double") / col("n_tokens") >= 0.03)
+      ExactDedup.survivors(kept, "doc_id", "text")
+        .select("doc_id", "lang", "n_tokens", "n_stop")
+        .orderBy("doc_id")
+    }),
     "q_cc_clusters" -> ((s, dir) => {
       val docs = docsWithDups(s, dir)
       val edges = ExactDedup.pairs(docs, "doc_id", "text")
@@ -536,6 +565,34 @@ object SparkEntry {
          |SELECT doc_id FROM all_docs a
          |WHERE doc_id = (SELECT min(doc_id) FROM all_docs b WHERE b.text = a.text)
          |ORDER BY doc_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |fresh AS (SELECT * FROM incoming i WHERE NOT EXISTS
+        |  (SELECT 1 FROM corpus c WHERE c.text = i.text))
+        |SELECT doc_id FROM fresh a
+        |WHERE doc_id = (SELECT min(doc_id) FROM fresh b WHERE b.text = a.text)
+        |ORDER BY doc_id""".stripMargin,
+    // composed pipeline truth: lang CASE + token/stopword floors over the
+    // dup-injected corpus, then keep-one-copy (min doc_id per exact text)
+    "q_training_prep" ->
+      s"""$allDocsCte,
+         |padded AS (SELECT doc_id, text, ' ' || text || ' ' AS p FROM all_docs),
+         |counted AS (SELECT doc_id, text, $langCountsSql FROM padded),
+         |scored AS (SELECT doc_id, text, $langCaseSql AS lang,
+         |  len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens,
+         |  len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |      t -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], lower(t))))::INT AS n_stop
+         |  FROM counted),
+         |kept AS (SELECT * FROM scored WHERE lang = 'en' AND n_tokens >= 30
+         |         AND n_stop::DOUBLE / n_tokens >= 0.03)
+         |SELECT doc_id, lang, n_tokens, n_stop FROM kept a
+         |WHERE doc_id = (SELECT min(doc_id) FROM kept b WHERE b.text = a.text)
+         |ORDER BY doc_id""".stripMargin,
     "q_cc_clusters" ->
       s"""$allDocsCte
          |SELECT a.doc_id AS id, min(b.doc_id) AS component
@@ -703,17 +760,22 @@ object SparkEntry {
     //     q_pages_recall pins the recall claim in-plan)
   )
 
-  /** DuckDB mirror of TextOps.langId: per-language marker counts via
+  /** DuckDB mirror of TextOps.langId, split into reusable pieces so the
+    * composed pipelines (q_training_prep) can inline the same lang logic
+    * over a different source CTE: per-language marker counts via
     * non-overlapping replace counting on the space-padded text, argmax with
     * first-in-order winning ties, 'und' when nothing fires. */
-  private val langIdOracleSql: String = {
+  private val langCountsSql: String = {
     def cnt(m: String): String = {
       val esc = m.replace("'", "''")
       s"(length(p) - length(replace(p, '$esc', ''))) // length('$esc')"
     }
-    val counts = graft.core.TextOps.LangMarkers.map { case (lang, ms) =>
+    graft.core.TextOps.LangMarkers.map { case (lang, ms) =>
       s"(${ms.map(cnt).mkString(" + ")}) AS c_$lang"
     }.mkString(", ")
+  }
+
+  private val langCaseSql: String = {
     val langs = graft.core.TextOps.LangMarkers.map(_._1)
     val cases = langs.zipWithIndex.map { case (l, i) =>
       val before = langs.take(i).map(b => s"c_$l > c_$b")
@@ -721,8 +783,11 @@ object SparkEntry {
       val conds = (s"c_$l >= 1" +: (before ++ after)).mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
-    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
-       |counted AS (SELECT doc_id, $counts FROM padded)
-       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess FROM counted""".stripMargin
+    s"CASE $cases ELSE 'und' END"
   }
+
+  private val langIdOracleSql: String =
+    s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |counted AS (SELECT doc_id, $langCountsSql FROM padded)
+       |SELECT doc_id, $langCaseSql AS lang_guess FROM counted""".stripMargin
 }

@@ -106,4 +106,22 @@ object ExactDedup {
       .select("_sid")
     docs.join(keep, docs(idCol) === keep("_sid"), "left_semi")
   }
+
+  /** Incremental dedup: the survivors of a NEW batch against an already
+    * deduplicated corpus — the daily-crawl-increment shape. A new doc
+    * survives iff its content key appears nowhere in the corpus (narrow
+    * left-anti join on the hash, corpus text never moves) and it is the
+    * keep-one-copy winner within the batch. The corpus itself is never
+    * rewritten; appending the returned rows preserves the corpus
+    * invariant "no two docs share a content key". */
+  def incrementalSurvivors(corpus: DataFrame, incoming: DataFrame,
+                           idCol: String, textCol: String,
+                           paranoid: Boolean = false): DataFrame = {
+    val corpusKeys = corpus.select(contentKey(textCol, paranoid).as("_ch"))
+    val keyed = incoming.withColumn("_ik", contentKey(textCol, paranoid))
+    val fresh = keyed
+      .join(corpusKeys, keyed("_ik") === corpusKeys("_ch"), "left_anti")
+      .drop("_ik")
+    survivors(fresh, idCol, textCol, paranoid)
+  }
 }

@@ -72,4 +72,30 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(msgs.contains("maxGroupSize"), msgs.take(500))
   }
+
+  test("incrementalSurvivors: corpus copies vanish, batch copies dedupe, fresh docs survive") {
+    import spark.implicits._
+    val corpus = local.take(50).toDF("doc_id", "text")
+    // incoming: 20 fresh docs, 10 copies of corpus docs under new ids,
+    // and each fresh doc 100..104 duplicated once within the batch
+    val freshDocs = local.slice(50, 70).map { case (id, t) => (id + 50, t) }
+    val corpusCopies = local.take(10).map { case (id, t) => (id + 9000, t) }
+    val batchCopies = freshDocs.take(5).map { case (id, t) => (id + 900, t) }
+    val incomingSeq = freshDocs ++ corpusCopies ++ batchCopies
+    val incoming = incomingSeq.toDF("doc_id", "text")
+    // truth from first principles: the pages corpus itself plants exact-dup
+    // clusters, so fresh docs may duplicate each other OR a corpus doc
+    val corpusTexts = local.take(50).map(_._2).toSet
+    val expected = incomingSeq.filterNot(d => corpusTexts.contains(d._2))
+      .groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(expected.nonEmpty && expected.size < incomingSeq.size,
+      "degenerate fixture: dedup would be vacuous")
+    val got = ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // paranoid parity
+    val gotP = ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text",
+      paranoid = true).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotP == got)
+  }
 }
