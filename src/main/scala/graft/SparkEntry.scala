@@ -242,6 +242,20 @@ object SparkEntry {
     }),
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), md5(col("text")).as("fp"))),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style within-document repetition stats (quality filtering
+      // evidence a training pipeline applies before dedup); exact integer
+      // counts so DuckDB mirrors them verbatim. Map-only: one kernel pass
+      // per document, no token-level shuffle at any corpus size.
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr("rep_stats(text)").as("r"))
+        .select(col("doc_id"),
+          col("r.nTokens").as("n_tokens"),
+          col("r.nDistinct").as("n_distinct"),
+          col("r.topTokenCount").as("top_tok_cnt"),
+          col("r.topBigramCount").as("top_bigram_cnt"))
+    }),
 
     // --------------------------------------------------- sketch operators
     "q_theta_distinct" -> ((s, dir) => {
@@ -332,6 +346,42 @@ object SparkEntry {
       clicks.crossJoin(views).select(
         expr("cast(theta_intersect_estimate(a, b) as bigint)").as("click_and_view"),
         expr("cast(theta_anotb_estimate(a, b) as bigint)").as("click_not_view"))
+    }),
+    "q_freq_tokens" -> ((s, dir) => {
+      // Misra–Gries frequent-items sketch over per-lang token streams,
+      // self-verified the q_hll_distinct way: the exact columns are
+      // DuckDB-recomputable, and Spark evaluates the sketch's DETERMINISTIC
+      // guarantees in-plan as booleans the oracle pins TRUE. maxMapSize=8
+      // is deliberately far below the per-lang distinct-token count so the
+      // purge path (the part merge order can perturb) is exercised — the
+      // pinned invariants hold for every update/merge schedule:
+      //   bounds_ok   lb <= trueCount <= ub for any item, tracked or not
+      //   apriori_ok  maxError <= 2W/(m+1)  (Misra–Gries purge argument)
+      //   weight_ok   stream weight is conserved across partials + merges
+      //   covered_ok  an item heavier than 2W/(m+1) can never be evicted
+      // Heavy-hitter containment/topK exactness on skewed streams is pinned
+      // in FreqSketchSpec (this corpus is near-uniform, so dominance is
+      // structurally impossible at any m < nDistinct).
+      GraftFunctions.register(s)
+      val m = 8
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sk = toks.groupBy("lang")
+        .agg(expr(s"freq_sketch(tok, $m)").as("fsk"), count(lit(1)).as("n_tokens"))
+      val exactTop = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(countDistinct("tok").as("n_distinct"),
+          max(struct(col("c"), col("tok"))).as("top"))
+        .select(col("lang"), col("n_distinct"),
+          col("top.c").as("top_cnt"), col("top.tok").as("top_tok"))
+      sk.join(broadcast(exactTop), "lang").select(
+        col("lang"), col("n_tokens"), col("n_distinct"),
+        col("top_tok"), col("top_cnt"),
+        (expr("freq_lb(fsk, top_tok)") <= col("top_cnt") &&
+          col("top_cnt") <= expr("freq_ub(fsk, top_tok)")).as("bounds_ok"),
+        (expr("freq_error(fsk)") * lit(m + 1) <= lit(2L) * col("n_tokens")).as("apriori_ok"),
+        (expr("freq_total(fsk)") === col("n_tokens")).as("weight_ok"),
+        (col("top_cnt") * lit(m + 1) <= lit(2L) * col("n_tokens") ||
+          expr("freq_contains(fsk, top_tok)")).as("covered_ok"))
     }),
 
     // ----------------------------------------------------- vector search
@@ -654,6 +704,25 @@ object SparkEntry {
         |      t -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], lower(t))))::INT AS n_stop
         |FROM documents""".stripMargin,
     "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
+    // exact token/bigram histogram maxima per document (DuckDB's 1-based
+    // list_transform index pairs toks[i] with toks[i+1] — same bigram
+    // identity as the kernel's space-joined key)
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |tokc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |tokagg AS (
+        |  SELECT doc_id, sum(c)::INT AS n_tokens, count(*)::INT AS n_distinct, max(c)::INT AS top_tok_cnt
+        |  FROM tokc GROUP BY 1),
+        |bigc AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(toks[:len(toks)-1], (x,i) -> x || ' ' || toks[i+1])) AS bg
+        |        FROM t) GROUP BY 1, 2),
+        |bigagg AS (SELECT doc_id, max(c)::INT AS top_bigram_cnt FROM bigc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct, top_tok_cnt, coalesce(top_bigram_cnt, 0)::INT AS top_bigram_cnt
+        |FROM tokagg LEFT JOIN bigagg USING (doc_id)""".stripMargin,
     "q_extract_text" -> "SELECT doc_id, text FROM documents",
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
@@ -680,6 +749,17 @@ object SparkEntry {
         |  (SELECT count(DISTINCT c.user_id) FROM events c
         |    WHERE c.event_type = 'click'
         |      AND c.user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'view')) AS click_not_view""".stripMargin,
+    // exact columns recomputed (tie on the top count broken by max token,
+    // matching Spark's max(struct(c, tok)) binary string order); the
+    // sketch-guarantee booleans are pinned TRUE, q_hll_distinct-style
+    "q_freq_tokens" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |tc AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct, max(c) AS top_cnt FROM tc GROUP BY 1),
+        |top AS (SELECT t.lang, max(t.tok) AS top_tok FROM tc t JOIN agg a ON t.lang = a.lang AND t.c = a.top_cnt GROUP BY 1)
+        |SELECT a.lang, a.n_tokens, a.n_distinct, top.top_tok, a.top_cnt::BIGINT AS top_cnt,
+        |  TRUE AS bounds_ok, TRUE AS apriori_ok, TRUE AS weight_ok, TRUE AS covered_ok
+        |FROM agg a JOIN top USING (lang)""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         |scored AS (

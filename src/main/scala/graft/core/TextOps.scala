@@ -544,6 +544,50 @@ object TextOps {
     (text.length, nTok, stop, punct, meanLen)
   }
 
+  /** Within-document repetition stats — the Gopher-style quality filters
+    * (Rae et al., arXiv:2112.11446 §A1.1) a training pipeline applies
+    * before dedup: highly self-repetitive documents (boilerplate, keyword
+    * stuffing, scraper loops) are dropped on per-document evidence alone.
+    * Word-level variants (the corpus is single-line): duplicate-token
+    * fraction, most-common-token share, most-common-bigram share. The
+    * struct carries exact integer counts (SQL-oracle safe); the Gopher
+    * ratios are derived views. Map-only at any corpus size: one pass per
+    * document, no token-level shuffle. */
+  final case class RepStats(nTokens: Int, nDistinct: Int,
+                            topTokenCount: Int, topBigramCount: Int) {
+    def dupTokenFrac: Double = if (nTokens == 0) 0.0 else (nTokens - nDistinct).toDouble / nTokens
+    def topTokenShare: Double = if (nTokens == 0) 0.0 else topTokenCount.toDouble / nTokens
+    def topBigramShare: Double = if (nTokens < 2) 0.0 else topBigramCount.toDouble / (nTokens - 1)
+  }
+
+  def repetitionStats(text: String): RepStats = {
+    val toks = tokenize(text)
+    val n = toks.length
+    if (n == 0) return RepStats(0, 0, 0, 0)
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    var topTok = 0
+    while (i < n) {
+      val c = counts.merge(toks(i), 1, Integer.sum)
+      if (c > topTok) topTok = c
+      i += 1
+    }
+    val nDistinct = counts.size
+    var topBig = 0
+    if (n >= 2) {
+      // tokens contain no whitespace, so the joined key is injective —
+      // same bigram identity as the SQL mirror's t[i] || ' ' || t[i+1]
+      val bigrams = new java.util.HashMap[String, Int](n * 2)
+      i = 0
+      while (i < n - 1) {
+        val c = bigrams.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+        if (c > topBig) topBig = c
+        i += 1
+      }
+    }
+    RepStats(n, nDistinct, topTok, topBig)
+  }
+
   /** Composite quality score in [0,1]: favors mid-length docs with a sane
     * stopword ratio and low punctuation density. */
   def qualityScore(text: String): Double = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Registration surface for all graft sketch/text functions.
   *
@@ -43,6 +43,11 @@ object GraftFunctions {
   def kll_sketch(col: Column, k: Int = KllSketch.DefaultK): Column =
     GraftBridge.column(KllSketchAgg(Cast(GraftBridge.expression(col), DoubleType), k)
       .toAggregateExpression())
+  def freq_sketch(col: Column, maxMapSize: Int = FreqSketch.DefaultMaxMapSize): Column =
+    GraftBridge.column(FreqSketchAgg(Cast(GraftBridge.expression(col), StringType), maxMapSize)
+      .toAggregateExpression())
+  def freq_merge(col: Column): Column =
+    GraftBridge.column(FreqMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -98,6 +103,15 @@ object GraftFunctions {
     "hll_union" -> {
       case Seq(c) => HllUnionAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"hll_union expects 1 arg, got ${args.length}")
+    },
+    "freq_sketch" -> {
+      case Seq(c)    => FreqSketchAgg(Cast(c, StringType)).toAggregateExpression()
+      case Seq(c, m) => FreqSketchAgg(Cast(c, StringType), intLit(m, "maxMapSize")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"freq_sketch expects 1-2 args, got ${args.length}")
+    },
+    "freq_merge" -> {
+      case Seq(c) => FreqMergeAgg(c).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"freq_merge expects 1 arg, got ${args.length}")
     })
 
   /** Every scalar finisher / text kernel, name -> compiled UDF (shared by
@@ -140,7 +154,19 @@ object GraftFunctions {
       if (a == null || b == null) None
       else Some(ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate)),
     "hll_estimate" -> udf((b: Array[Byte]) => Option(b).map(HllSketch.deserialize(_).estimate)),
+    "freq_topk" -> udf((b: Array[Byte], k: Int) => Option(b).map(FreqSketch.deserialize(_).topK(k))),
+    "freq_estimate" -> udf((b: Array[Byte], item: String) =>
+      if (b == null || item == null) None else Some(FreqSketch.deserialize(b).estimate(item))),
+    "freq_lb" -> udf((b: Array[Byte], item: String) =>
+      if (b == null || item == null) None else Some(FreqSketch.deserialize(b).lowerBound(item))),
+    "freq_ub" -> udf((b: Array[Byte], item: String) =>
+      if (b == null || item == null) None else Some(FreqSketch.deserialize(b).upperBound(item))),
+    "freq_contains" -> udf((b: Array[Byte], item: String) =>
+      if (b == null || item == null) None else Some(FreqSketch.deserialize(b).contains(item))),
+    "freq_error" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).maxError)),
+    "freq_total" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).streamWeight)),
     // ---- text / dedup kernels (shared with Scala-side oracles) ----
+    "rep_stats" -> udf((t: String) => Option(t).map(TextOps.repetitionStats)),
     "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),
     "minhash128" -> udf((t: String) => Option(t).map(TextOps.minHash)),
     "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),

@@ -212,6 +212,69 @@ case class HllSketchAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllSketchAgg = copy(child = c.head)
 }
 
+/** `freq_sketch(col[, maxMapSize])` — Misra–Gries frequent-items sketch
+  * over a string column. Partial sketches are bounded at maxMapSize
+  * entries, so a corpus-wide top-k costs one narrow sketch per partition
+  * at the shuffle — never a token-level aggregation. */
+case class FreqSketchAgg(
+    child: Expression,
+    maxMapSize: Int = FreqSketch.DefaultMaxMapSize,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[FreqSketch] {
+
+  override def prettyName: String = "freq_sketch"
+  override def createAggregationBuffer(): FreqSketch = FreqSketch(maxMapSize)
+
+  override def update(buf: FreqSketch, input: InternalRow): FreqSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+  override def merge(buf: FreqSketch, other: FreqSketch): FreqSketch = buf.merge(other)
+  override def eval(buf: FreqSketch): Any = buf.serialize()
+  override def serialize(buf: FreqSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): FreqSketch = FreqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqSketchAgg = copy(child = c.head)
+}
+
+/** Re-merge stored frequent-items sketches: `freq_merge(sketch_col)`. */
+case class FreqMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[FreqSketch] {
+
+  override def prettyName: String = "freq_merge"
+  override def createAggregationBuffer(): FreqSketch = null.asInstanceOf[FreqSketch]
+
+  override def update(buf: FreqSketch, input: InternalRow): FreqSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = FreqSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: FreqSketch, other: FreqSketch): FreqSketch =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: FreqSketch): Any =
+    (if (buf == null) FreqSketch() else buf).serialize()
+  // empty-partition buffers shuffle as zero bytes — a default-capacity
+  // placeholder sketch would poison the merge's same-maxMapSize require
+  override def serialize(buf: FreqSketch): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else buf.serialize()
+  override def deserialize(bytes: Array[Byte]): FreqSketch =
+    if (bytes.isEmpty) null.asInstanceOf[FreqSketch] else FreqSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqMergeAgg = copy(child = c.head)
+}
+
 /** Union of stored HLL sketches: `hll_union(sketch_col)`. */
 case class HllUnionAgg(
     child: Expression,

@@ -65,6 +65,38 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats: exact counts on hand-checked documents") {
+    import TextOps.repetitionStats
+    assert(repetitionStats("") == TextOps.RepStats(0, 0, 0, 0))
+    assert(repetitionStats("   \t ") == TextOps.RepStats(0, 0, 0, 0))
+    assert(repetitionStats("solo") == TextOps.RepStats(1, 1, 1, 0))
+    // "a b a b a": 5 tokens, 2 distinct, 'a'×3; bigrams: "a b"×2, "b a"×2
+    val r = repetitionStats("a b a b a")
+    assert(r == TextOps.RepStats(5, 2, 3, 2))
+    assert(r.dupTokenFrac == 3.0 / 5 && r.topTokenShare == 3.0 / 5 && r.topBigramShare == 2.0 / 4)
+    // all-distinct: no dup tokens, every bigram unique
+    assert(repetitionStats("one two three four") == TextOps.RepStats(4, 4, 1, 1))
+    // boilerplate loop: one bigram dominates
+    val loop = repetitionStats(("click here " * 50).trim)
+    assert(loop.nTokens == 100 && loop.nDistinct == 2 && loop.topTokenCount == 50)
+    assert(loop.topBigramCount == 50) // "click here" 50×, "here click" 49×
+  }
+
+  test("repetitionStats: matches a naive histogram on random token streams") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    for (n <- Seq(2, 17, 400)) {
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val text = toks.mkString(" ")
+      val tokCounts = toks.groupBy(identity).map(_._2.size)
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bigCounts = bigrams.groupBy(identity).map(_._2.size)
+      val r = TextOps.repetitionStats(text)
+      assert(r.nTokens == n && r.nDistinct == tokCounts.size)
+      assert(r.topTokenCount == tokCounts.max && r.topBigramCount == bigCounts.max)
+    }
+  }
+
   test("docFeatures equals the standalone kernels") {
     val texts = Seq("", "one two three four five six seven eight nine ten",
       ("lorem ipsum dolor sit amet " * 40).trim)

@@ -91,6 +91,40 @@ class SketchAggSpec extends AnyFunSuite with SparkSuiteBase {
     assert(math.abs(hs.estimate - 10000) / 10000 < 0.1)
   }
 
+  test("freq_sketch across partitions keeps MG guarantees vs exact counts; freq_merge re-merges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // Zipf-ish skew so heavy hitters exist above the error floor
+    val stream = (0 until 30000).map { i =>
+      val r = (i * 2654435761L) % 1000
+      val item = if (r < 500) r % 5 else if (r < 800) r % 50 else r
+      (i % 4, s"item-$item")
+    }
+    val exact = stream.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val m = 32
+    for (parts <- Seq(1, 8)) {
+      val df = stream.toDF("g", "tok").repartition(parts)
+      val bytes = df.agg(expr(s"freq_sketch(tok, $m)")).first().getAs[Array[Byte]](0)
+      val sk = graft.core.FreqSketch.deserialize(bytes)
+      assert(sk.streamWeight == stream.length)
+      assert(sk.maxError * (m + 1) <= 2L * stream.length)
+      exact.foreach { case (item, t) =>
+        assert(sk.lowerBound(item) <= t && t <= sk.upperBound(item))
+        if (t > sk.maxError) assert(sk.contains(item), s"parts=$parts heavy $item evicted")
+      }
+    }
+    // freq_merge over stored per-group sketches: weight conserved, bounds hold
+    val perGroup = stream.toDF("g", "tok").repartition(8)
+      .groupBy("g").agg(expr(s"freq_sketch(tok, $m)").as("fs"))
+    val re = graft.core.FreqSketch.deserialize(
+      perGroup.agg(expr("freq_merge(fs)")).first().getAs[Array[Byte]](0))
+    assert(re.streamWeight == stream.length)
+    assert(re.maxError * (m + 1) <= 2L * stream.length)
+    exact.foreach { case (item, t) =>
+      assert(re.lowerBound(item) <= t && t <= re.upperBound(item))
+    }
+  }
+
   test("sketch aggregates run under ObjectHashAggregate (plan check)") {
     import spark.implicits._
     GraftFunctions.register(spark)
