@@ -121,6 +121,22 @@ object SparkEntry {
       ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_incremental_bloom" -> ((s, dir) => {
+      // same daily-increment shape through the Bloom-prefiltered scale
+      // path: the broadcast corpus-membership filter splits the batch
+      // map-side and only maybe-duplicates reach the exact anti-join.
+      // The oracle is the SAME truth as q_incremental_dedup — the filter
+      // must be invisible in the result (no false negatives; false
+      // positives resolved by the exact confirm).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val bloom = ExactDedup.corpusBloom(corpus, "text", expectedItems = 1000L, fpp = 0.01)
+      ExactDedup.incrementalSurvivorsBloom(corpus, incoming, "doc_id", "text", bloom)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -616,6 +632,20 @@ object SparkEntry {
          |WHERE doc_id = (SELECT min(doc_id) FROM all_docs b WHERE b.text = a.text)
          |ORDER BY doc_id""".stripMargin,
     "q_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |fresh AS (SELECT * FROM incoming i WHERE NOT EXISTS
+        |  (SELECT 1 FROM corpus c WHERE c.text = i.text))
+        |SELECT doc_id FROM fresh a
+        |WHERE doc_id = (SELECT min(doc_id) FROM fresh b WHERE b.text = a.text)
+        |ORDER BY doc_id""".stripMargin,
+    // identical truth to q_incremental_dedup: the Bloom prefilter must be
+    // invisible in the result set
+    "q_incremental_bloom" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |incoming AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250

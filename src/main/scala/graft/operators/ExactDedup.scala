@@ -124,4 +124,48 @@ object ExactDedup {
       .drop("_ik")
     survivors(fresh, idCol, textCol, paranoid)
   }
+
+  /** The corpus-membership Bloom filter over 64-bit content hashes — one
+    * map-side-partial pass (the shuffle carries one filter per partition,
+    * never the hashes). Persist the returned bytes and OR each increment's
+    * survivors in with `bloom_merge` / [[graft.core.BloomFilter.merge]]
+    * instead of rebuilding: the filter is the only corpus state the daily
+    * dedup needs to touch. Size it for the corpus' lifetime cardinality —
+    * ~1.2 GB per 10^9 docs at fpp 0.01; beyond ~10^10 shard the filter by
+    * hash range and prefilter each shard's slice of the batch. */
+  def corpusBloom(corpus: DataFrame, textCol: String,
+                  expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    corpus.select(xxhash64(col(textCol)).as("_bh"))
+      .agg(graft.spark.GraftFunctions.bloom_agg(col("_bh"), expectedItems, fpp))
+      .first().getAs[Array[Byte]](0)
+
+  /** [[incrementalSurvivors]] with a Bloom membership prefilter — the
+    * scale path for "dedupe today's crawl against a 10^12-doc corpus".
+    * The broadcast filter splits the batch map-side: definitely-fresh
+    * rows (no false negatives — most of a real increment) skip the
+    * anti-join entirely; only the maybe-duplicates (true dups + the fpp
+    * sliver) reach the exact confirm, so the per-increment join touches
+    * a small fraction of the batch instead of all of it. False positives
+    * only add rows to the exact join — the result is row-identical to
+    * [[incrementalSurvivors]] for ANY filter contents. The prefilter
+    * hashes `xxhash64(text)` (= lane 1 of the paranoid key), so it is
+    * sound for both key widths. */
+  def incrementalSurvivorsBloom(corpus: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                bloomBytes: Array[Byte],
+                                paranoid: Boolean = false): DataFrame = {
+    val spark = incoming.sparkSession
+    val bc = spark.sparkContext.broadcast(graft.core.BloomFilter.deserialize(bloomBytes))
+    // deserialize once per executor via the broadcast — never per row
+    val mightContain = org.apache.spark.sql.functions.udf((h: Long) => bc.value.mightContain(h))
+    val keyed = incoming.withColumn("_bh", xxhash64(col(textCol)))
+    val definiteFresh = keyed.filter(!mightContain(col("_bh")))
+    val maybe = keyed.filter(mightContain(col("_bh")))
+    val corpusKeys = corpus.select(contentKey(textCol, paranoid).as("_ch"))
+    val maybeKeyed = maybe.withColumn("_ik", contentKey(textCol, paranoid))
+    val confirmedFresh = maybeKeyed
+      .join(corpusKeys, maybeKeyed("_ik") === corpusKeys("_ch"), "left_anti")
+      .drop("_ik")
+    survivors(definiteFresh.unionByName(confirmedFresh).drop("_bh"), idCol, textCol, paranoid)
+  }
 }

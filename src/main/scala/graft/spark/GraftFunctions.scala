@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
 /** Registration surface for all graft sketch/text functions.
   *
@@ -48,11 +48,27 @@ object GraftFunctions {
       .toAggregateExpression())
   def freq_merge(col: Column): Column =
     GraftBridge.column(FreqMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
+  def bloom_agg(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    GraftBridge.column(BloomAgg(Cast(GraftBridge.expression(col), LongType), expectedItems, fpp)
+      .toAggregateExpression())
+  def bloom_merge(col: Column): Column =
+    GraftBridge.column(BloomMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, _) => v
@@ -112,6 +128,15 @@ object GraftFunctions {
     "freq_merge" -> {
       case Seq(c) => FreqMergeAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"freq_merge expects 1 arg, got ${args.length}")
+    },
+    "bloom_agg" -> {
+      case Seq(c, n)    => BloomAgg(Cast(c, LongType), longLit(n, "expectedItems"), 0.01).toAggregateExpression()
+      case Seq(c, n, p) => BloomAgg(Cast(c, LongType), longLit(n, "expectedItems"), doubleLit(p, "fpp")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"bloom_agg expects 2-3 args, got ${args.length}")
+    },
+    "bloom_merge" -> {
+      case Seq(c) => BloomMergeAgg(c).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"bloom_merge expects 1 arg, got ${args.length}")
     })
 
   /** Every scalar finisher / text kernel, name -> compiled UDF (shared by
@@ -165,6 +190,10 @@ object GraftFunctions {
       if (b == null || item == null) None else Some(FreqSketch.deserialize(b).contains(item))),
     "freq_error" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).maxError)),
     "freq_total" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).streamWeight)),
+    "bloom_contains" -> udf((b: Array[Byte], key: java.lang.Long) =>
+      if (b == null || key == null) None else Some(BloomFilter.deserialize(b).mightContain(key))),
+    "bloom_fpp" -> udf((b: Array[Byte]) => Option(b).map(BloomFilter.deserialize(_).expectedFpp)),
+    "bloom_items" -> udf((b: Array[Byte]) => Option(b).map(BloomFilter.deserialize(_).itemsAdded)),
     // ---- text / dedup kernels (shared with Scala-side oracles) ----
     "rep_stats" -> udf((t: String) => Option(t).map(TextOps.repetitionStats)),
     "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),

@@ -275,6 +275,72 @@ case class FreqMergeAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqMergeAgg = copy(child = c.head)
 }
 
+/** `bloom_agg(longCol, expectedItems, fpp)` — mergeable Bloom membership
+  * filter over 64-bit keys (content hashes). Partials OR together, so the
+  * corpus-membership filter builds in one map-side-partial pass: the
+  * shuffle carries one filter per partition, never the keys. */
+case class BloomAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[BloomFilter] {
+
+  override def prettyName: String = "bloom_agg"
+  override def createAggregationBuffer(): BloomFilter = BloomFilter(expectedItems, fpp)
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter = buf.merge(other)
+  override def eval(buf: BloomFilter): Any = buf.serialize()
+  override def serialize(buf: BloomFilter): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomFilter = BloomFilter.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomAgg = copy(child = c.head)
+}
+
+/** OR-union of stored Bloom filters: `bloom_merge(filter_col)` — how an
+  * incremental pipeline appends each batch's survivors to the persisted
+  * corpus-membership filter without rebuilding it. */
+case class BloomMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[BloomFilter] {
+
+  override def prettyName: String = "bloom_merge"
+  override def createAggregationBuffer(): BloomFilter = null.asInstanceOf[BloomFilter]
+
+  override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = BloomFilter.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: BloomFilter): Any =
+    (if (buf == null) BloomFilter(1L, 0.01) else buf).serialize()
+  // empty-partition buffers shuffle as zero bytes — a placeholder filter
+  // would poison the merge's same-config require
+  override def serialize(buf: BloomFilter): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else buf.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    if (bytes.isEmpty) null.asInstanceOf[BloomFilter] else BloomFilter.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMergeAgg = copy(child = c.head)
+}
+
 /** Union of stored HLL sketches: `hll_union(sketch_col)`. */
 case class HllUnionAgg(
     child: Expression,

@@ -98,4 +98,35 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
       paranoid = true).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(gotP == got)
   }
+
+  test("incrementalSurvivorsBloom is row-identical to the plain path for any filter sizing") {
+    import spark.implicits._
+    val corpus = local.take(50).toDF("doc_id", "text")
+    val freshDocs = local.slice(50, 70).map { case (id, t) => (id + 50, t) }
+    val corpusCopies = local.take(10).map { case (id, t) => (id + 9000, t) }
+    val batchCopies = freshDocs.take(5).map { case (id, t) => (id + 900, t) }
+    val incoming = (freshDocs ++ corpusCopies ++ batchCopies).toDF("doc_id", "text")
+    val expected = ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // well-sized (fpp 1%), deliberately undersized (fpp ~1 — everything a
+    // maybe), and over-sized: the result must be invariant in the filter
+    for ((n, fpp) <- Seq((64L, 0.01), (2L, 0.5), (1000000L, 0.001))) {
+      val bloom = ExactDedup.corpusBloom(corpus, "text", n, fpp)
+      val got = ExactDedup.incrementalSurvivorsBloom(corpus, incoming, "doc_id", "text", bloom)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"bloom($n, $fpp) changed the result")
+      // paranoid parity through the bloom path too
+      val gotP = ExactDedup.incrementalSurvivorsBloom(corpus, incoming, "doc_id", "text",
+        bloom, paranoid = true).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotP == expected)
+    }
+    // the prefilter must actually fire: with a well-sized filter every
+    // corpus copy is a maybe (true positive) — none may leak through as
+    // "definitely fresh" (that would be a false negative)
+    val bloom = ExactDedup.corpusBloom(corpus, "text", 64L, 0.01)
+    val bf = graft.core.BloomFilter.deserialize(bloom)
+    val corpusHashes = corpus.select(xxhash64(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    corpusHashes.foreach(h => assert(bf.mightContain(h), "false negative on a corpus hash"))
+  }
 }
