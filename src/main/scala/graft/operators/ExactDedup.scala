@@ -168,4 +168,65 @@ object ExactDedup {
       .drop("_ik")
     survivors(definiteFresh.unionByName(confirmedFresh).drop("_bh"), idCol, textCol, paranoid)
   }
+
+  /** Hash-range-sharded corpus filters — the beyond-broadcast regime. One
+    * Bloom filter per shard `xxhash64(text) & (shards-1)`, emitted as a
+    * `(shard, filter)` table: at 10^12 docs the monolithic filter is ~TBs
+    * (unbroadcastable), but each of, say, 4096 shards is a few hundred MB
+    * — stored as a table, appended shard-wise with `bloom_merge`, and
+    * probed co-partitioned (see [[incrementalSurvivorsBloomSharded]])
+    * without the filter bytes ever leaving their shard's task. */
+  def corpusBloomShards(corpus: DataFrame, textCol: String, shards: Int,
+                        expectedItemsPerShard: Long, fpp: Double = 0.01): DataFrame = {
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two, got $shards")
+    corpus.select(xxhash64(col(textCol)).as("_bh"))
+      .withColumn("shard", col("_bh").bitwiseAND(lit((shards - 1).toLong)).cast("int"))
+      .groupBy("shard")
+      .agg(graft.spark.GraftFunctions.bloom_agg(col("_bh"), expectedItemsPerShard, fpp)
+        .as("filter"))
+  }
+
+  /** [[incrementalSurvivorsBloom]] without a broadcast: batch rows are
+    * CO-GROUPED with their shard's filter (both sides shuffle by the
+    * 4-byte shard key; the batch side's rows are a narrow (shard, id,
+    * hash) projection), each task deserializes exactly one shard filter
+    * once and streams its rows through it. Only maybe-duplicate ids come
+    * back; the batch splits by id and the maybes go through the same
+    * exact confirm. Row-identical to [[incrementalSurvivors]] for ANY
+    * filter contents — a shard with no filter row (no corpus content in
+    * that hash range) marks all its rows definitely fresh, which is
+    * sound because corpus membership implies filter membership in the
+    * row's own shard. Requires a numeric (long-castable) id column. */
+  def incrementalSurvivorsBloomSharded(corpus: DataFrame, incoming: DataFrame,
+                                       idCol: String, textCol: String,
+                                       shardFilters: DataFrame, shards: Int,
+                                       paranoid: Boolean = false): DataFrame = {
+    require(shards >= 1 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two, got $shards")
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val keyed = incoming.withColumn("_bh", xxhash64(col(textCol)))
+    val probe = keyed
+      .select(col("_bh").bitwiseAND(lit((shards - 1).toLong)).cast("int").as("_shard"),
+        col(idCol).cast("long").as("_pid"), col("_bh"))
+      .as[(Int, Long, Long)]
+    val filters = shardFilters
+      .select(col("shard").cast("int"), col("filter")).as[(Int, Array[Byte])]
+    val maybeIds = probe.groupByKey(_._1).cogroup(filters.groupByKey(_._1)) {
+      (_, rows, fs) =>
+        fs.toSeq.headOption.map(f => graft.core.BloomFilter.deserialize(f._2)) match {
+          case None    => Iterator.empty
+          case Some(f) => rows.collect { case (_, pid, bh) if f.mightContain(bh) => pid }
+        }
+    }.toDF("_mid")
+    val maybe = keyed.join(maybeIds, keyed(idCol).cast("long") === maybeIds("_mid"), "left_semi")
+    val definiteFresh = keyed.join(maybeIds, keyed(idCol).cast("long") === maybeIds("_mid"), "left_anti")
+    val corpusKeys = corpus.select(contentKey(textCol, paranoid).as("_ch"))
+    val maybeKeyed = maybe.withColumn("_ik", contentKey(textCol, paranoid))
+    val confirmedFresh = maybeKeyed
+      .join(corpusKeys, maybeKeyed("_ik") === corpusKeys("_ch"), "left_anti")
+      .drop("_ik")
+    survivors(definiteFresh.unionByName(confirmedFresh).drop("_bh"), idCol, textCol, paranoid)
+  }
 }

@@ -27,6 +27,27 @@ object StreamingOps {
            count(lit(1)).as("n"))
   }
 
+  /** Event-time-windowed heavy hitters: a Misra–Gries frequent-items
+    * sketch per (window, group) over the tokens of a text column. Tokens
+    * explode map-side; the streaming state store holds one bounded sketch
+    * per key (the same partial/merge lifecycle as the batch aggregate), so
+    * a hot window costs O(maxMapSize) state no matter how many tokens it
+    * sees. Query the emitted sketch column with `freq_topk` / `freq_lb` /
+    * `freq_ub`, or roll windows up later with `freq_merge`. */
+  def windowedFreqSketch(docs: DataFrame, tsCol: String, textCol: String,
+                         groupCol: String, windowDuration: String,
+                         watermarkDelay: String,
+                         maxMapSize: Int = graft.core.FreqSketch.DefaultMaxMapSize): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("_tok"))
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol))
+      .agg(expr(s"freq_sketch(_tok, $maxMapSize)").as("tok_sketch"),
+           count(lit(1)).as("n_tokens"))
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each content hash.
     * State is the 8-byte hash only (dropDuplicates state store). NOTE:
     * `dropDuplicates` on the hash alone keeps one state row per distinct

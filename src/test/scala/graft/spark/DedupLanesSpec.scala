@@ -129,4 +129,44 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
       .collect().map(_.getLong(0))
     corpusHashes.foreach(h => assert(bf.mightContain(h), "false negative on a corpus hash"))
   }
+
+  test("incrementalSurvivorsBloomSharded matches the plain path; empty shards are sound") {
+    import spark.implicits._
+    val corpus = local.take(50).toDF("doc_id", "text")
+    val freshDocs = local.slice(50, 70).map { case (id, t) => (id + 50, t) }
+    val corpusCopies = local.take(10).map { case (id, t) => (id + 9000, t) }
+    val batchCopies = freshDocs.take(5).map { case (id, t) => (id + 900, t) }
+    val incoming = (freshDocs ++ corpusCopies ++ batchCopies).toDF("doc_id", "text")
+    val expected = ExactDedup.incrementalSurvivors(corpus, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // shards = 1 degenerates to the monolithic filter; 16 leaves some hash
+    // ranges with NO corpus docs (50 docs over 16 shards) — those shards
+    // have no filter row and must mark their rows definitely-fresh, not drop
+    for (shards <- Seq(1, 16)) {
+      val filters = ExactDedup.corpusBloomShards(corpus, "text", shards,
+        expectedItemsPerShard = 64L)
+      val got = ExactDedup.incrementalSurvivorsBloomSharded(
+        corpus, incoming, "doc_id", "text", filters, shards)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"shards=$shards changed the result")
+      val gotP = ExactDedup.incrementalSurvivorsBloomSharded(
+        corpus, incoming, "doc_id", "text", filters, shards, paranoid = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotP == expected)
+    }
+    // shard-wise append: merging per-shard filters of two half-corpora must
+    // equal one filter over the union (the Iceberg-append maintenance path)
+    val halfA = local.take(25).toDF("doc_id", "text")
+    val halfB = local.slice(25, 50).map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val merged = ExactDedup.corpusBloomShards(halfA, "text", 4, 64L)
+      .unionByName(ExactDedup.corpusBloomShards(halfB, "text", 4, 64L))
+      .groupBy("shard")
+      .agg(graft.spark.GraftFunctions.bloom_merge(col("filter")).as("filter"))
+    val whole = ExactDedup.corpusBloomShards(corpus, "text", 4, 64L)
+    val mergedMap = merged.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val wholeMap = whole.collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(mergedMap.keySet == wholeMap.keySet)
+    for ((s, bytes) <- wholeMap)
+      assert(java.util.Arrays.equals(bytes, mergedMap(s)), s"shard $s filter differs after merge")
+  }
 }

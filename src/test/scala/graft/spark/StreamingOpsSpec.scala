@@ -39,6 +39,39 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowed freq_sketch: streaming heavy hitters keep MG guarantees per window") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "grp", "text")
+    val agg = StreamingOps.windowedFreqSketch(df, "ts", "text", "grp",
+      "10 minutes", "5 minutes", maxMapSize = 8)
+    val q = agg.writeStream.format("memory").queryName("win_freq")
+      .outputMode("update").start()
+    try {
+      val t0 = 1700000000000L
+      // skewed token stream across two batches: "hot" dominates
+      input.addData((1 to 100).map(i =>
+        (new Timestamp(t0 + i), "a", s"hot tok$i hot")): _*)
+      q.processAllAvailable()
+      input.addData((1 to 50).map(i =>
+        (new Timestamp(t0 + 200 + i), "a", s"hot cold$i")): _*)
+      q.processAllAvailable()
+      val rows = sq.sql("SELECT * FROM win_freq").collect()
+      assert(rows.nonEmpty)
+      val last = rows.maxBy(_.getAs[Long]("n_tokens"))
+      assert(last.getAs[Long]("n_tokens") == 400L) // 100*3 + 50*2
+      val sk = graft.core.FreqSketch.deserialize(last.getAs[Array[Byte]]("tok_sketch"))
+      assert(sk.streamWeight == 400L)
+      assert(sk.maxError * 9 <= 2L * 400L)
+      // "hot" (250 occurrences) is far above maxError -> guaranteed tracked
+      assert(sk.contains("hot"))
+      assert(sk.lowerBound("hot") <= 250L && 250L <= sk.upperBound("hot"))
+      assert(sk.topK(1).head.item == "hot")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     val sq = spark
     import sq.implicits._
