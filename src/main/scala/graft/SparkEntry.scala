@@ -137,6 +137,23 @@ object SparkEntry {
       ExactDedup.incrementalSurvivorsBloom(corpus, incoming, "doc_id", "text", bloom)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_incremental_bloom_sharded" -> ((s, dir) => {
+      // the beyond-broadcast regime of the same increment: per-shard corpus
+      // filters probed CO-GROUPED (no filter broadcast, no filter bytes
+      // crossing shards) — at 10^12 docs the monolithic filter is TBs, the
+      // shard is a task-local probe. Same oracle truth again: sharding must
+      // be invisible (empty shards mark their rows definitely-fresh).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val filters = ExactDedup.corpusBloomShards(corpus, "text", shards = 8,
+        expectedItemsPerShard = 256L)
+      ExactDedup.incrementalSurvivorsBloomSharded(corpus, incoming, "doc_id", "text",
+          filters, shards = 8)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -646,6 +663,19 @@ object SparkEntry {
     // identical truth to q_incremental_dedup: the Bloom prefilter must be
     // invisible in the result set
     "q_incremental_bloom" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |fresh AS (SELECT * FROM incoming i WHERE NOT EXISTS
+        |  (SELECT 1 FROM corpus c WHERE c.text = i.text))
+        |SELECT doc_id FROM fresh a
+        |WHERE doc_id = (SELECT min(doc_id) FROM fresh b WHERE b.text = a.text)
+        |ORDER BY doc_id""".stripMargin,
+    // and a third time for the sharded co-grouped probe path
+    "q_incremental_bloom_sharded" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
         |incoming AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
