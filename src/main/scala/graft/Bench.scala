@@ -190,7 +190,7 @@ object Bench {
       // the GC share is a measured residual of the scaling gap; near-equal
       // task CPU at N and 4N proves the wall gap is scheduling/contention,
       // not inflated work (one shared heap serves all threads in local mode)
-      def runPipeline(s: SparkSession, cores: Int): (Double, Double, Double) = {
+      def runPipeline(s: SparkSession, cores: Int, docs: Int): (Double, Double, Double) = {
         val work = java.nio.file.Files.createTempDirectory(
           graft.spark.Scratch.workParent, s"graft-bench-$cores").toString // tmpfs: bench the engine, not the sandbox ext4
         val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -200,7 +200,7 @@ object Bench {
         }
         s.sparkContext.addSparkListener(listener)
         // identical corpus at both levels: chunk count fixed at 64
-        val df = graft.core.WebPages.generateDistributed(s, benchDocs, 42L, 64)
+        val df = graft.core.WebPages.generateDistributed(s, docs, 42L, 64)
         val gc0 = gcMillis
         val sec = timed {
           // the corpus is deterministic in (docs, seed, chunks) — pass the
@@ -209,7 +209,7 @@ object Bench {
           // generator would pay twice
           graft.pipeline.NearDupPipeline.run(s, df,
             graft.pipeline.NearDupPipeline.Config(workDir = work,
-              inputSnapshotId = Some(s"bench-$benchDocs-42-64"))).clusters.count()
+              inputSnapshotId = Some(s"bench-$docs-42-64"))).clusters.count()
         }
         // the listener bus is async: drain it before reading the CPU sum or
         // the final jobs' task-end events undercount runs_n*_cpu_sec
@@ -227,6 +227,7 @@ object Bench {
       val cal4N = scala.collection.mutable.ArrayBuffer[Double]()
       val cpuN = scala.collection.mutable.ArrayBuffer[Double]()
       val cpu4N = scala.collection.mutable.ArrayBuffer[Double]()
+      val runDocs = scala.collection.mutable.ArrayBuffer[Int]()
       // alternating pairs so host drift hits both levels evenly; stop
       // early (keeping completed pairs) if the wall budget runs out, so a
       // driver-side timeout can never swallow the whole artifact. If no
@@ -234,8 +235,18 @@ object Bench {
       // (bounded by maxRuns and the budget) until one is — the committed
       // artifact must contain at least one pair that passes its own gates
       // whenever the host grants a clean window at all (r2 judge item #1).
+      // When the remaining budget cannot fit another full-size pair, retry
+      // pairs HALVE the doc count (floor benchDocs/4): pair efficiency is a
+      // within-pair ratio, so a smaller pair is still a valid fairness-gated
+      // sample — without this, one pressure-inflated first pair (measured
+      // 1322 s vs the 900 s budget, 2026-08-17) silently disables every
+      // retry and the artifact ships gateless.
       val maxRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_RUNS", "6").toInt
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toInt
+      // 1800 s default: a pressure-inflated first pair alone measured
+      // 1322 s — under the old 900 s budget that left no room for ANY
+      // retry, shrunken or not, and the artifact shipped gateless
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "1800").toInt
+      var pairDocs = benchDocs
       def pairFair(i: Int): Boolean = {
         val calOk = math.max(calN(i), cal4N(i)) / math.min(calN(i), cal4N(i)) <= CalibFairMaxRatio
         val cpuOk = (if (cpuN(i) > 0) cpu4N(i) / cpuN(i) else 1.0) <= CpuFairMaxRatio
@@ -245,19 +256,26 @@ object Bench {
       var r = 1
       var continue = true
       while (continue) {
+        runDocs += pairDocs
         val sN = session(nCores)
         calN += calibrate(nCores * 4)
-        val (wN, gN, cN) = runPipeline(sN, nCores)
+        val (wN, gN, cN) = runPipeline(sN, nCores, pairDocs)
         secsN += wN; gcN += gN; cpuN += cN
         sN.stop()
         val s4N = session(nCores * 4)
         cal4N += calibrate(nCores * 4)
-        val (w4, g4, c4) = runPipeline(s4N, nCores * 4)
+        val (w4, g4, c4) = runPipeline(s4N, nCores * 4, pairDocs)
         secs4N += w4; gc4N += g4; cpu4N += c4
         val anyFair = secsN.indices.exists(pairFair)
         val elapsed = (System.nanoTime() - tStart) / 1e9
         val wantMore = r < runs || (!anyFair && r < maxRuns)
-        continue = wantMore && elapsed + (secsN.last + secs4N.last) * 1.2 < budgetSec
+        // next-pair wall estimate scales ~linearly in docs; shrink the next
+        // pair until it fits the remaining budget (pairs stay self-contained,
+        // so mixed sizes never mix inside one ratio)
+        def estNext = (secsN.last + secs4N.last) * 1.2 * pairDocs.toDouble / runDocs.last
+        while (wantMore && elapsed + estNext >= budgetSec && pairDocs > benchDocs / 4)
+          pairDocs /= 2
+        continue = wantMore && elapsed + estNext < budgetSec
         if (continue) s4N.stop() else spark = s4N
         r += 1
       }
@@ -316,12 +334,15 @@ object Bench {
         f""","cleanest_pair_efficiency":${pairEffs(i)}%.3f""").getOrElse("")
       val secN = median(secsN.toSeq)
       val sec4N = median(secs4N.toSeq)
-      val tpN = benchDocs / secN
-      val tp4N = benchDocs / sec4N
+      // throughput per run from THAT run's doc count (shrunken retry pairs
+      // are smaller), then the median — never benchDocs over a mixed median
+      val tpN = median(runDocs.zip(secsN).map { case (d, s) => d / s }.toSeq)
+      val tp4N = median(runDocs.zip(secs4N).map { case (d, s) => d / s }.toSeq)
       val effOfMedians = tp4N / (4.0 * tpN)
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
       def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-      f"""{"docs":$benchDocs,"runs":${secsN.length},"n_cores":$nCores,""" +
+      f"""{"docs":$benchDocs,"runs_docs":${runDocs.mkString("[", ",", "]")},""" +
+        f""""runs":${secsN.length},"n_cores":$nCores,""" +
         s""""runs_n_sec":${arr(secsN.toSeq)},"runs_n4_sec":${arr(secs4N.toSeq)},""" +
         s""""runs_n_gc_sec":${arr(gcN.toSeq)},"runs_n4_gc_sec":${arr(gc4N.toSeq)},""" +
         s""""calib_n_sec":${arr(calN.toSeq)},"calib_n4_sec":${arr(cal4N.toSeq)},""" +
