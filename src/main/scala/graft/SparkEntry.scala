@@ -729,10 +729,13 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // exact 3-gram Jaccard truth: same gram construction as the minhash
     // oracle (token 3-grams, short docs contribute their one full-sequence
-    // gram), all-integer outputs so no float round-trip can drift
+    // gram), all-integer outputs so no float round-trip can drift. Blank
+    // docs excluded up front: the kernel tokenizes '' to 0 grams (never a
+    // candidate) while regexp_split_to_array would give them the [''] gram.
     "q_ngram_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE trim(text) <> ''
         |), s AS (
         |  SELECT doc_id,
         |         list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -766,9 +769,14 @@ object SparkEntry {
     "q_fingerprint" -> "SELECT doc_id, md5(text) AS fp FROM documents",
     // exact token/bigram histogram maxima per document (DuckDB's 1-based
     // list_transform index pairs toks[i] with toks[i+1] — same bigram
-    // identity as the kernel's space-joined key)
+    // identity as the kernel's space-joined key). Blank docs guarded: the
+    // kernel tokenizes '' to 0 tokens while a bare regexp_split_to_array
+    // yields [''] (n_tokens=1), so the toks CTE maps blank to [] and the
+    // final select starts from t with zero-coalesced LEFT JOINs.
     "q_repetition" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
         |tokc AS (
         |  SELECT doc_id, tok, count(*) AS c
         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
@@ -781,8 +789,11 @@ object SparkEntry {
         |          unnest(list_transform(toks[:len(toks)-1], (x,i) -> x || ' ' || toks[i+1])) AS bg
         |        FROM t) GROUP BY 1, 2),
         |bigagg AS (SELECT doc_id, max(c)::INT AS top_bigram_cnt FROM bigc GROUP BY 1)
-        |SELECT doc_id, n_tokens, n_distinct, top_tok_cnt, coalesce(top_bigram_cnt, 0)::INT AS top_bigram_cnt
-        |FROM tokagg LEFT JOIN bigagg USING (doc_id)""".stripMargin,
+        |SELECT doc_id, coalesce(n_tokens, 0)::INT AS n_tokens,
+        |  coalesce(n_distinct, 0)::INT AS n_distinct,
+        |  coalesce(top_tok_cnt, 0)::INT AS top_tok_cnt,
+        |  coalesce(top_bigram_cnt, 0)::INT AS top_bigram_cnt
+        |FROM t LEFT JOIN tokagg USING (doc_id) LEFT JOIN bigagg USING (doc_id)""".stripMargin,
     "q_extract_text" -> "SELECT doc_id, text FROM documents",
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users

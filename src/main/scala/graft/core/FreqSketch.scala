@@ -116,14 +116,20 @@ final class FreqSketch private (
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeByte(1) // version
+    out.writeByte(2) // version (v2: length-prefixed UTF-8 items)
     out.writeInt(maxMapSize)
     out.writeLong(_offset)
     out.writeLong(_streamWeight)
     out.writeInt(counts.size)
-    // deterministic order so equal sketches serialize byte-identically
+    // deterministic order so equal sketches serialize byte-identically.
+    // Items are length-prefixed raw UTF-8, NOT writeUTF: a whitespace-split
+    // web corpus contains "tokens" over 64 KiB (minified JS, base64 blobs)
+    // and writeUTF throws UTFDataFormatException at 65535 bytes — crashing
+    // the aggregate at shuffle-serialize time.
     counts.toArray.sortBy(_._1).foreach { case (item, c) =>
-      out.writeUTF(item)
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(c)
     }
     out.flush()
@@ -144,7 +150,8 @@ object FreqSketch {
 
   def deserialize(bytes: Array[Byte]): FreqSketch = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    require(in.readByte() == 1, "unknown FreqSketch version")
+    val version = in.readByte()
+    require(version == 1 || version == 2, s"unknown FreqSketch version $version")
     val maxMapSize = in.readInt()
     val offset = in.readLong()
     val weight = in.readLong()
@@ -152,7 +159,14 @@ object FreqSketch {
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
     while (i < n) {
-      val item = in.readUTF()
+      val item =
+        if (version == 1) in.readUTF()
+        else {
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        }
       m(item) = in.readLong()
       i += 1
     }

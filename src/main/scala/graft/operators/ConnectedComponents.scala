@@ -65,31 +65,48 @@ object ConnectedComponents {
       edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
         .filter($"u" =!= $"v"))
 
-    // phase 1: one-hop min labels, then contract
-    val l0 = materialize(
-      e0.select($"u".as("id"), $"v".as("nbr"))
-        .union(e0.select($"v".as("id"), $"u".as("nbr")))
-        .groupBy("id").agg(least(min("nbr"), first("id")).as("label")))
-    val e1 = materialize(
-      e0.join(l0.withColumnRenamed("id", "u").withColumnRenamed("label", "lu"), "u")
-        .join(l0.withColumnRenamed("id", "v").withColumnRenamed("label", "lv"), "v")
-        .select($"lu".as("u"), $"lv".as("v"))
-        .filter($"u" =!= $"v")
-        .distinct())
-
-    val e1Count = e1.count() // cheap: e1 is checkpointed
-    if (e1Count == 0) {
-      // every star was a whole component — no phase 2/3 work at all
-      l0.select($"id", $"label".as("component"))
+    // SMALL-GRAPH FAST PATH: when the whole input already fits the driver
+    // union-find bound, skip the contraction phases entirely — the star
+    // contraction exists to SHRINK a graph that is too big to collect, and
+    // for a small graph its ~4 extra blocking job boundaries are pure
+    // scheduler-latency overhead (the Amdahl-S term; r3 measured them
+    // amplified 13x under host pressure on a 500-edge input). One cheap
+    // count on the already-materialized e0 decides; the count is exact, so
+    // the collect in localFinish stays bounded. A 10^12-doc corpus takes
+    // the contraction path untouched.
+    val e0Count = e0.count()
+    if (e0Count <= localFinishMaxEdges) {
+      if (e0Count == 0) {
+        // no edges: empty (id, component) — callers left-join singletons in
+        e0.select($"u".as("id"), $"v".as("component"))
+      } else localFinish(spark, e0)
     } else {
-      val contracted =
-        if (e1Count <= localFinishMaxEdges) localFinish(spark, e1)
-        else iterate(e1, maxIterations)
-      // compose: component(id) = component(l0(id)) in the contracted graph,
-      // or l0(id) itself when its star was already a whole component
-      l0.join(contracted.withColumnRenamed("id", "lid").withColumnRenamed("component", "comp"),
-          $"label" === $"lid", "left")
-        .select($"id", coalesce($"comp", $"label").as("component"))
+      // phase 1: one-hop min labels, then contract
+      val l0 = materialize(
+        e0.select($"u".as("id"), $"v".as("nbr"))
+          .union(e0.select($"v".as("id"), $"u".as("nbr")))
+          .groupBy("id").agg(least(min("nbr"), first("id")).as("label")))
+      val e1 = materialize(
+        e0.join(l0.withColumnRenamed("id", "u").withColumnRenamed("label", "lu"), "u")
+          .join(l0.withColumnRenamed("id", "v").withColumnRenamed("label", "lv"), "v")
+          .select($"lu".as("u"), $"lv".as("v"))
+          .filter($"u" =!= $"v")
+          .distinct())
+
+      val e1Count = e1.count() // cheap: e1 is checkpointed
+      if (e1Count == 0) {
+        // every star was a whole component — no phase 2/3 work at all
+        l0.select($"id", $"label".as("component"))
+      } else {
+        val contracted =
+          if (e1Count <= localFinishMaxEdges) localFinish(spark, e1)
+          else iterate(e1, maxIterations)
+        // compose: component(id) = component(l0(id)) in the contracted graph,
+        // or l0(id) itself when its star was already a whole component
+        l0.join(contracted.withColumnRenamed("id", "lid").withColumnRenamed("component", "comp"),
+            $"label" === $"lid", "left")
+          .select($"id", coalesce($"comp", $"label").as("component"))
+      }
     }
   }
 

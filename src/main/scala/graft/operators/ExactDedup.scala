@@ -155,12 +155,23 @@ object ExactDedup {
                                 bloomBytes: Array[Byte],
                                 paranoid: Boolean = false): DataFrame = {
     val spark = incoming.sparkSession
+    // Broadcast lifecycle: the filter rides the returned (lazy) DataFrame's
+    // plan, so it cannot be destroyed here; Spark's ContextCleaner reclaims
+    // executor copies once the caller drops the DataFrame. A driver loop
+    // re-invoking this daily with GB-scale filters should hold only the
+    // current increment's DataFrame so the previous broadcast becomes
+    // collectable before the next one ships.
     val bc = spark.sparkContext.broadcast(graft.core.BloomFilter.deserialize(bloomBytes))
     // deserialize once per executor via the broadcast — never per row
     val mightContain = org.apache.spark.sql.functions.udf((h: Long) => bc.value.mightContain(h))
+    // single `_maybe` projection feeding both branches (instead of the UDF
+    // written out in two complementary filters): each branch's scan probes a
+    // row once, and a caller that persists `keyed` (the daily-driver shape)
+    // pays exactly one probe per row total
     val keyed = incoming.withColumn("_bh", xxhash64(col(textCol)))
-    val definiteFresh = keyed.filter(!mightContain(col("_bh")))
-    val maybe = keyed.filter(mightContain(col("_bh")))
+      .withColumn("_maybe", mightContain(col("_bh")))
+    val definiteFresh = keyed.filter(!col("_maybe")).drop("_maybe")
+    val maybe = keyed.filter(col("_maybe")).drop("_maybe")
     val corpusKeys = corpus.select(contentKey(textCol, paranoid).as("_ch"))
     val maybeKeyed = maybe.withColumn("_ik", contentKey(textCol, paranoid))
     val confirmedFresh = maybeKeyed

@@ -315,6 +315,8 @@ case class BloomMergeAgg(
 ) extends BinarySketchAgg[BloomFilter] {
 
   override def prettyName: String = "bloom_merge"
+  // all-null/empty groups eval to NULL (no honest config to emit)
+  override def nullable: Boolean = true
   override def createAggregationBuffer(): BloomFilter = null.asInstanceOf[BloomFilter]
 
   override def update(buf: BloomFilter, input: InternalRow): BloomFilter = {
@@ -327,8 +329,11 @@ case class BloomMergeAgg(
   }
   override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter =
     if (buf == null) other else if (other == null) buf else buf.merge(other)
+  // SQL-aggregate convention for an all-null/empty group: NULL, never a
+  // placeholder — a persisted 64-bit placeholder filter would poison every
+  // later bloom_merge/merge with its mismatched config
   override def eval(buf: BloomFilter): Any =
-    (if (buf == null) BloomFilter(1L, 0.01) else buf).serialize()
+    if (buf == null) null else buf.serialize()
   // empty-partition buffers shuffle as zero bytes — a placeholder filter
   // would poison the merge's same-config require
   override def serialize(buf: BloomFilter): Array[Byte] =

@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.ConnectedComponents
 
-/** Connected components across its three execution paths: contraction-only
-  * (residual empty), driver union-find finish (small residual), and the
-  * distributed label-propagation loop (forced via localFinishMaxEdges = 0).
+/** Connected components across its four execution paths: the small-graph
+  * fast path (whole input within the union-find bound — skips contraction
+  * entirely), contraction-only (residual empty), contraction + driver
+  * union-find finish (small residual), and the distributed
+  * label-propagation loop (forced via localFinishMaxEdges = 0). Paths are
+  * forced by sizing localFinishMaxEdges relative to the input edge count.
   * Truth is a Scala-side union-find over the raw edges. */
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSuiteBase {
   import spark.implicits._
@@ -34,18 +37,30 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth(edges))
   }
 
-  // min-hub stars and cliques contract to nothing in phase 1
-  test("stars and cliques: residual-empty fast path") {
+  // whole input within the bound: contraction skipped, one collect decides
+  test("small-graph fast path matches truth") {
     val star = (2L to 20L).map(l => (1L, l))
-    val clique = for (a <- 30L to 36L; b <- (a + 1) to 36L) yield (a, b)
-    check(star ++ clique, localMax = 4000000L)
+    val chain = (0L until 40L).map(i => (100L + i, 101L + i))
+    check(star ++ chain, localMax = 4000000L)
   }
 
-  // a long path graph survives contraction; exercises the union-find finish
-  test("chains: driver union-find finish matches truth") {
+  // min-hub stars and cliques contract to nothing in phase 1 (localMax
+  // below the input edge count disables the fast path, so the
+  // residual-empty contraction branch is what runs)
+  test("stars and cliques: residual-empty contraction path") {
+    val star = (2L to 20L).map(l => (1L, l))
+    val clique = for (a <- 30L to 36L; b <- (a + 1) to 36L) yield (a, b)
+    check(star ++ clique, localMax = 5L)
+  }
+
+  // a long path graph survives contraction; localMax sits between the
+  // input size (66 edges — fast path off) and the contracted residual
+  // (63 edges: one-hop min labels shave exactly one edge per chain plus
+  // the isolated pair — union-find finish on)
+  test("chains: contraction + driver union-find finish matches truth") {
     val chainA = (0L until 40L).map(i => (100L + i, 101L + i))
     val chainB = (0L until 25L).map(i => (500L + 2 * i, 502L + 2 * i))
-    check(chainA ++ chainB ++ Seq((9000L, 9001L)), localMax = 4000000L)
+    check(chainA ++ chainB ++ Seq((9000L, 9001L)), localMax = 64L)
   }
 
   test("distributed loop (localFinishMaxEdges = 0) agrees with union-find finish") {
