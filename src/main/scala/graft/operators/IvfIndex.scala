@@ -20,6 +20,15 @@ import org.apache.spark.sql.expressions.Window
   * vectors exactly on a cell boundary could flip, so consumers assert
   * recall with margin, not exact cell ids.)
   */
+/** Fixed-width Lloyd-round partial: per cell, (element-wise vector sum,
+  * member count). The aggregation buffer is one dim-length array + a long,
+  * so a Lloyd round's shuffle carries at most k such partials PER PARTITION
+  * (ObjectHashAggregate partial+final — the same map-side discipline as
+  * every sketch aggregate) instead of corpus x dim exploded rows.
+  * Top-level (not nested private) so the codegen'd encoder can reach the
+  * constructor and accessors. */
+private[graft] final case class VecSum(vsum: Array[Double], n: Long)
+
 object IvfIndex {
 
   /** Index of the centroid with the highest cosine to `v`. */
@@ -45,6 +54,64 @@ object IvfIndex {
       .map(_._2)
       .toArray
 
+  private class VecSumAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Double], VecSum, VecSum] {
+    override def zero: VecSum = VecSum(Array.emptyDoubleArray, 0L)
+    override def reduce(b: VecSum, v: Array[Double]): VecSum = {
+      if (b.n == 0L) VecSum(v.clone(), 1L)
+      else {
+        val s = b.vsum
+        // IVF is a fixed-dimension structure; a mixed-dim corpus must fail
+        // loudly here, not with an index crash mid-sum
+        require(s.length == v.length,
+          s"corpus vector dimension ${v.length} != ${s.length}: " +
+            "IvfIndex requires a fixed-dimension embedding column")
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        VecSum(s, b.n + 1L)
+      }
+    }
+    override def merge(a: VecSum, b: VecSum): VecSum =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        require(a.vsum.length == b.vsum.length,
+          s"corpus vector dimension ${b.vsum.length} != ${a.vsum.length}: " +
+            "IvfIndex requires a fixed-dimension embedding column")
+        var i = 0
+        while (i < b.vsum.length) { a.vsum(i) += b.vsum(i); i += 1 }
+        VecSum(a.vsum, a.n + b.n)
+      }
+    override def finish(r: VecSum): VecSum = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+    override def outputEncoder: org.apache.spark.sql.Encoder[VecSum] =
+      org.apache.spark.sql.Encoders.product[VecSum]
+  }
+
+  /** One Lloyd round as a plan: assign cells against broadcast centroids,
+    * then the fixed-width (cell -> dim-sums, count) partial aggregate.
+    * Input must already be (id, v:array<double>). */
+  private def lloydRound(vecs: DataFrame,
+                         cents: Array[Array[Double]]): DataFrame = {
+    val bc = vecs.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
+    val vecSum = udaf(new VecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    vecs
+      .withColumn("cell", cellUdf(col("v")))
+      .groupBy("cell")
+      .agg(vecSum(col("v")).as("s"))
+      .select(col("cell"), col("s.vsum").as("sum"), col("s.n").as("n"))
+  }
+
+  /** Test seam: the single-round aggregation plan, for the
+    * ObjectHashAggregate / no-explode plan assertion in IvfIndexSpec. */
+  private[graft] def lloydRoundPlanForTest(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Array[Array[Double]]): DataFrame =
+    lloydRound(corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")), cents)
+
   /** Fit the coarse quantizer. Returns centroids as a driver-side model
     * (k x dim doubles — tiny; this is the one legitimate driver-side
     * collect: the fitted MODEL, never the data).
@@ -52,14 +119,15 @@ object IvfIndex {
     * Deterministic: init picks the k vectors with the smallest
     * `xxhash64(id)` (a seeded uniform sample, stable under partitioning);
     * then `iters` fixed Lloyd rounds, each a single distributed pass —
-    * assignment is a compiled UDF over broadcast centroids; the new means
-    * reduce per (cell, dimension) after posexplode, k*dim rows back to the
-    * driver per round. Cells that lose all members keep their previous
-    * centroid. */
+    * assignment is a compiled UDF over broadcast centroids, and the new
+    * means come from the [[VecSumAgg]] fixed-width partial aggregate
+    * (map-side combine; only k (dim-sums, count) rows reach the driver per
+    * round, never exploded corpus x dim rows — at 10^12 vectors the old
+    * posexplode round shuffled corpus x dim rows per iteration). Cells
+    * that lose all members keep their previous centroid. */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
                    iters: Int = 5): Array[Array[Double]] = {
     require(k > 0 && iters >= 0)
-    val spark = corpus.sparkSession
     // cached for the duration of the fit: init + every Lloyd round scans it
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).persist()
@@ -71,26 +139,23 @@ object IvfIndex {
         .map(_.getSeq[Double](1).toArray)
       var it = 0
       while (it < iters) {
-        val bc = spark.sparkContext.broadcast(cents)
-        val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
-        val rows = vecs
-          .withColumn("cell", cellUdf(col("v")))
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg("x").as("m"))
-          .collect()
+        val rows = lloydRound(vecs, cents).collect()
         val next = cents.map(_.clone())
         rows.foreach { r =>
           val cell = r.getInt(0)
-          val pos = r.getInt(1)
-          // IVF is a fixed-dimension structure; a mixed-dim corpus must
-          // fail loudly here, not with an index crash mid-update
-          require(pos < next(cell).length,
-            s"corpus vector has dimension > ${next(cell).length} (quantizer dim): " +
+          val sums = r.getSeq[Double](1)
+          val n = r.getLong(2)
+          require(sums.length == next(cell).length,
+            s"corpus vector has dimension ${sums.length} != ${next(cell).length} (quantizer dim): " +
               "IvfIndex requires a fixed-dimension embedding column")
-          next(cell)(pos) = r.getDouble(2)
+          if (n > 0) {
+            val m = new Array[Double](sums.length)
+            var i = 0
+            while (i < m.length) { m(i) = sums(i) / n; i += 1 }
+            next(cell) = m
+          }
         }
         cents = next
-        bc.destroy()
         it += 1
       }
       cents

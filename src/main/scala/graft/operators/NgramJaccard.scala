@@ -28,27 +28,75 @@ import graft.core.TextOps
   *  - Hot grams (boilerplate) go through the same salted, size-capped
   *    bucket collection as every other lane ([[BucketedPairs]]); a gram
   *    hotter than `maxPostings` falls back to star edges, which trades the
-  *    completeness guarantee on *that gram only* for linear cost (the
-  *    standard df-ordered prefix optimization would push hot grams out of
-  *    prefixes entirely at the cost of a frequency pass — noted, not
-  *    needed while caps don't trigger).
+  *    completeness guarantee on *that gram only* for linear cost.
+  *  - `dfOrdered = true` adds the standard df-ordered-prefix pass: one
+  *    narrow (gram, df) aggregation finds exactly the grams whose postings
+  *    would cap, and the global gram order becomes hot-LAST (non-hot by
+  *    hash, then hot by hash). The prefix lemma holds under ANY consistent
+  *    total order, and with hot grams last the lemma's witness (the
+  *    smallest shared gram) is non-hot whenever the pair shares any
+  *    non-hot gram — so capping can only drop pairs whose overlap is
+  *    entirely boilerplate. The hot set is bounded by
+  *    totalGramOccurrences / maxPostings (small by construction), so it
+  *    broadcasts.
   *  - The verify join ships each candidate pair's two texts once; pair
   *    multiplicity is bounded by the bucket cap, AQE handles residual skew.
   */
 object NgramJaccard {
 
+  /** Grams whose document frequency exceeds `maxPostings` — exactly the
+    * set whose postings buckets would cap. One narrow (gram, df) aggregate
+    * over distinct per-doc grams; the result is bounded by
+    * totalGramOccurrences / maxPostings, so collecting it is the
+    * model-not-data kind of driver collect. Returned sorted for binary
+    * search. */
+  def hotGrams(docs: DataFrame, textCol: String, n: Int,
+               maxPostings: Int): Array[Long] = {
+    val gramsUdf = udf((t: String) => TextOps.shingleHashes(t, n))
+    docs.select(explode(gramsUdf(col(textCol))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxPostings)
+      .select("gram").collect().map(_.getLong(0)).sorted
+  }
+
   /** Candidate pairs (id_a < id_b) from the prefix-filter inverted index.
     * Superset of all pairs with n-gram Jaccard >= threshold (exact while no
-    * gram exceeds `maxPostings`). */
+    * gram exceeds `maxPostings`; with `dfOrdered` also exact for every
+    * pair sharing at least one non-hot gram). */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double,
-                     maxPostings: Int = 10000): DataFrame = {
+                     maxPostings: Int = 10000,
+                     dfOrdered: Boolean = false): DataFrame = {
     require(n >= 1 && threshold > 0.0 && threshold <= 1.0,
       s"bad config n=$n t=$threshold")
+    val hot: Array[Long] =
+      if (dfOrdered) hotGrams(docs, textCol, n, maxPostings)
+      else Array.emptyLongArray
+    val bcHot = docs.sparkSession.sparkContext.broadcast(hot)
     val prefix = udf { (t: String) =>
       val g = TextOps.shingleHashes(t, n) // sorted ascending = global order
-      val keep = g.length - math.ceil(threshold * g.length).toInt + 1
-      g.take(math.max(0, math.min(keep, g.length)))
+      val keep0 = g.length - math.ceil(threshold * g.length).toInt + 1
+      val keep = math.max(0, math.min(keep0, g.length))
+      val hotArr = bcHot.value
+      if (hotArr.length == 0) g.take(keep)
+      else {
+        // hot-LAST total order: non-hot grams (hash asc), then hot grams
+        // (hash asc); g is already sorted, so two stable passes preserve
+        // the within-class order
+        val out = new Array[Long](g.length)
+        var w = 0
+        var i = 0
+        while (i < g.length) {
+          if (java.util.Arrays.binarySearch(hotArr, g(i)) < 0) { out(w) = g(i); w += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < g.length && w < g.length) {
+          if (java.util.Arrays.binarySearch(hotArr, g(i)) >= 0) { out(w) = g(i); w += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(out, keep)
+      }
     }
     val postings = docs.select(col(idCol).as("id"),
       explode(prefix(col(textCol))).as("gram"))
@@ -75,10 +123,11 @@ object NgramJaccard {
     * common/(a+b-common) >= threshold — all-integer output. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             n: Int = 3, threshold: Double = 0.5,
-            maxPostings: Int = 10000): DataFrame = {
+            maxPostings: Int = 10000,
+            dfOrdered: Boolean = false): DataFrame = {
     val stats = udf((a: String, b: String) => overlapStats(a, b, n))
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    candidatePairs(docs, idCol, textCol, n, threshold, maxPostings)
+    candidatePairs(docs, idCol, textCol, n, threshold, maxPostings, dfOrdered)
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
       .withColumn("st", stats(col("t_a"), col("t_b")))

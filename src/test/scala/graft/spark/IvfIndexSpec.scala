@@ -114,6 +114,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkSuiteBase {
       s"cell predicate not pushed to partition pruning: ${idxScan.get.partitionFilters}")
   }
 
+  test("Lloyd round aggregates map-side under ObjectHashAggregate (plan check)") {
+    // the fit's per-round mean must be the fixed-width (dim-sums, count)
+    // partial aggregate — one ObjectHashAggregate pair, never a
+    // posexplode'd corpus x dim row shuffle
+    val vecs = clusteredVecs(200, 16, 4, 53L)
+    val df = toDf(vecs)
+    val cents = IvfIndex.fitCentroids(df, "id", "v", k = 8, iters = 0)
+    val round = IvfIndex.lloydRoundPlanForTest(df, "id", "v", cents)
+    round.collect()
+    // string match: AQE query-stage wrappers hide children from collect()
+    val plan = round.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"no ObjectHashAggregate in Lloyd round plan:\n$plan")
+    assert(plan.contains("partial_vecsumagg"),
+      s"no map-side partial aggregation in Lloyd round plan:\n$plan")
+    assert(!plan.contains("Generate"), s"Lloyd round still explodes rows:\n$plan")
+  }
+
   test("assign covers every vector and only fitted cells") {
     val vecs = clusteredVecs(300, 16, 4, 37L)
     val df = toDf(vecs)

@@ -105,7 +105,47 @@ class MultimodalSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
-  test("embedding near-dup composes with media features (ANN over fake embeddings)") {
+  test("ContentCodec: near-identical media cosine-close, dissimilar content far") {
+    import graft.operators.Multimodal.{Codecs, ContentCodec}
+    def cos(a: Array[Float], b: Array[Float]): Double = { // inputs unit-norm
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    // structured images: a dark frame, the same frame with ~0.7% of bytes
+    // edited (near-identical), and a bright frame (different content)
+    val dark = Codecs.encodeBmp(40, 30, 1L)
+    java.util.Arrays.fill(dark, 54, dark.length, 20.toByte)
+    val darkEdit = dark.clone()
+    var i = 54
+    while (i < darkEdit.length) { darkEdit(i) = 200.toByte; i += 150 }
+    val bright = Codecs.encodeBmp(40, 30, 1L)
+    java.util.Arrays.fill(bright, 54, bright.length, 230.toByte)
+    val eDark = ContentCodec.embed("image", dark, 64)
+    val eEdit = ContentCodec.embed("image", darkEdit, 64)
+    val eBright = ContentCodec.embed("image", bright, 64)
+    assert(cos(eDark, eEdit) > 0.9, s"edited copy drifted: ${cos(eDark, eEdit)}")
+    assert(cos(eDark, eBright) < 0.5, s"unrelated content too close: ${cos(eDark, eBright)}")
+    // structured audio: near-silence vs the same with a tiny dropout edit
+    // vs full-scale alternating samples
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pcm(fill: Int => Short): Array[Byte] = {
+      val a = Codecs.encodeWav(8000, 2000, 3L)
+      val bb = ByteBuffer.wrap(a).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until 2000).foreach(s => bb.putShort(44 + 2 * s, fill(s)))
+      a
+    }
+    val quiet = pcm(_ => 100)
+    val quietEdit = pcm(s => if (s % 100 == 0) 0 else 100)
+    val loud = pcm(s => if (s % 2 == 0) 30000 else -30000)
+    val eQ = ContentCodec.embed("audio", quiet, 64)
+    val eQE = ContentCodec.embed("audio", quietEdit, 64)
+    val eL = ContentCodec.embed("audio", loud, 64)
+    assert(cos(eQ, eQE) > 0.9, s"edited audio drifted: ${cos(eQ, eQE)}")
+    assert(cos(eQ, eL) < 0.5, s"unrelated audio too close: ${cos(eQ, eL)}")
+  }
+
+  test("embedding near-dup composes with media features (ANN over content embeddings)") {
     val media = Multimodal.mediaTable(spark, 60, seed = 2L)
     val feats = Multimodal.featurize(media, dim = 16).toDF()
       .select(col("media_id").as("vec_id"), col("embedding"))

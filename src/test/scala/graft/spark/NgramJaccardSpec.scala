@@ -45,6 +45,52 @@ class NgramJaccardSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
+  test("df-ordered prefixes recover a pair that hash-order capping drops") {
+    import spark.implicits._
+    import graft.core.TextOps
+    // Engineered corpus: one HOT gram in 12 docs (> maxPostings=4, so its
+    // bucket star-caps) that is the global-MIN gram hash (always inside a
+    // hash-order prefix), and one RARE shared gram that is the global-MAX
+    // (always the one gram a 4-gram doc's prefix drops under hash order).
+    // Docs 100/101 share {hot, rare} (J = 1/3 >= 0.3): under hash order
+    // their only shared in-prefix gram is the capped hot one -> the direct
+    // pair is lost to the star fallback; under the hot-LAST df order the
+    // prefixes drop the hot gram instead, the rare gram's 2-doc bucket
+    // survives, and the pair is found.
+    val words = (0 until 60).map(i => s"tok$i")
+    val byHash = words.sortBy(w => TextOps.shingleHashes(w, 1).head)
+    val hot = byHash.head
+    val rare = byHash.last
+    val Seq(a1, a2, b1, b2) = byHash.slice(1, 5)
+    val mid = byHash.slice(5, 35)
+    val fillers = (0 until 10).map(i =>
+      (i.toLong, s"$hot ${mid(3 * i)} ${mid(3 * i + 1)} ${mid(3 * i + 2)}"))
+    val docs = fillers ++ Seq((100L, s"$hot $rare $a1 $a2"), (101L, s"$hot $rare $b1 $b2"))
+    val df = docs.toDF("doc_id", "text")
+    val truth = NgramJaccard.bruteForcePairs(docs, 1, 0.3)
+    assert(truth == Set((100L, 101L)), s"fixture broken: $truth")
+    def run(dfOrdered: Boolean) =
+      NgramJaccard.pairs(df, "doc_id", "text", n = 1, threshold = 0.3,
+          maxPostings = 4, dfOrdered = dfOrdered)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashOrder = run(dfOrdered = false)
+    assert(!hashOrder.contains((100L, 101L)),
+      "fixture must make hash-order capping drop the pair")
+    assert(run(dfOrdered = true) == truth)
+  }
+
+  test("df-ordered pairs == brute force on the planted-dup corpus") {
+    // same completeness contract as the default order on a corpus with no
+    // hot grams — the flag must not change results when caps don't fire
+    val docs = corpus
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val got = NgramJaccard.pairs(df, "doc_id", "text", n = 3, threshold = 0.5,
+        dfOrdered = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == NgramJaccard.bruteForcePairs(docs, 3, 0.5))
+  }
+
   test("overlapStats is exact on knowns") {
     val (i1, a1, b1) = NgramJaccard.overlapStats("a b c d", "a b c d", 3)
     assert((i1, a1, b1) == (2, 2, 2)) // grams: "a b c","b c d"
