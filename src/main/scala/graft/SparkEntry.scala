@@ -170,6 +170,37 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "n_stop")
         .orderBy("doc_id")
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing any token 5-gram
+      // with the "benchmark" slice (doc_id % 17 == 0 stands in for an
+      // eval suite) are flagged with their distinct shared-gram count.
+      // Gram identity = the same distinct-shingle construction the
+      // minhash oracle mirrors; the benchmark gram set broadcasts.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+      Decontaminate.flagged(corpus, "doc_id", "text", bench, "text", n = 5)
+        .select(col("id").as("doc_id"), col("shared_grams"))
+        .orderBy("doc_id")
+    }),
+    "q_sample_stratified" -> ((s, dir) =>
+      // mixture weighting: deterministic per-language Bernoulli sample
+      // keyed on md5(doc_id) so DuckDB reproduces the EXACT row set —
+      // no RNG anywhere
+      StratifiedSample.sample(t(s, dir, "documents"), "doc_id", "lang",
+          rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, dir) => {
+      // fixed-budget sequence packing: seq = floor(exclusive-prefix-sum
+      // (n_tokens) / 2048) per lang in doc_id order, computed by the
+      // two-phase distributed scan (no one-task-per-stratum window); the
+      // oracle recomputes it with a plain SQL window — the distributed
+      // scan must be value-identical to the sequential definition.
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      SequencePacker.pack(toks, "doc_id", "lang", "n_tokens", budgetTokens = 2048)
+        .orderBy("doc_id")
+    }),
     "q_cc_clusters" -> ((s, dir) => {
       val docs = docsWithDups(s, dir)
       val edges = ExactDedup.pairs(docs, "doc_id", "text")
@@ -703,6 +734,41 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_stop FROM kept a
          |WHERE doc_id = (SELECT min(doc_id) FROM kept b WHERE b.text = a.text)
          |ORDER BY doc_id""".stripMargin,
+    // decontamination truth: literal 5-gram intersection between the
+    // benchmark slice and the rest of the corpus (same gram construction
+    // as the minhash oracle)
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                        for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) g FROM s
+        |), cont AS (
+        |  SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0
+        |)
+        |SELECT doc_id, count(DISTINCT g)::BIGINT AS shared_grams
+        |FROM ex JOIN cont USING (g) WHERE doc_id % 17 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sampler's uniform is md5-derived, so the oracle reproduces the
+    // exact kept row set
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END
+        |ORDER BY doc_id""".stripMargin,
+    // sequential window definition of packing — the engine's two-phase
+    // distributed scan must reproduce it value-for-value
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  (coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048)::BIGINT AS seq
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_cc_clusters" ->
       s"""$allDocsCte
          |SELECT a.doc_id AS id, min(b.doc_id) AS component

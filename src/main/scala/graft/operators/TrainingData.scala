@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.TextOps
+
+/** Training-data pipeline operators beyond dedup proper: benchmark
+  * decontamination, deterministic stratified sampling, and fixed-budget
+  * sequence packing. Each is designed for the 10^12-doc regime (narrow
+  * keyed shuffles, broadcast small sides, no corpus-proportional driver
+  * state) and each is exactly mirrorable in ANSI SQL so the driver's
+  * DuckDB gate hash-checks it end-to-end. */
+object Decontaminate {
+
+  /** Documents sharing at least one token n-gram with the benchmark set —
+    * the standard pre-training decontamination test (n-gram collision
+    * against eval suites). Returns (id, shared_grams), one row per
+    * contaminated doc.
+    *
+    * Scale shape: both sides reduce to narrow (gram_hash) rows via the
+    * same distinct-shingle kernel as the MinHash lane; benchmark suites
+    * are tiny next to the corpus (10^4..10^6 rows), so the distinct
+    * benchmark grams BROADCAST and the corpus side never shuffles — set
+    * `broadcastBenchmark = false` to fall back to a shuffled equi-join
+    * when the contamination set is itself corpus-sized. */
+  def flagged(docs: DataFrame, idCol: String, textCol: String,
+              benchmark: DataFrame, benchTextCol: String, n: Int,
+              broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"bad n-gram size $n")
+    val grams = udf((t: String) => TextOps.shingleHashes(t, n))
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(grams(col(textCol))).as("g"))
+    val benchGrams0 = benchmark
+      .select(explode(grams(col(benchTextCol))).as("g")).distinct()
+    val benchGrams = if (broadcastBenchmark) broadcast(benchGrams0) else benchGrams0
+    docGrams.join(benchGrams, "g")
+      .groupBy("id")
+      // per-doc grams are already distinct (shingleHashes) and the bench
+      // side is distinct, so a plain count is the distinct-gram count
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** The corpus minus every contaminated document (left-anti on id). */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            benchmark: DataFrame, benchTextCol: String, n: Int,
+            broadcastBenchmark: Boolean = true): DataFrame = {
+    val bad = flagged(docs, idCol, textCol, benchmark, benchTextCol, n,
+      broadcastBenchmark)
+    docs.join(bad, docs(idCol) === bad("id"), "left_anti")
+  }
+}
+
+/** Deterministic per-stratum Bernoulli sampling — mixture weighting for a
+  * training corpus ("keep 50% of en, 10% of everything else") that any
+  * engine reproduces exactly: the per-doc uniform is the first 8 hex
+  * digits of md5(id-as-string) over 2^32, not an RNG. Map-only — no
+  * shuffle, no state, resumable for free (the decision is a pure function
+  * of the id). */
+object StratifiedSample {
+
+  /** u(id) in [0, 1): md5-derived so external SQL mirrors it verbatim. */
+  def uniformCol(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Keep each row iff u(id) < rate(stratum); strata missing from `rates`
+    * use `defaultRate`. */
+  def sample(docs: DataFrame, idCol: String, strataCol: String,
+             rates: Map[String, Double],
+             defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(uniformCol(idCol) < rateCol)
+  }
+}
+
+/** Fixed-token-budget sequence packing: assign every document to the
+  * training sequence in which it starts, `seq = floor(exclusive-prefix-sum
+  * (n_tokens) / budget)` per stratum in id order — the chunk-assignment
+  * step before tokenized examples are written.
+  *
+  * Scale shape: a naive `Window.partitionBy(stratum).orderBy(id)` runs
+  * each stratum through ONE task — a non-starter when one language is
+  * 10^11 docs. This is the classic two-phase distributed scan instead:
+  * range-repartition by (stratum, id), take per-(stratum, partition)
+  * token totals (#partitions x #strata rows — driver-small, the
+  * model-not-data kind of collect), broadcast their exclusive offsets
+  * back, and finish with a per-partition local cumsum (the window below
+  * partitions by (stratum, physical partition), so it parallelizes across
+  * the full partition count). The output is partitioning-independent:
+  * seq depends only on the global (stratum, id) order. */
+object SequencePacker {
+
+  def pack(docs: DataFrame, idCol: String, strataCol: String,
+           nTokensCol: String, budgetTokens: Long,
+           scanPartitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, s"bad budget $budgetTokens")
+    val spark = docs.sparkSession
+    val parts =
+      if (scanPartitions > 0) scanPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val base = docs.select(col(strataCol).as("_st"),
+      col(idCol).cast("long").as("_id"), col(nTokensCol).cast("long").as("_n"))
+    val parted = base.repartitionByRange(parts, col("_st"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    // phase 1: per-(stratum, partition) totals -> exclusive offsets.
+    // Range partitioning on (_st, _id) guarantees that within a stratum a
+    // higher pid holds strictly higher ids, so per-stratum pid order IS
+    // the scan order.
+    val totals = parted.groupBy("_st", "_pid").agg(sum("_n").as("_t"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offsets: Map[(String, Int), Long] = totals
+      .groupBy(_._1)
+      .flatMap { case (st, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, pid, t) =>
+          val off = acc; acc += t; ((st, pid), off)
+        }
+      }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val offUdf = udf((st: String, pid: Int) => bcOff.value.getOrElse((st, pid), 0L))
+    // phase 2: local cumsum, parallel per (stratum, physical partition)
+    val w = Window.partitionBy("_st", "_pid").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn("_excl",
+        coalesce(sum(col("_n")).over(w), lit(0L)) + offUdf(col("_st"), col("_pid")))
+      .select(col("_id").as(idCol), col("_st").as(strataCol),
+        col("_n").as(nTokensCol),
+        // integer `div`, not `/` + floor: the cumsum exceeds 2^53 at
+        // 10^12 docs so double-precision division would misassign
+        expr(s"_excl div ${budgetTokens}L").as("seq"))
+  }
+}

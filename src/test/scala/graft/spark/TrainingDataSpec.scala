@@ -1,0 +1,86 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TextOps
+import graft.operators.{Decontaminate, SequencePacker, StratifiedSample}
+
+/** Training-data operators: decontamination vs a Scala gram-set oracle,
+  * md5-exact stratified sampling, and the two-phase packing scan vs the
+  * sequential cumsum definition (with partitioning invariance). */
+class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
+  import spark.implicits._
+
+  private def sentence(seed: Int, len: Int): String =
+    (0 until len).map(i => s"w${(seed * 31 + i * 7) % 53}").mkString(" ")
+
+  test("decontaminate: flagged == gram-set intersection truth; clean is the complement") {
+    val bench = (0 until 6).map(i => (1000L + i, sentence(i, 12)))
+    val corpus = (0 until 30).map { i =>
+      // every 5th corpus doc embeds a benchmark doc's text (contaminated)
+      val txt = if (i % 5 == 0) sentence(i % 6, 12) + " " + sentence(100 + i, 8)
+                else sentence(100 + i, 15)
+      (i.toLong, txt)
+    }
+    val n = 5
+    val benchGrams = bench.flatMap(b => TextOps.shingleHashes(b._2, n)).toSet
+    val truth = corpus.flatMap { case (id, txt) =>
+      val shared = TextOps.shingleHashes(txt, n).count(benchGrams)
+      if (shared > 0) Some(id -> shared.toLong) else None
+    }.toMap
+    assert(truth.nonEmpty, "fixture must contaminate something")
+
+    val got = Decontaminate.flagged(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        bench.toDF("doc_id", "text"), "text", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
+
+    val cleanIds = Decontaminate.clean(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        bench.toDF("doc_id", "text"), "text", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == corpus.map(_._1).toSet -- truth.keySet)
+  }
+
+  test("stratified sample: md5-exact row set at the configured rates") {
+    val docs = (0 until 400).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+    val rates = Map("en" -> 0.5, "de" -> 0.2)
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val want = docs.filter { case (id, st) => u(id) < rates(st) }.map(_._1).toSet
+    val got = StratifiedSample.sample(docs.toDF("doc_id", "lang"), "doc_id", "lang", rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // both strata sampled at roughly their rate (binomial, wide margins)
+    val enKept = got.count(_ % 3 == 0).toDouble / docs.count(_._2 == "en")
+    assert(enKept > 0.3 && enKept < 0.7, s"en rate off: $enKept")
+  }
+
+  test("sequence packing: two-phase scan == sequential cumsum; partitioning-invariant") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 500).map { i =>
+      (i.toLong, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr",
+        (1 + rnd.nextInt(900)).toLong)
+    }
+    val budget = 2048L
+    val truth = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (id, _, n) =>
+        val seq = acc / budget; acc += n; id -> seq
+      }
+    }
+    def run(parts: Int, shuffle: Int) = {
+      val df = docs.toDF("doc_id", "lang", "n_tokens").repartition(parts)
+      SequencePacker.pack(df, "doc_id", "lang", "n_tokens", budget, shuffle)
+        .select("doc_id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val a = run(parts = 3, shuffle = 7)
+    assert(a == truth)
+    // different physical layout, identical assignment
+    assert(run(parts = 11, shuffle = 2) == a)
+    // budgets actually fill: more than one sequence per big stratum
+    assert(a.values.toSet.size > 1)
+  }
+}
