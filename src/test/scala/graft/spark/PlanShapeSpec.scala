@@ -53,6 +53,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
         s"string column ${a.name} is shuffled in the exact-dedup lane")
   }
 
+  test("q_decontaminate joins the benchmark gram set as a broadcast") {
+    // the corpus side must never shuffle for decontamination — the
+    // benchmark suite's distinct grams are the broadcast build side
+    assert(plan("q_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  test("q_pack_sequences windows per physical partition, not per stratum") {
+    // the packing scan's window must partition by (stratum, partition id):
+    // a stratum-only window would serialize each language through one task
+    val p = plan("q_pack_sequences")
+    val spec = "windowspecdefinition\\(_st[^)]*_pid".r
+    assert(spec.findFirstIn(p).isDefined,
+      s"window is not keyed by (_st, _pid):\n${p.take(2000)}")
+  }
+
   test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
     // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
     // (bruteForceTopK: every corpus vector scores against the broadcast
