@@ -170,6 +170,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "n_stop")
         .orderBy("doc_id")
     }),
+    "q_cluster_survivors" -> ((s, dir) =>
+      // score-based keep-one-copy: the survivor of each duplicate group is
+      // the highest-priority copy (deterministic prio = doc_id % 3 so the
+      // winner is often NOT the min id — distinguishing this from plain
+      // `survivors`), ties to the lowest id
+      ExactDedup.survivorsBy(
+          docsWithDups(s, dir), "doc_id", "text", col("doc_id") % 3)
+        .select("doc_id").orderBy("doc_id")),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: corpus docs sharing any token 5-gram
       // with the "benchmark" slice (doc_id % 17 == 0 stands in for an
@@ -216,6 +224,13 @@ object SparkEntry {
       // from the literal gram strings
       NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "q_ngram_jaccard_df" -> ((s, dir) =>
+      // the df-ordered-prefix variant against the SAME truth: on a corpus
+      // where no gram caps, the hot-last order must be result-invisible
+      // (NgramJaccardSpec covers the capped case where the orders differ)
+      NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5, dfOrdered = true)
         .orderBy("id_a", "id_b")),
     "q_simhash_neardup" -> ((s, dir) => {
       // Self-verifying PRODUCTION-config lane gate (r2 judge item #6 —
@@ -583,6 +598,17 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.mediaTable(s, 300), framesPerVideo = 4)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame_bytes"))).as("bytes"))
+        .orderBy("media_id")),
+    "q_media_resize" -> ((s, dir) =>
+      // real pixel-resample round trip, driver-checked: images resize to
+      // 8x8 and their REWRITTEN BMP bytes must decode back to exactly
+      // 8x8; audio/video pass through untouched (their generator-
+      // arithmetic dims prove pass-through byte identity)
+      Multimodal.featurize(
+          Multimodal.resizeImages(Multimodal.mediaTable(s, 300), 8, 8),
+          dim = 16).toDF()
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("media_id"))
   )
 
@@ -734,6 +760,14 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_stop FROM kept a
          |WHERE doc_id = (SELECT min(doc_id) FROM kept b WHERE b.text = a.text)
          |ORDER BY doc_id""".stripMargin,
+    // score-argmax keep-one-copy truth: per exact-text group keep the row
+    // with max(doc_id % 3), ties to min doc_id
+    "q_cluster_survivors" ->
+      s"""$allDocsCte
+         |SELECT doc_id FROM all_docs a
+         |WHERE doc_id = (SELECT b.doc_id FROM all_docs b WHERE b.text = a.text
+         |                ORDER BY b.doc_id % 3 DESC, b.doc_id ASC LIMIT 1)
+         |ORDER BY doc_id""".stripMargin,
     // decontamination truth: literal 5-gram intersection between the
     // benchmark slice and the rest of the corpus (same gram construction
     // as the minhash oracle)
@@ -798,29 +832,10 @@ object SparkEntry {
     // gram), all-integer outputs so no float round-trip can drift. Blank
     // docs excluded up front: the kernel tokenizes '' to 0 grams (never a
     // candidate) while regexp_split_to_array would give them the [''] gram.
-    "q_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
-        |  FROM documents WHERE trim(text) <> ''
-        |), s AS (
-        |  SELECT doc_id,
-        |         list_distinct([array_to_string(toks[i:i+2], ' ')
-        |                        for i in range(1, greatest(len(toks) - 1, 2))]) sh
-        |  FROM t
-        |), ex AS (
-        |  SELECT doc_id, unnest(sh) g FROM s
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id da, b.doc_id db
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |)
-        |SELECT da AS id_a, db AS id_b,
-        |       len(list_intersect(sa.sh, sb.sh))::INT AS common_grams,
-        |       len(sa.sh)::INT AS grams_a, len(sb.sh)::INT AS grams_b
-        |FROM cand
-        |JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
-        |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
-        |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
-        |ORDER BY 1, 2""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardOracleSql,
+    // the df-ordered variant answers the SAME truth — order must be
+    // result-invisible while no gram caps
+    "q_ngram_jaccard_df" -> ngramJaccardOracleSql,
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
         |FROM documents""".stripMargin,
@@ -962,6 +977,16 @@ object SparkEntry {
         |    ELSE ((1000000 // (10 + i % 20)) * (4 + i % 9)) // 1000 END)::BIGINT AS duration_ms,
         |  TRUE AS emb_unit_norm
         |FROM m ORDER BY media_id""".stripMargin,
+    // resize round-trip truth: images must re-decode to exactly the 8x8
+    // target; audio/video dims stay the generator's arithmetic (their
+    // bytes pass through untouched)
+    "q_media_resize" ->
+      """WITH m AS (SELECT unnest(range(0, 300)) AS i)
+        |SELECT i AS media_id,
+        |  CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  (CASE i % 3 WHEN 0 THEN 8 WHEN 1 THEN 0 ELSE 4 + i % 28 END)::INT AS width,
+        |  (CASE i % 3 WHEN 0 THEN 8 WHEN 1 THEN 0 ELSE 4 + (i * 5) % 20 END)::INT AS height
+        |FROM m ORDER BY media_id""".stripMargin,
     // frame demux truth: every video has >= 4 frames so the sampler takes
     // exactly 4; each demuxed '00db' payload is rowSize*height bytes with
     // BMP-style 4-byte row alignment
@@ -976,6 +1001,30 @@ object SparkEntry {
     //     driver's DuckDB tables; NearDupPipelineSpec recall >= 0.99, and
     //     q_pages_recall pins the recall claim in-plan)
   )
+
+  private val ngramJaccardOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+      |  FROM documents WHERE trim(text) <> ''
+      |), s AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                        for i in range(1, greatest(len(toks) - 1, 2))]) sh
+      |  FROM t
+      |), ex AS (
+      |  SELECT doc_id, unnest(sh) g FROM s
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id da, b.doc_id db
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |)
+      |SELECT da AS id_a, db AS id_b,
+      |       len(list_intersect(sa.sh, sb.sh))::INT AS common_grams,
+      |       len(sa.sh)::INT AS grams_a, len(sb.sh)::INT AS grams_b
+      |FROM cand
+      |JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+      |WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+      |ORDER BY 1, 2""".stripMargin
 
   /** DuckDB mirror of TextOps.langId, split into reusable pieces so the
     * composed pipelines (q_training_prep) can inline the same lang logic

@@ -32,6 +32,7 @@ object Verify {
     "q_fingerprint", "q_frame_sample", "q_extract_text", "q_theta_distinct",
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
+    "q_media_resize", "q_cluster_survivors",
     "q_incremental_dedup", "q_req_quantiles", "q_kll_quantiles",
     "q_embed_neardup", "q1_agg", "q_freq_tokens", "q2_join_agg",
     "q_exact_dedup", "q_ann_topk", "q_exact_dup_pairs", "q_theta_set_ops",
@@ -40,8 +41,8 @@ object Verify {
     "q_ann_ivf", "q_incremental_bloom_sharded")
   private val heavyLast: Seq[String] = Seq(
     "q_simhash_neardup", "q_pages_pipeline", "q_pages_recall",
-    "q_minhash_neardup", "q_ngram_jaccard", "q_cc_clusters",
-    "q_embed_neardup_lsh")
+    "q_minhash_neardup", "q_ngram_jaccard", "q_ngram_jaccard_df",
+    "q_cc_clusters", "q_embed_neardup_lsh")
 
   private[graft] def orderedQueryNames(all: Iterable[String]): Seq[String] = {
     val known = (cheapFirst ++ heavyLast).toSet

@@ -107,6 +107,26 @@ object ExactDedup {
     docs.join(keep, docs(idCol) === keep("_sid"), "left_semi")
   }
 
+  /** Survivors selected by SCORE — argmax per duplicate group, ties to
+    * the minimum id — instead of plain min id: production keep-one-copy
+    * usually prefers the best copy of a duplicate group (longest text,
+    * most trusted source, newest crawl), not the smallest id. Same
+    * narrow-shuffle shape as [[survivors]]: only (hash, id, score) rows
+    * reach the aggregation (struct-max gives one row per group), and the
+    * full documents join back LEFT SEMI against the survivor ids. */
+  def survivorsBy(docs: DataFrame, idCol: String, textCol: String,
+                  score: Column, paranoid: Boolean = false): DataFrame = {
+    val keep = docs
+      .select(contentKey(textCol, paranoid).as("h"),
+        col(idCol).cast("long").as("_sid"), score.cast("double").as("_sc"))
+      .groupBy("h")
+      // max(struct) orders by score first, then by -id: highest score
+      // wins, equal scores fall to the lowest id
+      .agg(max(struct(col("_sc"), (-col("_sid")).as("_nid"))).as("best"))
+      .select((-col("best._nid")).cast("long").as("_sid"))
+    docs.join(keep, docs(idCol).cast("long") === keep("_sid"), "left_semi")
+  }
+
   /** Incremental dedup: the survivors of a NEW batch against an already
     * deduplicated corpus — the daily-crawl-increment shape. A new doc
     * survives iff its content key appears nowhere in the corpus (narrow

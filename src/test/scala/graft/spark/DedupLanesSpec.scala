@@ -33,6 +33,25 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("survivorsBy: argmax-score winner per duplicate group, ties to min id") {
+    import spark.implicits._
+    // groups of exact copies under distinct ids; score = id % 7 so the
+    // winner usually is NOT the min id, with engineered ties
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"group text ${i % 20}") // 20 groups of 6 copies
+    }
+    val truth = rows.groupBy(_._2).values.map { g =>
+      g.maxBy { case (id, _) => (id % 7, -id) }._1
+    }.toSet
+    val got = ExactDedup.survivorsBy(rows.toDF("doc_id", "text"),
+        "doc_id", "text", col("doc_id") % 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+    // sanity: differs from plain min-id survivors on this fixture
+    val minIds = rows.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(got != minIds, "fixture must exercise non-min winners")
+  }
+
   test("substring pairs == brute-force common-substring truth (winnowing is lossless >= 175)") {
     val minLen = 200
     val truth = (for {
