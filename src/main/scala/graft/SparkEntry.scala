@@ -170,6 +170,22 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens", "n_stop")
         .orderBy("doc_id")
     }),
+    "q_domain_cap" -> ((s, dir) =>
+      // corpus balancing: at most 10 docs per source, kept set = the 10
+      // smallest ids per domain via the bounded MinN aggregate (NOT a
+      // row_number window — a hot domain would serialize one task); the
+      // oracle states the same truth with the textbook window
+      DomainCap.cap(t(s, dir, "documents"), "doc_id", "source", n = 10)
+        .select("doc_id", "source").orderBy("doc_id")),
+    "q_chunk_docs" -> ((s, dir) =>
+      // overlapping token windows (64-token chunks every 48): map-only
+      // generator; chunk text fingerprinted by md5 so the dump stays
+      // narrow while pinning the exact chunk contents
+      DocChunker.chunks(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 64, strideTokens = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
     "q_cluster_survivors" -> ((s, dir) =>
       // score-based keep-one-copy: the survivor of each duplicate group is
       // the highest-priority copy (deterministic prio = doc_id % 3 so the
@@ -760,6 +776,24 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens, n_stop FROM kept a
          |WHERE doc_id = (SELECT min(doc_id) FROM kept b WHERE b.text = a.text)
          |ORDER BY doc_id""".stripMargin,
+    // domain-cap truth via the textbook window the engine deliberately
+    // avoids (the bounded aggregate must match it row-for-row)
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    // chunk truth: starts every 48 tokens (1-based range), window capped
+    // at doc end, chunk text = space-joined token slice
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents WHERE trim(text) <> ''),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |starts AS (SELECT doc_id, toks, n, unnest(range(1, n + 1, 48)) AS st FROM n)
+        |SELECT doc_id, ((st - 1) // 48)::INT AS chunk_idx,
+        |  least(64, n - st + 1)::INT AS chunk_tokens,
+        |  md5(array_to_string(toks[st:st + 63], ' ')) AS chunk_md5
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
     // score-argmax keep-one-copy truth: per exact-text group keep the row
     // with max(doc_id % 3), ties to min doc_id
     "q_cluster_survivors" ->

@@ -78,6 +78,107 @@ object StratifiedSample {
   }
 }
 
+/** Per-domain document caps — corpus balancing ("at most N pages per
+  * domain/source") without the textbook `row_number` window, which would
+  * serialize a hot domain (a 10^9-page template site) through ONE task.
+  * Instead a bounded typed aggregate keeps each domain's N smallest ids:
+  * the buffer is at most N longs regardless of domain size, partials
+  * combine map-side under ObjectHashAggregate, and the kept-id set
+  * semi-joins the corpus back. Deterministic: smallest-N-by-id is a pure
+  * function of the input set. */
+object DomainCap {
+
+  private class MinNAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    // buffer invariant: sorted ascending, length <= n
+    override def reduce(b: Array[Long], v: Long): Array[Long] = {
+      if (b.length < n) {
+        val out = new Array[Long](b.length + 1)
+        val at = {
+          val p = java.util.Arrays.binarySearch(b, v)
+          if (p >= 0) p else -(p + 1)
+        }
+        System.arraycopy(b, 0, out, 0, at)
+        out(at) = v
+        System.arraycopy(b, at, out, at + 1, b.length - at)
+        out
+      } else if (n > 0 && v < b(n - 1)) {
+        val at = {
+          val p = java.util.Arrays.binarySearch(b, 0, n - 1, v)
+          if (p >= 0) p else -(p + 1)
+        }
+        System.arraycopy(b, at, b, at + 1, n - 1 - at)
+        b(at) = v
+        b
+      } else b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val out = new Array[Long](math.min(n, a.length + b.length))
+      var i = 0; var j = 0; var w = 0
+      while (w < out.length) {
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { out(w) = a(i); i += 1 }
+        else { out(w) = b(j); j += 1 }
+        w += 1
+      }
+      out
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The kept (domain, id) pairs: each domain's `n` smallest ids. */
+  def keptIds(docs: DataFrame, idCol: String, domainCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad cap $n")
+    val minN = udaf(new MinNAgg(n), org.apache.spark.sql.Encoders.scalaLong)
+    docs.select(col(domainCol).as("_dom"), col(idCol).cast("long").as("_id"))
+      .groupBy("_dom")
+      .agg(minN(col("_id")).as("_ids"))
+      .select(col("_dom"), explode(col("_ids")).as("_id"))
+  }
+
+  /** The corpus capped at `n` docs per domain (all columns preserved). */
+  def cap(docs: DataFrame, idCol: String, domainCol: String, n: Int): DataFrame = {
+    val keep = keptIds(docs, idCol, domainCol, n).select("_id")
+    docs.join(keep, docs(idCol).cast("long") === keep("_id"), "left_semi")
+  }
+}
+
+/** Overlapping fixed-size token windows per document — the chunking step
+  * before embedding or sequence construction. Map-only (one generator
+  * row per chunk, no shuffle); chunk identity (start every `stride`
+  * tokens, window capped at doc end) is simple integer arithmetic an
+  * external engine mirrors exactly. */
+object DocChunker {
+
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+             windowTokens: Int = 64, strideTokens: Int = 48): DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1 && strideTokens <= windowTokens,
+      s"bad chunking config window=$windowTokens stride=$strideTokens")
+    val chunkUdf = udf { (t: String) =>
+      val toks = TextOps.tokenize(t)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+      var start = 0
+      var idx = 0
+      while (start < toks.length) {
+        val end = math.min(start + windowTokens, toks.length)
+        out += ((idx, end - start, toks.slice(start, end).mkString(" ")))
+        idx += 1
+        start += strideTokens
+      }
+      out.toSeq
+    }
+    docs.select(col(idCol).as("id"), explode(chunkUdf(col(textCol))).as("c"))
+      .select(col("id"), col("c._1").as("chunk_idx"),
+        col("c._2").as("chunk_tokens"), col("c._3").as("chunk_text"))
+  }
+}
+
 /** Fixed-token-budget sequence packing: assign every document to the
   * training sequence in which it starts, `seq = floor(exclusive-prefix-sum
   * (n_tokens) / budget)` per stratum in id order — the chunk-assignment

@@ -2,7 +2,7 @@ package graft.spark
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TextOps
-import graft.operators.{Decontaminate, SequencePacker, StratifiedSample}
+import graft.operators.{Decontaminate, DocChunker, DomainCap, SequencePacker, StratifiedSample}
 
 /** Training-data operators: decontamination vs a Scala gram-set oracle,
   * md5-exact stratified sampling, and the two-phase packing scan vs the
@@ -56,6 +56,48 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
     // both strata sampled at roughly their rate (binomial, wide margins)
     val enKept = got.count(_ % 3 == 0).toDouble / docs.count(_._2 == "en")
     assert(enKept > 0.3 && enKept < 0.7, s"en rate off: $enKept")
+  }
+
+  test("domain cap: bounded MinN aggregate == window truth; buffer stays bounded") {
+    // skewed domains: one "hot" domain with 500 docs, several small ones
+    val docs = (0 until 500).map(i => (i.toLong, "hot")) ++
+      (500 until 560).map(i => (i.toLong, s"d${i % 7}"))
+    val n = 12
+    val truth = docs.groupBy(_._2).values.flatMap(_.map(_._1).sorted.take(n)).toSet
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "source").repartition(9)
+    val got = DomainCap.cap(df, "doc_id", "source", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+    // the aggregation must be ObjectHashAggregate (bounded typed buffer),
+    // never a row_number window over the domain
+    val plan = DomainCap.keptIds(df, "doc_id", "source", n)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("doc chunker: windows/stride/contents match the sequential definition") {
+    val docs = Seq(
+      (1L, (0 until 150).map(i => s"t$i").mkString(" ")), // 4 chunks
+      (2L, (0 until 64).map(i => s"u$i").mkString(" ")),  // exactly 1 window
+      (3L, "one two three"),                              // short doc
+      (4L, "  "))                                         // blank: no chunks
+    val (w, s) = (64, 48)
+    val truth = docs.flatMap { case (id, txt) =>
+      val toks = graft.core.TextOps.tokenize(txt)
+      Iterator.from(0).map(_ * s).takeWhile(_ < toks.length).zipWithIndex.map {
+        case (st, idx) =>
+          val chunk = toks.slice(st, math.min(st + w, toks.length))
+          (id, idx, chunk.length, chunk.mkString(" "))
+      }
+    }.toSet
+    import spark.implicits._
+    val got = DocChunker.chunks(docs.toDF("doc_id", "text"), "doc_id", "text", w, s)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == truth)
+    assert(!got.exists(_._1 == 4L), "blank doc must emit no chunks")
+    assert(got.count(_._1 == 1L) == 4) // starts 0, 48, 96, 144
   }
 
   test("sequence packing: two-phase scan == sequential cumsum; partitioning-invariant") {
