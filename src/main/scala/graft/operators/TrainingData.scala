@@ -15,8 +15,9 @@ object Decontaminate {
 
   /** Documents sharing at least one token n-gram with the benchmark set —
     * the standard pre-training decontamination test (n-gram collision
-    * against eval suites). Returns (id, shared_grams), one row per
-    * contaminated doc.
+    * against eval suites, as described publicly for GPT-3, arXiv:2005.14165
+    * §C, and Gopher, arXiv:2112.11446 §A2). Returns (id, shared_grams),
+    * one row per contaminated doc.
     *
     * Scale shape: both sides reduce to narrow (gram_hash) rows via the
     * same distinct-shingle kernel as the MinHash lane; benchmark suites

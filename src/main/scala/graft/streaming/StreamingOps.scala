@@ -68,6 +68,42 @@ object StreamingOps {
     docs.withColumn("_h", xxhash64(col(textCol)))
       .dropDuplicatesWithinWatermark("_h").drop("_h")
 
+  /** Streaming twin of `ExactDedup.incrementalSurvivorsBloom`: a live
+    * crawl stream dedupped against a STATIC committed corpus. The
+    * broadcast corpus Bloom filter splits each micro-batch map-side —
+    * definitely-fresh rows (no false negatives; most of a real stream)
+    * never touch the confirm join — while maybe-duplicates are confirmed
+    * with a stream-static LEFT ANTI join against the corpus's narrow
+    * content-key table; within-stream copies collapse first-arrival-wins
+    * on the content hash (`dropDuplicates`, or the watermark-bounded
+    * variant for infinite streams — same state trade as
+    * [[streamingExactDedupWithinWatermark]]). False positives only add
+    * rows to the confirm join: the kept set is identical for ANY filter
+    * contents, exactly like the batch operator.
+    *
+    * @param corpusKeys static table of the corpus's xxhash64(text) keys
+    *                   (one narrow column — the same key the batch path
+    *                   anti-joins on) */
+  def streamingIncrementalDedup(stream: DataFrame, textCol: String,
+                                corpusKeys: DataFrame, keyCol: String,
+                                bloomBytes: Array[Byte],
+                                withinWatermark: Boolean = false): DataFrame = {
+    val spark = stream.sparkSession
+    val bc = spark.sparkContext.broadcast(graft.core.BloomFilter.deserialize(bloomBytes))
+    val mightContain = udf((h: Long) => bc.value.mightContain(h))
+    val keyed = stream.withColumn("_h", xxhash64(col(textCol)))
+      .withColumn("_maybe", mightContain(col("_h")))
+    val fresh = keyed.filter(!col("_maybe")).drop("_maybe")
+    val confirmed = keyed.filter(col("_maybe")).drop("_maybe")
+      .join(corpusKeys.select(col(keyCol).cast("long").as("_ck")),
+        col("_h") === col("_ck"), "left_anti")
+    val all = fresh.unionByName(confirmed)
+    val dedup =
+      if (withinWatermark) all.dropDuplicatesWithinWatermark("_h")
+      else all.dropDuplicates("_h")
+    dedup.drop("_h")
+  }
+
   /** Per-bucket streaming state for LSH candidate generation: the SORTED
     * array of ids already seen in this bucket (capped, like the batch
     * hot-bucket cap — membership is a binary search, not a list walk).

@@ -39,6 +39,42 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus copies vanish, stream copies collapse, fresh survive") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // static committed corpus + its Bloom filter and key table (batch side)
+    val corpus = (0 until 40).map(i => (i.toLong, s"corpus doc number $i body"))
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val bloom = graft.operators.ExactDedup.corpusBloom(corpusDf, "text",
+      expectedItems = 100L, fpp = 0.01)
+    val corpusKeys = corpusDf.select(xxhash64(col("text")).as("k"))
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingIncrementalDedup(stream, "text", corpusKeys, "k", bloom)
+    val q = out.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: 5 corpus copies (drop), 3 fresh docs one of which repeats
+      // in-batch (collapse to first)
+      input.addData(
+        (100L, corpus(3)._2), (101L, corpus(7)._2), (102L, corpus(11)._2),
+        (103L, corpus(19)._2), (104L, corpus(23)._2),
+        (110L, "fresh alpha"), (111L, "fresh beta"), (112L, "fresh alpha"))
+      q.processAllAvailable()
+      // batch 2: another corpus copy, a cross-batch stream dup, a fresh doc
+      input.addData((120L, corpus(5)._2), (121L, "fresh beta"), (122L, "fresh gamma"))
+      q.processAllAvailable()
+      val kept = sq.sql("SELECT doc_id, text FROM inc_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept.map(_._2) == Set("fresh alpha", "fresh beta", "fresh gamma"))
+      // first arrival wins within the stream
+      assert(kept.exists(p => p._2 == "fresh alpha" && p._1 == 110L))
+      assert(kept.exists(p => p._2 == "fresh beta" && p._1 == 111L))
+    } finally q.stop()
+  }
+
   test("windowed freq_sketch: streaming heavy hitters keep MG guarantees per window") {
     val sq = spark
     import sq.implicits._
