@@ -320,6 +320,16 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("int").as("n_tokens"))),
+    "q_bpe_tokens" -> ((s, dir) =>
+      // BPE-style token counting (training-budget estimation): the GPT-2
+      // pre-tokenization shape restricted to RE2-safe constructs, so the
+      // oracle runs the IDENTICAL pattern; whitespace-run matches are
+      // excluded from the count on both sides
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(
+          regexp_extract_all(col("text"),
+            lit(graft.core.TextOps.BpeIshPattern), lit(0)),
+          x => !x.rlike("^\\s+$"))).as("n_bpe_tokens"))),
     "q_lang_id" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
@@ -873,6 +883,13 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+'))::INT AS n_tokens
         |FROM documents""".stripMargin,
+    "q_bpe_tokens" -> {
+      val pat = graft.core.TextOps.BpeIshPattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  len(list_filter(regexp_extract_all(text, '$pat'),
+         |      t -> NOT regexp_matches(t, '^\\s+$$')))::INT AS n_bpe_tokens
+         |FROM documents""".stripMargin
+    },
     "q_lang_id" -> langIdOracleSql,
     "q_quality" ->
       """SELECT doc_id,

@@ -19,6 +19,16 @@ object TextOps {
   val RowsPerBand = 8
   require(NumBands * RowsPerBand == NumPerms)
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 shape: contractions,
+    * letter runs, digit runs, symbol runs, whitespace), deliberately
+    * restricted to RE2-compatible constructs — no lookahead — so the SAME
+    * pattern string runs under Java regex (Spark) and RE2 (DuckDB/Go/C++)
+    * with identical leftmost-first alternation semantics. Token counts
+    * from this pattern approximate BPE token budgets far better than
+    * whitespace splitting (symbols and number runs count separately). */
+  val BpeIshPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
   /** Per-permutation multiply-add constants (a odd, b arbitrary), fixed for
     * the pipeline's lifetime so signatures are comparable across jobs and
     * parallelism levels. Permutation i is `a(i) * h + b(i)` (mod 2^64) over
