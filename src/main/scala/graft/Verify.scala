@@ -97,7 +97,10 @@ object Verify {
     // Spark-internal) must not zero the whole round's correctness. Each
     // query runs under a job group; on timeout the group is cancelled and
     // the loop moves on.
-    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
+    // 300 s default: the slowest query measures ~15 s at the driver's SF
+    // with whole-box cores, so 300 s only fires on a genuine wedge — and
+    // a single wedge must not eat most of the global budget (900 s would)
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_SEC", "1200").toLong
     import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
     val pool = Executors.newCachedThreadPool()
