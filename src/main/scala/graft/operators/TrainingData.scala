@@ -89,7 +89,8 @@ object StratifiedSample {
   * function of the input set. */
 object DomainCap {
 
-  private class MinNAgg(n: Int)
+  // private[graft] so the merge-schedule property test drives it directly
+  private[graft] class MinNAgg(n: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
     override def zero: Array[Long] = Array.emptyLongArray
     // buffer invariant: sorted ascending, length <= n

@@ -77,6 +77,36 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("MinN aggregate: any partitioning + merge order == sorted.take(n)") {
+    // direct property on the aggregator: random inputs split into random
+    // partitions, partials reduced in order, then merged under a random
+    // binary tree — the result must always be the n smallest, sorted.
+    // (Duplicates allowed: groups may legitimately repeat values.)
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(9)
+      val agg = new DomainCap.MinNAgg(n)
+      val xs = Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong)
+      val parts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      var rest = xs
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(rest.length)
+        parts += rest.take(k).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+        rest = rest.drop(k)
+      }
+      if (parts.isEmpty) parts += agg.zero
+      while (parts.length > 1) {
+        val i = rnd.nextInt(parts.length)
+        val a = parts.remove(i)
+        val j = rnd.nextInt(parts.length)
+        parts(j) = agg.merge(parts(j), a)
+      }
+      val got = agg.finish(parts.head).toSeq
+      val want = xs.sorted.take(n)
+      assert(got == want, s"trial $trial n=$n xs=$xs got=$got want=$want")
+    }
+  }
+
   test("doc chunker: windows/stride/contents match the sequential definition") {
     val docs = Seq(
       (1L, (0 until 150).map(i => s"t$i").mkString(" ")), // 4 chunks
