@@ -156,12 +156,27 @@ object Bench {
     val warmDir = Seq("/root/testdata/sf0.001", sfDir)
       .find(d => new java.io.File(s"$d/lineitem.parquet").exists())
     val warmBudget = sys.env.getOrElse("SPARK_GRAFT_WARMUP_BUDGET_SEC", "240").toInt
+    // the sweep runs on a daemon thread under a job group so the budget is
+    // enforced even MID-query: one wedged warmup job (the same class of
+    // Spark-internal stall the Verify watchdog exists for) must not hang
+    // the bench before anything is timed
     warmDir.foreach { d =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-        if ((System.nanoTime() - t0) / 1e9 < warmBudget)
-          try fn(spark, d).count()
+      val warmSession = spark
+      val sweep = new Thread(() => {
+        warmSession.sparkContext.setJobGroup("bench-warmup", "warmup",
+          interruptOnCancel = true)
+        try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+          try fn(warmSession, d).count()
           catch { case e: Throwable => System.err.println(s"[bench] warmup $n failed: $e") }
+        } finally warmSession.sparkContext.clearJobGroup()
+      })
+      sweep.setDaemon(true)
+      sweep.start()
+      sweep.join(warmBudget * 1000L)
+      if (sweep.isAlive) {
+        System.err.println(s"[bench] warmup exceeded ${warmBudget}s — cancelling")
+        warmSession.sparkContext.cancelJobGroup("bench-warmup")
+        sweep.join(30000L)
       }
     }
     // median of `reps` back-to-back timings per query: one timing is at

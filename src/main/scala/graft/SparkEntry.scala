@@ -329,7 +329,7 @@ object SparkEntry {
         size(filter(
           regexp_extract_all(col("text"),
             lit(graft.core.TextOps.BpeIshPattern), lit(0)),
-          x => !x.rlike("^\\s+$"))).as("n_bpe_tokens"))),
+          x => !x.rlike(s"^[${graft.core.TextOps.BpeIshWs}]+$$"))).as("n_bpe_tokens"))),
     "q_lang_id" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
@@ -814,10 +814,13 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     // decontamination truth: literal 5-gram intersection between the
     // benchmark slice and the rest of the corpus (same gram construction
-    // as the minhash oracle)
+    // as the minhash oracle). Blank docs excluded like the other gram
+    // oracles: the kernel gives '' zero grams, a bare regexp split would
+    // give it the spurious [''] gram.
     "q_decontaminate" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE trim(text) <> ''
         |), s AS (
         |  SELECT doc_id,
         |         list_distinct([array_to_string(toks[i:i+4], ' ')
@@ -885,9 +888,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_bpe_tokens" -> {
       val pat = graft.core.TextOps.BpeIshPattern.replace("'", "''")
+      val ws = graft.core.TextOps.BpeIshWs
       s"""SELECT doc_id,
          |  len(list_filter(regexp_extract_all(text, '$pat'),
-         |      t -> NOT regexp_matches(t, '^\\s+$$')))::INT AS n_bpe_tokens
+         |      t -> NOT regexp_matches(t, '^[$ws]+$$')))::INT AS n_bpe_tokens
          |FROM documents""".stripMargin
     },
     "q_lang_id" -> langIdOracleSql,

@@ -21,13 +21,17 @@ object TextOps {
 
   /** BPE-style pre-tokenization pattern (the GPT-2 shape: contractions,
     * letter runs, digit runs, symbol runs, whitespace), deliberately
-    * restricted to RE2-compatible constructs — no lookahead — so the SAME
-    * pattern string runs under Java regex (Spark) and RE2 (DuckDB/Go/C++)
-    * with identical leftmost-first alternation semantics. Token counts
-    * from this pattern approximate BPE token budgets far better than
-    * whitespace splitting (symbols and number runs count separately). */
+    * restricted to RE2-compatible constructs — no lookahead, and an
+    * EXPLICIT whitespace class instead of `\s` (Java's `\s` includes
+    * vertical tab \x0B, RE2's does not — the one place the two engines'
+    * "same" escapes disagree) — so the SAME pattern string runs under
+    * Java regex (Spark) and RE2 (DuckDB/Go/C++) with identical
+    * leftmost-first alternation semantics. Token counts from this pattern
+    * approximate BPE token budgets far better than whitespace splitting
+    * (symbols and number runs count separately). */
+  val BpeIshWs: String = " \\t\\n\\r\\f"
   val BpeIshPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$BpeIshWs]+|[$BpeIshWs]+"
 
   /** Per-permutation multiply-add constants (a odd, b arbitrary), fixed for
     * the pipeline's lifetime so signatures are comparable across jobs and

@@ -113,9 +113,13 @@ object ExactDedup {
     * most trusted source, newest crawl), not the smallest id. Same
     * narrow-shuffle shape as [[survivors]]: only (hash, id, score) rows
     * reach the aggregation (struct-max gives one row per group), and the
-    * full documents join back LEFT SEMI against the survivor ids. */
+    * full documents join back LEFT SEMI against the survivor ids.
+    * Unlike [[survivors]], requires a NUMERIC (long-castable) id column
+    * (the negated-id tiebreak is arithmetic) — checked loudly, since a
+    * string id would cast to null and silently drop the whole corpus. */
   def survivorsBy(docs: DataFrame, idCol: String, textCol: String,
                   score: Column, paranoid: Boolean = false): DataFrame = {
+    IdColumns.requireLongCastable(docs, idCol, "ExactDedup.survivorsBy")
     val keep = docs
       .select(contentKey(textCol, paranoid).as("h"),
         col(idCol).cast("long").as("_sid"), score.cast("double").as("_sc"))

@@ -91,18 +91,23 @@ object IvfIndex {
 
   /** One Lloyd round as a plan: assign cells against broadcast centroids,
     * then the fixed-width (cell -> dim-sums, count) partial aggregate.
-    * Input must already be (id, v:array<double>). */
-  private def lloydRound(vecs: DataFrame,
-                         cents: Array[Array[Double]]): DataFrame = {
+    * Input must already be (id, v:array<double>). Returns the broadcast
+    * handle too: the fit loop destroys each round's k x dim centroid copy
+    * deterministically instead of leaving it to ContextCleaner GC timing
+    * (with a large heap that rarely majors, `iters` stale copies would
+    * otherwise coexist in executor memory). */
+  private def lloydRound(vecs: DataFrame, cents: Array[Array[Double]])
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     val bc = vecs.sparkSession.sparkContext.broadcast(cents)
     val cellUdf = udf((v: Array[Double]) => nearestCell(v, bc.value))
     val vecSum = udaf(new VecSumAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
-    vecs
+    val df = vecs
       .withColumn("cell", cellUdf(col("v")))
       .groupBy("cell")
       .agg(vecSum(col("v")).as("s"))
       .select(col("cell"), col("s.vsum").as("sum"), col("s.n").as("n"))
+    (df, bc)
   }
 
   /** Test seam: the single-round aggregation plan, for the
@@ -110,7 +115,7 @@ object IvfIndex {
   private[graft] def lloydRoundPlanForTest(corpus: DataFrame, idCol: String,
       vecCol: String, cents: Array[Array[Double]]): DataFrame =
     lloydRound(corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v")), cents)
+      col(vecCol).cast("array<double>").as("v")), cents)._1
 
   /** Fit the coarse quantizer. Returns centroids as a driver-side model
     * (k x dim doubles — tiny; this is the one legitimate driver-side
@@ -139,7 +144,9 @@ object IvfIndex {
         .map(_.getSeq[Double](1).toArray)
       var it = 0
       while (it < iters) {
-        val rows = lloydRound(vecs, cents).collect()
+        val (round, bc) = lloydRound(vecs, cents)
+        val rows = round.collect()
+        bc.destroy()
         val next = cents.map(_.clone())
         rows.foreach { r =>
           val cell = r.getInt(0)

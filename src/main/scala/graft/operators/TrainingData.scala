@@ -11,6 +11,18 @@ import graft.core.TextOps
   * keyed shuffles, broadcast small sides, no corpus-proportional driver
   * state) and each is exactly mirrorable in ANSI SQL so the driver's
   * DuckDB gate hash-checks it end-to-end. */
+/** Guard for operators whose join-back keys cast the id to long: a
+  * non-numeric id column would cast to null and silently empty the result
+  * instead of failing loudly. */
+private[operators] object IdColumns {
+  def requireLongCastable(df: DataFrame, idCol: String, op: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$op requires a numeric (long-castable) id column; '$idCol' is $dt — " +
+        "map string ids to longs first (e.g. xxhash64)")
+  }
+}
+
 object Decontaminate {
 
   /** Documents sharing at least one token n-gram with the benchmark set —
@@ -134,9 +146,11 @@ object DomainCap {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** The kept (domain, id) pairs: each domain's `n` smallest ids. */
+  /** The kept (domain, id) pairs: each domain's `n` smallest ids.
+    * Requires a numeric (long-castable) id column. */
   def keptIds(docs: DataFrame, idCol: String, domainCol: String, n: Int): DataFrame = {
     require(n >= 1, s"bad cap $n")
+    IdColumns.requireLongCastable(docs, idCol, "DomainCap")
     val minN = udaf(new MinNAgg(n), org.apache.spark.sql.Encoders.scalaLong)
     docs.select(col(domainCol).as("_dom"), col(idCol).cast("long").as("_id"))
       .groupBy("_dom")
@@ -206,10 +220,18 @@ object SequencePacker {
     val parts =
       if (scanPartitions > 0) scanPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    IdColumns.requireLongCastable(docs, idCol, "SequencePacker.pack")
     val base = docs.select(col(strataCol).as("_st"),
       col(idCol).cast("long").as("_id"), col(nTokensCol).cast("long").as("_n"))
-    val parted = base.repartitionByRange(parts, col("_st"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
+    // MATERIALIZED once, with _pid frozen into the stored rows: the
+    // phase-1 collect and the phase-2 output job must see the SAME range
+    // bounds, and Spark's RangePartitioner seeds its reservoir sample
+    // from the RDD id — two separate executions of the un-persisted plan
+    // could place a boundary row in different partitions, silently
+    // misassigning every seq after it (and would scan the input twice).
+    val parted = org.apache.spark.sql.GraftBridge.materialize(
+      base.repartitionByRange(parts, col("_st"), col("_id"))
+        .withColumn("_pid", spark_partition_id()))
     // phase 1: per-(stratum, partition) totals -> exclusive offsets.
     // Range partitioning on (_st, _id) guarantees that within a stratum a
     // higher pid holds strictly higher ids, so per-stratum pid order IS
