@@ -489,6 +489,39 @@ object SparkEntry {
           expr("freq_contains(fsk, top_tok)")).as("covered_ok"))
     }),
 
+    "q_cms_tokens" -> ((s, dir) => {
+      // Count-Min point-frequency sketch over per-lang token streams —
+      // the linear sibling of q_freq_tokens' Misra–Gries (MG answers
+      // "what is heavy", CMS answers "how often is THIS item"). Same
+      // self-verification discipline: exact columns DuckDB-recomputable,
+      // deterministic sketch guarantees pinned TRUE in-plan. width=64 is
+      // far below per-lang distinct counts so collisions are guaranteed —
+      // the pinned claims hold anyway:
+      //   ge_ok        estimate(x) >= trueCount(x), always (min of
+      //                over-counting rows)
+      //   weight_ok    stream weight conserved across partials + merges
+      //   conserved_ok every one of the depth rows sums to the weight
+      // The probabilistic eps bound lives in CmsSketchSpec; exact
+      // distributivity (any merge schedule == single pass, byte-identical)
+      // in CmsSketchSpec + SketchAggSpec.
+      GraftFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      val sk = toks.groupBy("lang")
+        .agg(expr("cms_sketch(tok, 5, 64)").as("csk"), count(lit(1)).as("n_tokens"))
+      val exactTop = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(countDistinct("tok").as("n_distinct"),
+          max(struct(col("c"), col("tok"))).as("top"))
+        .select(col("lang"), col("n_distinct"),
+          col("top.c").as("top_cnt"), col("top.tok").as("top_tok"))
+      sk.join(broadcast(exactTop), "lang").select(
+        col("lang"), col("n_tokens"), col("n_distinct"),
+        col("top_tok"), col("top_cnt"),
+        (expr("cms_estimate(csk, top_tok)") >= col("top_cnt")).as("ge_ok"),
+        (expr("cms_total(csk)") === col("n_tokens")).as("weight_ok"),
+        expr("cms_conserved(csk)").as("conserved_ok"))
+    }),
+
     // ----------------------------------------------------- vector search
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -966,6 +999,17 @@ object SparkEntry {
         |top AS (SELECT t.lang, max(t.tok) AS top_tok FROM tc t JOIN agg a ON t.lang = a.lang AND t.c = a.top_cnt GROUP BY 1)
         |SELECT a.lang, a.n_tokens, a.n_distinct, top.top_tok, a.top_cnt::BIGINT AS top_cnt,
         |  TRUE AS bounds_ok, TRUE AS apriori_ok, TRUE AS weight_ok, TRUE AS covered_ok
+        |FROM agg a JOIN top USING (lang)""".stripMargin,
+    // same exact-column recomputation as q_freq_tokens (tie on the top
+    // count broken by max token); the CMS deterministic guarantees are
+    // pinned TRUE, q_hll_distinct-style
+    "q_cms_tokens" ->
+      """WITH tok AS (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |tc AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct, max(c) AS top_cnt FROM tc GROUP BY 1),
+        |top AS (SELECT t.lang, max(t.tok) AS top_tok FROM tc t JOIN agg a ON t.lang = a.lang AND t.c = a.top_cnt GROUP BY 1)
+        |SELECT a.lang, a.n_tokens, a.n_distinct, top.top_tok, a.top_cnt::BIGINT AS top_cnt,
+        |  TRUE AS ge_ok, TRUE AS weight_ok, TRUE AS conserved_ok
         |FROM agg a JOIN top USING (lang)""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

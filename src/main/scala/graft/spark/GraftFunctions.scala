@@ -48,6 +48,12 @@ object GraftFunctions {
       .toAggregateExpression())
   def freq_merge(col: Column): Column =
     GraftBridge.column(FreqMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
+  def cms_sketch(col: Column, depth: Int = CmsSketch.DefaultDepth,
+                 width: Int = CmsSketch.DefaultWidth): Column =
+    GraftBridge.column(CmsSketchAgg(Cast(GraftBridge.expression(col), StringType), depth, width)
+      .toAggregateExpression())
+  def cms_merge(col: Column): Column =
+    GraftBridge.column(CmsMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
   def bloom_agg(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     GraftBridge.column(BloomAgg(Cast(GraftBridge.expression(col), LongType), expectedItems, fpp)
       .toAggregateExpression())
@@ -129,6 +135,16 @@ object GraftFunctions {
       case Seq(c) => FreqMergeAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"freq_merge expects 1 arg, got ${args.length}")
     },
+    "cms_sketch" -> {
+      case Seq(c)       => CmsSketchAgg(Cast(c, StringType)).toAggregateExpression()
+      case Seq(c, d)    => CmsSketchAgg(Cast(c, StringType), intLit(d, "depth")).toAggregateExpression()
+      case Seq(c, d, w) => CmsSketchAgg(Cast(c, StringType), intLit(d, "depth"), intLit(w, "width")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"cms_sketch expects 1-3 args, got ${args.length}")
+    },
+    "cms_merge" -> {
+      case Seq(c) => CmsMergeAgg(c).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"cms_merge expects 1 arg, got ${args.length}")
+    },
     "bloom_agg" -> {
       case Seq(c, n)    => BloomAgg(Cast(c, LongType), longLit(n, "expectedItems"), 0.01).toAggregateExpression()
       case Seq(c, n, p) => BloomAgg(Cast(c, LongType), longLit(n, "expectedItems"), doubleLit(p, "fpp")).toAggregateExpression()
@@ -190,6 +206,11 @@ object GraftFunctions {
       if (b == null || item == null) None else Some(FreqSketch.deserialize(b).contains(item))),
     "freq_error" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).maxError)),
     "freq_total" -> udf((b: Array[Byte]) => Option(b).map(FreqSketch.deserialize(_).streamWeight)),
+    "cms_estimate" -> udf((b: Array[Byte], item: String) =>
+      if (b == null || item == null) None else Some(CmsSketch.deserialize(b).estimate(item))),
+    "cms_total" -> udf((b: Array[Byte]) => Option(b).map(CmsSketch.deserialize(_).streamWeight)),
+    "cms_conserved" -> udf((b: Array[Byte]) => Option(b).map(CmsSketch.deserialize(_).rowsConserved)),
+    "cms_error_scale" -> udf((b: Array[Byte]) => Option(b).map(CmsSketch.deserialize(_).errorScale)),
     "bloom_contains" -> udf((b: Array[Byte], key: java.lang.Long) =>
       if (b == null || key == null) None else Some(BloomFilter.deserialize(b).mightContain(key))),
     "bloom_fpp" -> udf((b: Array[Byte]) => Option(b).map(BloomFilter.deserialize(_).expectedFpp)),

@@ -275,6 +275,74 @@ case class FreqMergeAgg(
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): FreqMergeAgg = copy(child = c.head)
 }
 
+/** `cms_sketch(col[, depth[, width]])` — Count-Min frequency sketch over a
+  * string column. Linear (counters add), so any partial/merge schedule is
+  * byte-identical to the single-pass sketch; the shuffle carries one
+  * depth x width counter table per partition, never item rows. */
+case class CmsSketchAgg(
+    child: Expression,
+    depth: Int = CmsSketch.DefaultDepth,
+    width: Int = CmsSketch.DefaultWidth,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[CmsSketch] {
+
+  override def prettyName: String = "cms_sketch"
+  override def createAggregationBuffer(): CmsSketch = CmsSketch(depth, width)
+
+  override def update(buf: CmsSketch, input: InternalRow): CmsSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buf.updateHash(ThetaSketch.hashBytes(v.asInstanceOf[UTF8String].getBytes), 1L)
+    buf
+  }
+  override def merge(buf: CmsSketch, other: CmsSketch): CmsSketch = buf.merge(other)
+  override def eval(buf: CmsSketch): Any = buf.serialize()
+  override def serialize(buf: CmsSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): CmsSketch = CmsSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsSketchAgg = copy(child = c.head)
+}
+
+/** Counter-wise union of stored CMS sketches: `cms_merge(sketch_col)` —
+  * linearity makes this the exact sum of the inputs' streams. */
+case class CmsMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[CmsSketch] {
+
+  override def prettyName: String = "cms_merge"
+  // all-null/empty groups eval to NULL (no honest config to emit) — same
+  // convention as BloomMergeAgg: a placeholder table would poison later
+  // merges with its mismatched dims
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): CmsSketch = null.asInstanceOf[CmsSketch]
+
+  override def update(buf: CmsSketch, input: InternalRow): CmsSketch = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = CmsSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: CmsSketch, other: CmsSketch): CmsSketch =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: CmsSketch): Any =
+    if (buf == null) null else buf.serialize()
+  override def serialize(buf: CmsSketch): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else buf.serialize()
+  override def deserialize(bytes: Array[Byte]): CmsSketch =
+    if (bytes.isEmpty) null.asInstanceOf[CmsSketch] else CmsSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsMergeAgg = copy(child = c.head)
+}
+
 /** `bloom_agg(longCol, expectedItems, fpp)` — mergeable Bloom membership
   * filter over 64-bit keys (content hashes). Partials OR together, so the
   * corpus-membership filter builds in one map-side-partial pass: the

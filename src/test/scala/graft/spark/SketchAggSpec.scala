@@ -125,6 +125,34 @@ class SketchAggSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
+  test("cms_sketch is exactly distributive: 1/2/8 partitions byte-identical; cms_merge too") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val stream = (0 until 20000).map { i =>
+      val r = (i * 2654435761L) % 1000
+      (i % 4, s"item-${if (r < 500) r % 7 else r}")
+    }
+    val exact = stream.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val byParts = Seq(1, 2, 8).map { parts =>
+      stream.toDF("g", "tok").repartition(parts)
+        .agg(expr("cms_sketch(tok, 4, 128)")).first().getAs[Array[Byte]](0)
+    }
+    // linearity: ANY partitioning serializes byte-identically
+    assert(byParts.forall(java.util.Arrays.equals(_, byParts.head)))
+    val sk = graft.core.CmsSketch.deserialize(byParts.head)
+    assert(sk.streamWeight == stream.length && sk.rowsConserved)
+    exact.foreach { case (item, t) => assert(sk.estimate(item) >= t) }
+    // cms_merge over stored per-group sketches == the single-pass table
+    val perGroup = stream.toDF("g", "tok").repartition(8)
+      .groupBy("g").agg(expr("cms_sketch(tok, 4, 128)").as("cs"))
+    val re = perGroup.agg(expr("cms_merge(cs)")).first().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(re, byParts.head))
+    // all-null group evals NULL (no poisoned placeholder config)
+    val nullRow = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("g", "cs")
+      .groupBy("g").agg(expr("cms_merge(cs)").as("m")).first()
+    assert(nullRow.isNullAt(1))
+  }
+
   test("sketch aggregates run under ObjectHashAggregate (plan check)") {
     import spark.implicits._
     GraftFunctions.register(spark)
