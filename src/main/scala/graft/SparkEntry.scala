@@ -362,6 +362,83 @@ object SparkEntry {
           col("r.topBigramCount").as("top_bigram_cnt"))
     }),
 
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization — the cheapest dedup key of a crawl pipeline
+      // (before any content fingerprint). Messy crawl URLs are synthesized
+      // in-plan from doc_id arithmetic (scheme/host case, www, default
+      // ports, trailing slash, utm/tracking params, unsorted params,
+      // fragments); the oracle recomputes the EXPECTED canonical form from
+      // the same arithmetic — so the kernel must undo every mess exactly,
+      // end-to-end, including the registrable-domain suffix logic
+      // (site{N}.example.co.uk -> example.co.uk).
+      GraftFunctions.register(s)
+      val i = col("doc_id")
+      val raw = concat(
+        when(i % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+        when(i % 3 === 0, "WWW.").otherwise(""),
+        lit("site"), (i % 50).cast("string"), lit(".example."),
+        when(i % 4 === 0, "co.uk").otherwise("com"),
+        when(i % 5 === 0, when(i % 2 === 0, ":80").otherwise(":443")).otherwise(""),
+        lit("/Art/item"), (i % 7).cast("string"),
+        when(i % 6 === 0, "/").otherwise(""),
+        when(i % 4 === 0, concat(lit("?utm_source=feed&id="), i.cast("string")))
+          .when(i % 4 === 1, "?b=2&a=1").otherwise(""),
+        when(i % 3 === 1, "#frag").otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"))
+        .select(col("doc_id"),
+          expr("url_normalize(raw_url)").as("url_norm"),
+          expr("url_host(raw_url)").as("host"),
+          expr("url_domain(raw_url)").as("domain"))
+    }),
+    "q_outlinks" -> ((s, dir) => {
+      // link-graph extraction: every <a href> in document order, double/
+      // single/unquoted forms plus &amp; decoding exercised via doc_id
+      // arithmetic; the oracle rebuilds the expected ordered link list
+      // from the same arithmetic. posexplode pins the ORDER, not just the
+      // set. Map-only at any corpus size.
+      GraftFunctions.register(s)
+      val i = col("doc_id")
+      val anchors = concat(
+        lit("""<a href="https://out"""), (i * 7 % 20).cast("string"),
+        lit(""".example.com/p/0?a=1&amp;b=2">t</a>"""),
+        when(i % 3 >= 1, concat(lit("""<a href="https://out"""),
+          ((i * 7 + 1) % 20).cast("string"),
+          lit(""".example.com/p/1?a=1&amp;b=2">t</a>"""))).otherwise(""),
+        when(i % 3 === 2, concat(lit("""<a href="https://out"""),
+          ((i * 7 + 2) % 20).cast("string"),
+          lit(""".example.com/p/2?a=1&amp;b=2">t</a>"""))).otherwise(""),
+        when(i % 5 === 0, concat(lit("<a class='x' href='/rel/"),
+          (i % 9).cast("string"), lit("'>r</a>"))).otherwise(""),
+        when(i % 7 === 0, concat(lit("<a href=plain"),
+          (i % 4).cast("string"), lit(".html rel=nofollow>u</a>"))).otherwise(""))
+      val html = concat(
+        lit("""<html><body><nav><a href="/">Home</a></nav><p>"""),
+        col("text"), lit("</p>"), anchors, lit("</body></html>")).cast("binary")
+      t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), posexplode(expr("outlinks(html)")))
+        .select(col("doc_id"), col("pos").as("link_idx"), col("col").as("link"))
+        .orderBy("doc_id", "link_idx")
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // compliance scrub: emails / IPv4 / phones -> typed placeholders,
+      // with pre-redaction hit counts as audit metrics. PII is injected
+      // deterministically from doc_id arithmetic; codegen'd
+      // regexp_replace/regexp_count (no UDF) with RE2-safe patterns the
+      // oracle runs VERBATIM — md5(redacted) pins the full output text.
+      val i = col("doc_id")
+      val injected = concat(col("text"),
+        lit(" Contact user"), i.cast("string"), lit("@mail"),
+        (i % 10).cast("string"), lit(".example.org or 10."),
+        (i % 256).cast("string"), lit(".0."), (i % 100).cast("string"),
+        lit(" tel +1-555-"), (i % 9000 + 1000).cast("string"))
+      t(s, dir, "documents").select(col("doc_id"), injected.as("t2"))
+        .select(col("doc_id"),
+          md5(PiiRedact.redact(col("t2"))).as("red_md5"),
+          PiiRedact.emailCount(col("t2")).cast("int").as("n_emails"),
+          PiiRedact.ipCount(col("t2")).cast("int").as("n_ips"),
+          PiiRedact.phoneCount(col("t2")).cast("int").as("n_phones"))
+    }),
+
     // --------------------------------------------------- sketch operators
     "q_theta_distinct" -> ((s, dir) => {
       GraftFunctions.register(s)
@@ -964,6 +1041,58 @@ object SparkEntry {
         |  coalesce(top_bigram_cnt, 0)::INT AS top_bigram_cnt
         |FROM t LEFT JOIN tokagg USING (doc_id) LEFT JOIN bigagg USING (doc_id)""".stripMargin,
     "q_extract_text" -> "SELECT doc_id, text FROM documents",
+    // canonicalization truth: the oracle recomputes the EXPECTED canonical
+    // URL / host / registrable domain from the same doc_id arithmetic that
+    // synthesized the messy input — the kernel must undo scheme/host case,
+    // www, default ports, trailing slash, tracking params, param order,
+    // and fragments exactly
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://site' ||
+        |    (doc_id % 50)::VARCHAR || '.example.' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) ||
+        |    '/Art/item' || (doc_id % 7)::VARCHAR ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '?id=' || doc_id::VARCHAR
+        |          WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END) AS url_norm,
+        |  'site' || (doc_id % 50)::VARCHAR || '.example.' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS host,
+        |  'example.' || (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS domain
+        |FROM documents""".stripMargin,
+    // ordered expected link list rebuilt from the same arithmetic; the
+    // range lateral pins ORDER (posexplode index), not just the set
+    "q_outlinks" ->
+      """WITH m AS (SELECT doc_id,
+        |  ['/'] ||
+        |  ['https://out' || ((doc_id*7) % 20)::VARCHAR || '.example.com/p/0?a=1&b=2'] ||
+        |  (CASE WHEN doc_id % 3 >= 1 THEN ['https://out' || ((doc_id*7+1) % 20)::VARCHAR || '.example.com/p/1?a=1&b=2'] ELSE []::VARCHAR[] END) ||
+        |  (CASE WHEN doc_id % 3 = 2 THEN ['https://out' || ((doc_id*7+2) % 20)::VARCHAR || '.example.com/p/2?a=1&b=2'] ELSE []::VARCHAR[] END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ['/rel/' || (doc_id % 9)::VARCHAR] ELSE []::VARCHAR[] END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ['plain' || (doc_id % 4)::VARCHAR || '.html'] ELSE []::VARCHAR[] END) AS links
+        |FROM documents)
+        |SELECT doc_id, (i - 1)::INT AS link_idx, links[i] AS link
+        |FROM m, range(1, 7) r(i) WHERE i <= len(links)
+        |ORDER BY 1, 2""".stripMargin,
+    // the scrub oracle runs the IDENTICAL RE2-safe patterns (shared
+    // constants) over the identically-injected text; md5 pins the full
+    // redacted output, the counts pin the audit metrics
+    "q_pii_redact" -> {
+      val em = operators.PiiRedact.EmailPattern
+      val ip = operators.PiiRedact.Ipv4Pattern
+      val ph = operators.PiiRedact.PhonePattern
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' Contact user' || doc_id::VARCHAR || '@mail' ||
+         |  (doc_id % 10)::VARCHAR || '.example.org or 10.' ||
+         |  (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR ||
+         |  ' tel +1-555-' || (doc_id % 9000 + 1000)::VARCHAR AS t2
+         |FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$ph', '[PHONE]', 'g')) AS red_md5,
+         |  len(regexp_extract_all(t2, '$em'))::INT AS n_emails,
+         |  len(regexp_extract_all(t2, '$ip'))::INT AS n_ips,
+         |  len(regexp_extract_all(t2, '$ph'))::INT AS n_phones
+         |FROM t""".stripMargin
+    },
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,

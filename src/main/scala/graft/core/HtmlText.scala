@@ -103,6 +103,82 @@ object HtmlText {
     sb.toString
   }
 
+  /** All `<a href=...>` targets in document order — the link-graph
+    * extraction stage of a crawl pipeline (outlink counts, host-level
+    * PageRank-ish signals, frontier discovery). Deliberately includes
+    * anchors inside nav/header/footer: the link graph wants every edge,
+    * boilerplate or not (unlike `extract`, which drops those subtrees).
+    *
+    * Parsing rules (pure function of the bytes, single pass):
+    *  - tag name and attribute name matched case-insensitively;
+    *  - double-quoted, single-quoted, and unquoted href values accepted
+    *    (unquoted ends at whitespace or tag end);
+    *  - `&amp;` entity-decoded in the value (the one entity HTML requires
+    *    escaping inside attribute values);
+    *  - anchors inside comments are skipped; empty href values dropped.
+    */
+  def outlinks(html: Array[Byte]): Array[String] =
+    outlinks(new String(html, StandardCharsets.UTF_8))
+
+  def outlinks(html: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close).trim
+            if (!inner.startsWith("/")) {
+              val sp = inner.indexWhere(ch => ch.isWhitespace || ch == '/')
+              val name = (if (sp < 0) inner else inner.substring(0, sp)).toLowerCase
+              if (name == "a") attrValue(inner, "href").filter(_.nonEmpty)
+                .foreach(v => out += v.replace("&amp;", "&"))
+            }
+            i = close + 1
+          }
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** First value of the named attribute inside a tag's `<...>` content
+    * (name matched case-insensitively at a token boundary). */
+  private def attrValue(inner: String, attr: String): Option[String] = {
+    val lower = inner.toLowerCase
+    var from = 0
+    while (from < lower.length) {
+      val at = lower.indexOf(attr, from)
+      if (at < 0) return None
+      val beforeOk = at > 0 && (lower.charAt(at - 1).isWhitespace)
+      var j = at + attr.length
+      while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+      if (beforeOk && j < inner.length && inner.charAt(j) == '=') {
+        j += 1
+        while (j < inner.length && inner.charAt(j).isWhitespace) j += 1
+        if (j >= inner.length) return Some("")
+        val q = inner.charAt(j)
+        if (q == '"' || q == '\'') {
+          val end = inner.indexOf(q, j + 1)
+          return Some(if (end < 0) inner.substring(j + 1) else inner.substring(j + 1, end))
+        } else {
+          var end = j
+          while (end < inner.length && !inner.charAt(end).isWhitespace) end += 1
+          return Some(inner.substring(j, end))
+        }
+      }
+      from = at + attr.length
+    }
+    None
+  }
+
   /** Trim lines, collapse intra-line whitespace runs, drop empties.
     * Single-pass (no regex, no per-line allocations — this runs per page in
     * the extraction stage of the pipeline). */

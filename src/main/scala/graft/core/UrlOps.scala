@@ -1,0 +1,104 @@
+package graft.core
+
+/** URL canonicalization — the cheapest dedup lane of a web-crawl pipeline
+  * runs BEFORE any content fingerprint: two crawls of the same page under
+  * trivially-different URLs (scheme/host case, default ports, fragments,
+  * tracking params, www, trailing slash, query-param order) must collapse
+  * to one canonical key. The rule set below is the standard RFC 3986 §6
+  * syntax-based normalization plus the widely-published crawl conventions
+  * (strip fragment, strip tracking params, sort query params); every rule
+  * is a pure string function so external SQL mirrors it exactly and the
+  * canonical key is stable across engines and releases.
+  *
+  * Scale shape: map-only kernels (one row in, one row out, no state); the
+  * canonical URL then feeds the same hash-groupBy machinery as exact text
+  * dedup (`ExactDedup` over `url_normalize(url)` instead of the text).
+  */
+object UrlOps {
+
+  /** Query parameters dropped during canonicalization: click/campaign
+    * trackers that never change the response document. `utm_*` is matched
+    * by prefix. */
+  val TrackingParams: Set[String] = Set("fbclid", "gclid", "msclkid", "ref")
+
+  /** Canonicalize: lowercase scheme+authority, strip `www.`, strip default
+    * ports (http:80 / https:443), drop the fragment, drop tracking params,
+    * sort surviving query params (byte order of the raw `k=v` string),
+    * strip trailing slashes (so `/` and `` are the same root). A string
+    * without `://` is returned trimmed and fragment-stripped (not a URL —
+    * never invent structure). */
+  def normalize(url: String): String = {
+    val trimmed = url.trim
+    val hashIdx = trimmed.indexOf('#')
+    val noFrag = if (hashIdx >= 0) trimmed.substring(0, hashIdx) else trimmed
+    val sep = noFrag.indexOf("://")
+    if (sep < 0) return noFrag
+    val scheme = noFrag.substring(0, sep).toLowerCase
+    val rest = noFrag.substring(sep + 3)
+    val authEnd = {
+      val s = rest.indexWhere(c => c == '/' || c == '?')
+      if (s < 0) rest.length else s
+    }
+    var auth = rest.substring(0, authEnd).toLowerCase
+    val tail = rest.substring(authEnd)
+    if (auth.startsWith("www.")) auth = auth.substring(4)
+    val colon = auth.lastIndexOf(':')
+    if (colon >= 0) {
+      val port = auth.substring(colon + 1)
+      if ((scheme == "http" && port == "80") || (scheme == "https" && port == "443"))
+        auth = auth.substring(0, colon)
+    }
+    val qIdx = tail.indexOf('?')
+    var path = if (qIdx >= 0) tail.substring(0, qIdx) else tail
+    val query = if (qIdx >= 0) tail.substring(qIdx + 1) else ""
+    while (path.nonEmpty && path.endsWith("/")) path = path.dropRight(1)
+    val kept = query.split("&").filter(_.nonEmpty).filterNot { p =>
+      val name = p.takeWhile(_ != '=').toLowerCase
+      name.startsWith("utm_") || TrackingParams.contains(name)
+    }.sorted
+    val q = if (kept.isEmpty) "" else "?" + kept.mkString("&")
+    s"$scheme://$auth$path$q"
+  }
+
+  /** Hostname of the canonical URL: lowercase, `www.`-stripped, port
+    * removed (default or not). Empty string when the input isn't a URL. */
+  def host(url: String): String = {
+    val n = normalize(url)
+    val sep = n.indexOf("://")
+    if (sep < 0) return ""
+    val rest = n.substring(sep + 3)
+    val authEnd = {
+      val s = rest.indexWhere(c => c == '/' || c == '?')
+      if (s < 0) rest.length else s
+    }
+    val auth = rest.substring(0, authEnd)
+    val colon = auth.lastIndexOf(':')
+    if (colon >= 0 && auth.substring(colon + 1).forall(_.isDigit))
+      auth.substring(0, colon)
+    else auth
+  }
+
+  /** Second-level "suffix" labels that combine with a 2-letter cc-TLD into
+    * a public suffix (`co.uk`, `ac.jp`, ...) — the registrable domain then
+    * keeps three labels instead of two. A compact heuristic standing in
+    * for the full Mozilla Public Suffix List (a data file, not an
+    * algorithm; production swaps in the PSL snapshot here). */
+  val SecondLevelSuffixes: Set[String] = Set("co", "com", "net", "org", "gov", "edu", "ac")
+
+  /** Registrable domain ("site-level" key for per-domain caps, domain
+    * mixing stats, robots grouping) of a hostname. */
+  def registrableDomain(hostname: String): String = {
+    val labels = hostname.split('.')
+    if (labels.length <= 2) hostname
+    else {
+      val tld = labels(labels.length - 1)
+      val second = labels(labels.length - 2)
+      val keep =
+        if (tld.length == 2 && SecondLevelSuffixes.contains(second)) 3 else 2
+      labels.takeRight(keep).mkString(".")
+    }
+  }
+
+  /** Registrable domain straight from a URL. */
+  def domainOf(url: String): String = registrableDomain(host(url))
+}

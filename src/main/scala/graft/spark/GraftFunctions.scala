@@ -235,6 +235,10 @@ object GraftFunctions {
     "common_substring_atleast" -> udf((a: String, b: String, minLen: Int) =>
       if (a == null || b == null) None else Some(TextOps.commonSubstringAtLeast(a, b, minLen))),
     "extract_text" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.extract)),
+    "outlinks" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.outlinks)),
+    "url_normalize" -> udf((u: String) => Option(u).map(UrlOps.normalize)),
+    "url_host" -> udf((u: String) => Option(u).map(UrlOps.host)),
+    "url_domain" -> udf((u: String) => Option(u).map(UrlOps.domainOf)),
     "lang_id" -> udf((t: String) => Option(t).map(TextOps.langId)),
     "quality_score" -> udf((t: String) => Option(t).map(TextOps.qualityScore)),
     "stop_count" -> udf((toks: Seq[String]) =>

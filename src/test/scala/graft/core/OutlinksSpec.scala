@@ -1,0 +1,46 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class OutlinksSpec extends AnyFunSuite {
+  import HtmlText.outlinks
+
+  test("double/single/unquoted hrefs, document order") {
+    val html =
+      """<html><body>
+        |<a href="https://a.com/1">one</a>
+        |<a class='big' href='/rel/2'>two</a>
+        |<a href=plain3.html rel=nofollow>three</a>
+        |</body></html>""".stripMargin
+    assert(outlinks(html).toSeq == Seq("https://a.com/1", "/rel/2", "plain3.html"))
+  }
+
+  test("attribute name case-insensitive; &amp; decoded; empty href dropped") {
+    val html = """<a HREF="https://a.com/?x=1&amp;y=2">l</a><a href="">e</a>"""
+    assert(outlinks(html).toSeq == Seq("https://a.com/?x=1&y=2"))
+  }
+
+  test("anchors in nav/footer ARE link-graph edges (unlike extract); comments are not") {
+    val html =
+      """<nav><a href="/">Home</a></nav>
+        |<!-- <a href="/ghost">never</a> -->
+        |<footer><a href="/legal">Legal</a></footer>""".stripMargin
+    assert(outlinks(html).toSeq == Seq("/", "/legal"))
+    assert(!HtmlText.extract(html).contains("Home")) // extract drops nav
+  }
+
+  test("href must be a standalone attribute token (not a substring match)") {
+    val html = """<a data-href="/fake" href="/real">x</a><a nohref>y</a>"""
+    assert(outlinks(html).toSeq == Seq("/real"))
+  }
+
+  test("closing </a> tags and non-anchor tags contribute nothing; malformed tail safe") {
+    assert(outlinks("""<p href="/not-anchor">t</p></a><a href""").toSeq == Seq.empty)
+    assert(outlinks("""<a href="/ok">x</a><a href="/unclosed""").toSeq == Seq("/ok"))
+  }
+
+  test("wrap()'s generated pages expose their nav links") {
+    val html = new String(HtmlText.wrap("https://e.org/p", "T", "body text"), "UTF-8")
+    assert(outlinks(html).toSeq == Seq("/", "/about"))
+  }
+}
