@@ -214,6 +214,14 @@ object SparkEntry {
       StratifiedSample.sample(t(s, dir, "documents"), "doc_id", "lang",
           rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "q_sample_bottomk" -> ((s, dir) =>
+      // fixed-size eval-slice sampling: exactly 20 docs per language, the
+      // 20 smallest md5 hash keys (bottom-k — no RNG, engine-reproducible,
+      // minimally perturbed by corpus changes). Bounded MinNPair aggregate,
+      // NOT a row_number window (a hot stratum would serialize one task);
+      // the oracle states the same truth with the textbook window.
+      FixedSample.sample(t(s, dir, "documents"), "doc_id", "lang", k = 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "q_pack_sequences" -> ((s, dir) => {
       // fixed-budget sequence packing: seq = floor(exclusive-prefix-sum
       // (n_tokens) / 2048) per lang in doc_id order, computed by the
@@ -663,6 +671,53 @@ object SparkEntry {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup, self-verified the q_simhash way:
+      // cosine similarity over learned embeddings is not SQL-expressible,
+      // so the lane scores itself against an in-plan brute-force WITHIN-
+      // CELL truth (computed independently of the BucketedPairs machinery)
+      // and emits claims the oracle pins:
+      //   n_total            exact corpus size (DuckDB-recomputed)
+      //   removed_nonzero    the injected cos~0.993 dups actually dedup
+      //   surv_pair_violations = 0  no two survivors in one cell are near-
+      //     dups (the contract SemDeDup promises within clusters)
+      //   unjustified_removed = 0   nothing unique was removed: every
+      //     removed doc has a within-cell neighbor above threshold
+      //   components_match   the capped/salted BucketedPairs path yields
+      //     EXACTLY the brute-force duplicate groups (machinery invisible)
+      // Corpus capped at vec_id < 2000 (+ injected dups) like the simhash
+      // gates, so the in-plan truth stays cheap at every SF.
+      val e = embWithDups(s, dir).filter(col("vec_id") % 1000000L < 2000)
+      val thr = 0.85
+      val cents = IvfIndex.fitCentroids(e, "vec_id", "v", k = 16, iters = 5)
+      val ids = e.select(col("vec_id").cast("long").as("vec_id"))
+      val comp = SemanticDedup.clusters(e, "vec_id", "v", cents, thr)
+      val surv = comp.filter(col("id") === col("component")).select("id")
+      val removed = comp.filter(col("id") =!= col("component")).select("id")
+      // independent truth: brute-force within-cell near-dup pairs
+      val assigned = IvfIndex.assign(
+        e.select(col("vec_id").cast("long").as("id"), col("v")), "id", "v", cents)
+      val bf = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+        .join(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(AnnSearch.cosine(col("va"), col("vb")) >= thr)
+        .select("id_a", "id_b")
+      val survViol = bf
+        .join(surv.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(surv.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      val bfTouched = bf.select(col("id_a").as("id"))
+        .unionByName(bf.select(col("id_b").as("id"))).distinct()
+      val unjustified = removed.join(bfTouched, Seq("id"), "left_anti")
+      val compBf = ConnectedComponents.clustersWithSingletons(ids, "vec_id", bf)
+      val mismatch = comp.unionByName(compBf).groupBy("id", "component")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2)
+      comp.agg(count(lit(1)).as("n_total"))
+        .crossJoin(removed.agg((count(lit(1)) > 0).as("removed_nonzero")))
+        .crossJoin(survViol.agg(count(lit(1)).as("surv_pair_violations")))
+        .crossJoin(unjustified.agg(count(lit(1)).as("unjustified_removed")))
+        .crossJoin(mismatch.agg((count(lit(1)) === 0).as("components_match")))
+    }),
+
     // ------------------------------------- north-rule web-pages pipeline
     // (input synthesized deterministically in the north-rule shape —
     //  url/warc_ts/html/text/lang — since the driver tables don't carry it;
@@ -951,6 +1006,14 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
+    // bottom-k truth via the textbook window the engine deliberately
+    // avoids; hash key = the same md5-prefix long as the rate sampler
+    "q_sample_bottomk" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     // sequential window definition of packing — the engine's two-phase
     // distributed scan must reproduce it value-for-value
     "q_pack_sequences" ->
@@ -1180,6 +1243,14 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_simhash_complete" ->
       "SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs",
+    "q_semantic_dedup" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 2000) +
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 2000 AND vec_id % 10 = 0) AS n_total,
+        |  TRUE AS removed_nonzero,
+        |  CAST(0 AS BIGINT) AS surv_pair_violations,
+        |  CAST(0 AS BIGINT) AS unjustified_removed,
+        |  TRUE AS components_match""".stripMargin,
     "q_simhash_neardup" ->
       ("SELECT CAST(0 AS BIGINT) AS extra_pairs, CAST(0 AS BIGINT) AS uncovered_pairs, " +
         "TRUE AS direct_pairs_nonzero"),

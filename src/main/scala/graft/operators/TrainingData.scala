@@ -165,6 +165,110 @@ object DomainCap {
   }
 }
 
+/** Deterministic FIXED-SIZE per-stratum sampling — "exactly k docs per
+  * language/domain for the eval slice", the fixed-count sibling of
+  * [[StratifiedSample]]'s rate-based mixture weighting. The sample is the
+  * k docs with the smallest md5-derived hash key (bottom-k sampling —
+  * uniform over any input, reproducible by ANY engine from the md5 alone,
+  * no RNG, no state; adding/removing other docs perturbs the selection
+  * minimally, unlike row_number over arrival order).
+  *
+  * Scale shape: the same bounded-buffer argument as [[DomainCap]] — the
+  * textbook `row_number OVER (PARTITION BY stratum ORDER BY hash)` window
+  * serializes a hot stratum through ONE task; the MinNPair aggregate keeps
+  * each stratum's k smallest (hash, id) pairs in a <= 2k-long buffer with
+  * map-side partials under ObjectHashAggregate. */
+object FixedSample {
+
+  /** Keeps the n lexicographically-smallest (key, id) pairs; buffer is a
+    * flat sorted Array[Long] of even length <= 2n (pairs at 2i, 2i+1).
+    * private[graft] so the merge-schedule property test drives it. */
+  private[graft] class MinNPairAgg(n: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, Long), Array[Long], Array[Long]] {
+
+    @inline private def lt(k1: Long, i1: Long, k2: Long, i2: Long): Boolean =
+      k1 < k2 || (k1 == k2 && i1 < i2)
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(b: Array[Long], v: (Long, Long)): Array[Long] = {
+      val m = b.length / 2
+      val (k, id) = v
+      if (m < n) {
+        // insertion position among sorted pairs
+        var at = 0
+        while (at < m && !lt(k, id, b(2 * at), b(2 * at + 1))) at += 1
+        val out = new Array[Long](b.length + 2)
+        System.arraycopy(b, 0, out, 0, 2 * at)
+        out(2 * at) = k; out(2 * at + 1) = id
+        System.arraycopy(b, 2 * at, out, 2 * at + 2, b.length - 2 * at)
+        out
+      } else if (n > 0 && lt(k, id, b(2 * (n - 1)), b(2 * (n - 1) + 1))) {
+        var at = 0
+        while (at < n - 1 && !lt(k, id, b(2 * at), b(2 * at + 1))) at += 1
+        System.arraycopy(b, 2 * at, b, 2 * at + 2, 2 * (n - 1 - at))
+        b(2 * at) = k; b(2 * at + 1) = id
+        b
+      } else b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val pairs = math.min(n, (a.length + b.length) / 2)
+      val out = new Array[Long](2 * pairs)
+      var i = 0; var j = 0; var w = 0
+      while (w < pairs) {
+        val takeA = j * 2 >= b.length ||
+          (i * 2 < a.length && !lt(b(2 * j), b(2 * j + 1), a(2 * i), a(2 * i + 1)))
+        if (takeA) { out(2 * w) = a(2 * i); out(2 * w + 1) = a(2 * i + 1); i += 1 }
+        else { out(2 * w) = b(2 * j); out(2 * w + 1) = b(2 * j + 1); j += 1 }
+        w += 1
+      }
+      out
+    }
+
+    /** ids only, in hash order (the keys were only the ordering). */
+    override def finish(r: Array[Long]): Array[Long] = {
+      val out = new Array[Long](r.length / 2)
+      var i = 0
+      while (i < out.length) { out(i) = r(2 * i + 1); i += 1 }
+      out
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The md5-derived 32-bit hash key (same construction as
+    * [[StratifiedSample.uniformCol]]'s numerator, so the two samplers agree
+    * on what "the document's uniform" is). */
+  def hashKeyCol(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** The sampled (stratum, id) pairs: each stratum's k smallest hash keys,
+    * ties broken by id. Requires a numeric id column. */
+  def sampledIds(docs: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bad sample size $k")
+    IdColumns.requireLongCastable(docs, idCol, "FixedSample")
+    val minN = udaf(new MinNPairAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    docs.select(col(strataCol).as("_st"), hashKeyCol(idCol).as("_u"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy("_st")
+      .agg(minN(col("_u"), col("_id")).as("_ids"))
+      .select(col("_st"), explode(col("_ids")).as("_id"))
+  }
+
+  /** The corpus restricted to the sample (all columns preserved). */
+  def sample(docs: DataFrame, idCol: String, strataCol: String, k: Int): DataFrame = {
+    val keep = sampledIds(docs, idCol, strataCol, k).select("_id")
+    docs.join(keep, docs(idCol).cast("long") === keep("_id"), "left_semi")
+  }
+}
+
 /** Overlapping fixed-size token windows per document — the chunking step
   * before embedding or sequence construction. Map-only (one generator
   * row per chunk, no shuffle); chunk identity (start every `stride`

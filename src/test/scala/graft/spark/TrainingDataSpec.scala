@@ -2,7 +2,7 @@ package graft.spark
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TextOps
-import graft.operators.{Decontaminate, DocChunker, DomainCap, SequencePacker, StratifiedSample}
+import graft.operators.{Decontaminate, DocChunker, DomainCap, FixedSample, SequencePacker, StratifiedSample}
 
 /** Training-data operators: decontamination vs a Scala gram-set oracle,
   * md5-exact stratified sampling, and the two-phase packing scan vs the
@@ -103,6 +103,54 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
       }
       val got = agg.finish(parts.head).toSeq
       val want = xs.sorted.take(n)
+      assert(got == want, s"trial $trial n=$n xs=$xs got=$got want=$want")
+    }
+  }
+
+  test("bottom-k sample: bounded MinNPair aggregate == hash-window truth; no Window in plan") {
+    import spark.implicits._
+    // skewed strata: a hot one (800 docs) and small ones
+    val docs = (0 until 800).map(i => (i.toLong, "en")) ++
+      (800 until 860).map(i => (i.toLong, s"l${i % 5}"))
+    val k = 15
+    def u(id: Long): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(8), 16)
+    val truth = docs.groupBy(_._2).values
+      .flatMap(_.map(_._1).sortBy(id => (u(id), id)).take(k)).toSet
+    val df = docs.toDF("doc_id", "lang").repartition(7)
+    val got = FixedSample.sample(df, "doc_id", "lang", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+    val plan = FixedSample.sampledIds(df, "doc_id", "lang", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("MinNPair aggregate: any partitioning + merge order == pairs.sorted.take(n)") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(9)
+      val agg = new FixedSample.MinNPairAgg(n)
+      // duplicate keys likely (small key space) so the id tie-break runs
+      val xs = Seq.fill(rnd.nextInt(60))((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+      val parts = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+      var rest = xs
+      while (rest.nonEmpty) {
+        val c = 1 + rnd.nextInt(rest.length)
+        parts += rest.take(c).foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+        rest = rest.drop(c)
+      }
+      if (parts.isEmpty) parts += agg.zero
+      while (parts.length > 1) {
+        val i = rnd.nextInt(parts.length)
+        val a = parts.remove(i)
+        val j = rnd.nextInt(parts.length)
+        parts(j) = agg.merge(parts(j), a)
+      }
+      val got = agg.finish(parts.head).toSeq
+      val want = xs.sorted.take(n).map(_._2)
       assert(got == want, s"trial $trial n=$n xs=$xs got=$got want=$want")
     }
   }
