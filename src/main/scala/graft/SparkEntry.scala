@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.pipeline.NearDupPipeline
@@ -405,27 +405,47 @@ object SparkEntry {
       // from the same arithmetic. posexplode pins the ORDER, not just the
       // set. Map-only at any corpus size.
       GraftFunctions.register(s)
-      val i = col("doc_id")
-      val anchors = concat(
-        lit("""<a href="https://out"""), (i * 7 % 20).cast("string"),
-        lit(""".example.com/p/0?a=1&amp;b=2">t</a>"""),
-        when(i % 3 >= 1, concat(lit("""<a href="https://out"""),
-          ((i * 7 + 1) % 20).cast("string"),
-          lit(""".example.com/p/1?a=1&amp;b=2">t</a>"""))).otherwise(""),
-        when(i % 3 === 2, concat(lit("""<a href="https://out"""),
-          ((i * 7 + 2) % 20).cast("string"),
-          lit(""".example.com/p/2?a=1&amp;b=2">t</a>"""))).otherwise(""),
-        when(i % 5 === 0, concat(lit("<a class='x' href='/rel/"),
-          (i % 9).cast("string"), lit("'>r</a>"))).otherwise(""),
-        when(i % 7 === 0, concat(lit("<a href=plain"),
-          (i % 4).cast("string"), lit(".html rel=nofollow>u</a>"))).otherwise(""))
-      val html = concat(
-        lit("""<html><body><nav><a href="/">Home</a></nav><p>"""),
-        col("text"), lit("</p>"), anchors, lit("</body></html>")).cast("binary")
-      t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+      t(s, dir, "documents").select(col("doc_id"), anchorHtml.as("html"))
         .select(col("doc_id"), posexplode(expr("outlinks(html)")))
         .select(col("doc_id"), col("pos").as("link_idx"), col("col").as("link"))
         .orderBy("doc_id", "link_idx")
+    }),
+    "q_host_graph" -> ((s, dir) => {
+      // link-graph host in-degree: the composition outlinks -> url_host ->
+      // shuffle-on-host aggregate (the edge-building step of host-level
+      // link analysis). Relative links have no host and drop out; the
+      // oracle rebuilds the expected host histogram from the same
+      // arithmetic as q_outlinks' anchors.
+      GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"), anchorHtml.as("html"))
+        .select(explode(expr("outlinks(html)")).as("link"))
+        .select(expr("url_host(link)").as("host"))
+        .filter(col("host") =!= "")
+        .groupBy("host").agg(count(lit(1)).as("in_links"))
+        .orderBy("host")
+    }),
+    "q_gopher_filter" -> ((s, dir) => {
+      // Gopher-style document-quality gate (arXiv:2112.11446 Table A1
+      // subset) over the exact kernels already attested one-by-one; the
+      // keep decision uses ALL-INTEGER arithmetic (no float thresholds) so
+      // the composed boolean is drift-free across engines:
+      //   30 <= n_tokens <= 50000
+      //   2*n_tokens <= sum_word_len <= 12*n_tokens (mean word len in [2,12])
+      //   100*n_stop >= 3*n_tokens                  (stopword ratio >= 3%)
+      //   5*top_tok_cnt <= n_tokens                 (top token <= 20%)
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("r", expr("rep_stats(text)"))
+        .select(col("doc_id"),
+          col("r.nTokens").as("n_tokens"),
+          length(regexp_replace(trim(col("text")), "\\s+", "")).cast("int").as("sum_wl"),
+          expr("stop_count(split(trim(text), '\\\\s+'))").cast("int").as("n_stop"),
+          col("r.topTokenCount").as("top_tok_cnt"))
+        .withColumn("keep",
+          col("n_tokens") >= 30 && col("n_tokens") <= 50000 &&
+          col("sum_wl") >= col("n_tokens") * 2 && col("sum_wl") <= col("n_tokens") * 12 &&
+          col("n_stop") * 100 >= col("n_tokens") * 3 &&
+          col("top_tok_cnt") * 5 <= col("n_tokens"))
     }),
     "q_pii_redact" -> ((s, dir) => {
       // compliance scrub: emails / IPv4 / phones -> typed placeholders,
@@ -828,6 +848,30 @@ object SparkEntry {
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
 
+  /** The q_outlinks / q_host_graph anchor corpus: html synthesized from
+    * doc_id arithmetic (double/single/unquoted hrefs, &amp; escaping) —
+    * mirrored in both oracles, which rebuild the expected links from the
+    * same arithmetic. */
+  private def anchorHtml: Column = {
+    val i = col("doc_id")
+    val anchors = concat(
+      lit("""<a href="https://out"""), (i * 7 % 20).cast("string"),
+      lit(""".example.com/p/0?a=1&amp;b=2">t</a>"""),
+      when(i % 3 >= 1, concat(lit("""<a href="https://out"""),
+        ((i * 7 + 1) % 20).cast("string"),
+        lit(""".example.com/p/1?a=1&amp;b=2">t</a>"""))).otherwise(""),
+      when(i % 3 === 2, concat(lit("""<a href="https://out"""),
+        ((i * 7 + 2) % 20).cast("string"),
+        lit(""".example.com/p/2?a=1&amp;b=2">t</a>"""))).otherwise(""),
+      when(i % 5 === 0, concat(lit("<a class='x' href='/rel/"),
+        (i % 9).cast("string"), lit("'>r</a>"))).otherwise(""),
+      when(i % 7 === 0, concat(lit("<a href=plain"),
+        (i % 4).cast("string"), lit(".html rel=nofollow>u</a>"))).otherwise(""))
+    concat(
+      lit("""<html><body><nav><a href="/">Home</a></nav><p>"""),
+      col("text"), lit("</p>"), anchors, lit("</body></html>")).cast("binary")
+  }
+
   /** Deterministic north-rule pages corpus (same shape as the 10^12-doc
     * Iceberg table; 800 rows at test scale, seed 42). */
   private def pagesDf(s: SparkSession): DataFrame =
@@ -1135,6 +1179,35 @@ object SparkEntry {
         |SELECT doc_id, (i - 1)::INT AS link_idx, links[i] AS link
         |FROM m, range(1, 7) r(i) WHERE i <= len(links)
         |ORDER BY 1, 2""".stripMargin,
+    // host in-degree truth: the expected host histogram from the same
+    // anchor arithmetic (relative links are host-less and excluded)
+    "q_host_graph" ->
+      """WITH l AS (SELECT doc_id, unnest(
+        |  ['out' || ((doc_id*7) % 20)::VARCHAR || '.example.com'] ||
+        |  (CASE WHEN doc_id % 3 >= 1 THEN ['out' || ((doc_id*7+1) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END) ||
+        |  (CASE WHEN doc_id % 3 = 2 THEN ['out' || ((doc_id*7+2) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END)) AS host
+        |FROM documents)
+        |SELECT host, count(*)::BIGINT AS in_links FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the quality gate recomputed from first principles (token histogram,
+    // non-whitespace char count, stopword membership) with the same
+    // all-integer decision arithmetic; blank docs guarded like q_repetition
+    "q_gopher_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |  length(regexp_replace(trim(text), '\s+', '', 'g'))::INT AS sum_wl
+        |  FROM documents),
+        |tokc AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c)::INT AS n_tokens, max(c)::INT AS top_tok_cnt FROM tokc GROUP BY 1),
+        |stop AS (SELECT doc_id, len(list_filter(toks,
+        |  x -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], lower(x))))::INT AS n_stop FROM t)
+        |SELECT t.doc_id, coalesce(n_tokens, 0)::INT AS n_tokens, sum_wl,
+        |  stop.n_stop, coalesce(top_tok_cnt, 0)::INT AS top_tok_cnt,
+        |  (coalesce(n_tokens, 0) >= 30 AND coalesce(n_tokens, 0) <= 50000 AND
+        |   sum_wl >= coalesce(n_tokens, 0)*2 AND sum_wl <= coalesce(n_tokens, 0)*12 AND
+        |   stop.n_stop*100 >= coalesce(n_tokens, 0)*3 AND
+        |   coalesce(top_tok_cnt, 0)*5 <= coalesce(n_tokens, 0)) AS keep
+        |FROM t LEFT JOIN agg USING (doc_id) JOIN stop USING (doc_id)""".stripMargin,
     // the scrub oracle runs the IDENTICAL RE2-safe patterns (shared
     // constants) over the identically-injected text; md5 pins the full
     // redacted output, the counts pin the audit metrics

@@ -31,15 +31,17 @@ object Verify {
     "q_media_features", "q_repetition", "q_lang_id", "q_quality",
     "q_fingerprint", "q_frame_sample", "q_extract_text", "q_theta_distinct",
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
+    "q_url_normalize", "q_pii_redact", "q_outlinks", "q_host_graph",
+    "q_gopher_filter",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
-    "q_bpe_tokens",
+    "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens",
     "q_incremental_dedup", "q_req_quantiles", "q_kll_quantiles",
     "q_embed_neardup", "q1_agg", "q_freq_tokens", "q2_join_agg",
     "q_exact_dedup", "q_ann_topk", "q_exact_dup_pairs", "q_theta_set_ops",
     "q_exact_survivors", "q5_setops", "q_incremental_bloom", "q3_window",
     "q_training_prep", "q_substring_dedup", "q_simhash_complete",
-    "q_ann_ivf", "q_incremental_bloom_sharded")
+    "q_ann_ivf", "q_incremental_bloom_sharded", "q_semantic_dedup")
   private val heavyLast: Seq[String] = Seq(
     "q_simhash_neardup", "q_pages_pipeline", "q_pages_recall",
     "q_minhash_neardup", "q_ngram_jaccard", "q_ngram_jaccard_df",

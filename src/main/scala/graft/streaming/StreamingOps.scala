@@ -48,6 +48,27 @@ object StreamingOps {
            count(lit(1)).as("n_tokens"))
   }
 
+  /** Event-time-windowed Count-Min token frequencies: one linear CMS per
+    * (window, group). Linearity means the streamed result is BYTE-IDENTICAL
+    * to a batch pass over the same rows, whatever the micro-batch boundaries
+    * (StreamingOpsSpec pins this) — the state store holds one fixed-size
+    * depth x width table per key. Point-query the emitted column with
+    * `cms_estimate`, roll windows up with `cms_merge`. */
+  def windowedCmsSketch(docs: DataFrame, tsCol: String, textCol: String,
+                        groupCol: String, windowDuration: String,
+                        watermarkDelay: String,
+                        depth: Int = graft.core.CmsSketch.DefaultDepth,
+                        width: Int = graft.core.CmsSketch.DefaultWidth): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("_tok"))
+      .groupBy(window(col(tsCol), windowDuration), col(groupCol))
+      .agg(expr(s"cms_sketch(_tok, $depth, $width)").as("tok_cms"),
+           count(lit(1)).as("n_tokens"))
+  }
+
   /** Streaming exact dedup: keep the first occurrence of each content hash.
     * State is the 8-byte hash only (dropDuplicates state store). NOTE:
     * `dropDuplicates` on the hash alone keeps one state row per distinct

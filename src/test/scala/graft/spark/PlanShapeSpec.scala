@@ -80,10 +80,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // cross-join are likewise declared brute force (capped id range);
     // q_pages_recall is exempted like q_pages_pipeline — building it runs
     // the whole 800-page pipeline, and its result is a 1-row local
-    // relation whose plan cannot contain a join anyway
+    // relation whose plan cannot contain a join anyway;
+    // q_semantic_dedup cross-joins its five SINGLE-ROW claim aggregates
+    // (1x1, the q_simhash pattern) — its data-sized joins (cell-keyed
+    // brute force, survivor semi-joins, component compare) are all
+    // hash-equi and capped like the simhash gates
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
       "q_theta_set_ops", "q_pages_pipeline", "q_pages_recall",
-      "q_simhash_complete", "q_simhash_neardup")
+      "q_simhash_complete", "q_simhash_neardup", "q_semantic_dedup")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

@@ -108,6 +108,37 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("windowed cms_sketch: streamed micro-batches == batch pass, byte-identical (linearity)") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "grp", "text")
+    val agg = StreamingOps.windowedCmsSketch(df, "ts", "text", "grp",
+      "10 minutes", "5 minutes", depth = 4, width = 64)
+    val q = agg.writeStream.format("memory").queryName("win_cms")
+      .outputMode("update").start()
+    val rows = (1 to 150).map(i =>
+      (new Timestamp(1700000000000L + i), "a", s"hot tok${i % 23} hot"))
+    try {
+      // three arbitrary micro-batch boundaries
+      input.addData(rows.take(40): _*); q.processAllAvailable()
+      input.addData(rows.slice(40, 90): _*); q.processAllAvailable()
+      input.addData(rows.drop(90): _*); q.processAllAvailable()
+      val last = sq.sql("SELECT * FROM win_cms").collect()
+        .maxBy(_.getAs[Long]("n_tokens"))
+      assert(last.getAs[Long]("n_tokens") == 450L)
+      val streamed = last.getAs[Array[Byte]]("tok_cms")
+      // batch truth over the same rows: linearity -> byte-identical
+      val batch = rows.toDF("ts", "grp", "text")
+        .select(explode(split(trim(col("text")), "\\s+")).as("_tok"))
+        .agg(expr("cms_sketch(_tok, 4, 64)")).first().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(streamed, batch))
+      val sk = graft.core.CmsSketch.deserialize(streamed)
+      assert(sk.estimate("hot") >= 300L && sk.rowsConserved)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup keeps first occurrence per content hash") {
     val sq = spark
     import sq.implicits._
