@@ -466,6 +466,58 @@ object SparkEntry {
           PiiRedact.ipCount(col("t2")).cast("int").as("n_ips"),
           PiiRedact.phoneCount(col("t2")).cast("int").as("n_phones"))
     }),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // Common-Crawl-native ingestion, attested as a byte-exact round
+      // trip: wrap each doc as an html payload, serialize response
+      // records into multi-record WARC segment blobs (25 records each,
+      // order-keyed so segment bytes are deterministic), re-split +
+      // re-parse, and emit per-url payload identity (strlen + md5) the
+      // oracle recomputes straight from the raw table. Sub-second
+      // timestamps (doc_id*1000001 us) exercise fractional WARC dates.
+      val rows = t(s, dir, "documents").select(
+        concat(lit("https://warc.example/doc/"), col("doc_id")).as("url"),
+        (lit(1600000000000000L) + col("doc_id") * 1000001L).as("ts_us"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
+          .cast("binary").as("payload"),
+        col("doc_id").as("ord"))
+      val files = graft.sources.WarcIO.writeFiles(rows, "url", "ts_us", "payload", "ord", 25)
+      graft.sources.WarcIO.readFiles(files, "bytes")
+        .select(col("url"), col("ts_us"), col("status"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("url")
+    }),
+    "q_host_rank" -> ((s, dir) => {
+      // link-quality signal over the host graph: integer-fixed-point
+      // PageRank (4 iterations of iterative DataFrame self-joins) over
+      // the same outlink arithmetic as q_host_graph, with src hosts from
+      // doc_id arithmetic. All-integer iterate -> the oracle unrolls the
+      // identical recurrence as chained CTEs and the compare is strict.
+      GraftFunctions.register(s)
+      val edges = t(s, dir, "documents")
+        .select(col("doc_id"), anchorHtml.as("html"))
+        .select(
+          concat(lit("src"), (col("doc_id") % 13).cast("string"),
+            lit(".example.com")).as("src"),
+          explode(expr("outlinks(html)")).as("link"))
+        .select(col("src"), expr("url_host(link)").as("dst"))
+        .filter(col("dst") =!= "")
+      HostRank.run(edges, "src", "dst", iters = 4).orderBy("host")
+    }),
+    "q_search_conjunctive" -> ((s, dir) => {
+      // inverted-index conjunctive search: postings build (one text scan
+      // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
+      // ALL-terms coverage, bounded top-10 per query by (tf desc, id asc)
+      // via the MinNPair aggregate — integer scoring, strict oracle.
+      import s.implicits._
+      val p = SearchIndex.postings(t(s, dir, "documents"), "doc_id", "text")
+      val qs = Seq(
+        (0L, Seq("customer", "window", "vector")),
+        (1L, Seq("spark", "merge")),
+        (2L, Seq("hash", "hash", "sort")), // dup term collapses to the set
+        (3L, Seq("table"))).toDF("query_id", "terms")
+      SearchIndex.searchAll(p, qs, k = 10).orderBy("query_id", "doc_id")
+    }),
 
     // --------------------------------------------------- sketch operators
     "q_theta_distinct" -> ((s, dir) => {
@@ -1229,6 +1281,50 @@ object SparkEntry {
          |  len(regexp_extract_all(t2, '$ph'))::INT AS n_phones
          |FROM t""".stripMargin
     },
+    // payload identity recomputed from the raw table: the html wrap is
+    // rebuilt verbatim, strlen gives utf-8 byte length (= Spark's binary
+    // length), md5 the byte digest — the WARC serialize/split/parse chain
+    // in between must be byte-exact for this to hash-match
+    "q_warc_roundtrip" ->
+      """WITH w AS (SELECT doc_id,
+        |  '<html><body><p>' || text || '</p></body></html>' AS payload
+        |FROM documents)
+        |SELECT 'https://warc.example/doc/' || doc_id::VARCHAR AS url,
+        |  CAST(1600000000000000 + doc_id * 1000001 AS BIGINT) AS ts_us,
+        |  CAST(200 AS INT) AS status,
+        |  strlen(payload)::BIGINT AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM w ORDER BY url""".stripMargin,
+    // the identical integer recurrence unrolled as chained CTEs over the
+    // identically-rebuilt edge set (q_host_graph's outlink arithmetic +
+    // the src-host arithmetic)
+    "q_host_rank" -> HostRank.oracleSql(
+      """WITH raw AS (SELECT
+        |  'src' || (doc_id % 13)::VARCHAR || '.example.com' AS src,
+        |  unnest(
+        |    ['out' || ((doc_id*7) % 20)::VARCHAR || '.example.com'] ||
+        |    (CASE WHEN doc_id % 3 >= 1 THEN ['out' || ((doc_id*7+1) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN ['out' || ((doc_id*7+2) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END)) AS dst
+        |FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw)""".stripMargin, iters = 4),
+    // textbook definition: postings from regexp-split tokens, ALL-terms
+    // coverage via distinct-term count, rank window top-10 — the engine's
+    // bounded MinNPair top-k must reproduce the window's row set exactly
+    "q_search_conjunctive" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |q AS (SELECT * FROM (VALUES (0,'customer'),(0,'window'),(0,'vector'),
+        |    (1,'spark'),(1,'merge'),(2,'hash'),(2,'sort'),(3,'table')) AS v(query_id, term)),
+        |qs AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+        |m AS (SELECT q.query_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS score,
+        |      count(*) AS nh FROM q JOIN p USING (term) GROUP BY 1, 2),
+        |hits AS (SELECT m.query_id, m.doc_id, m.score
+        |  FROM m JOIN qs USING (query_id) WHERE m.nh = qs.n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rn FROM hits)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+        |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,

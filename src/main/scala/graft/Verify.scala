@@ -33,9 +33,11 @@ object Verify {
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_host_graph",
     "q_gopher_filter",
+    "q_warc_roundtrip", "q_search_conjunctive",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens",
+    "q_host_rank",
     "q_incremental_dedup", "q_req_quantiles", "q_kll_quantiles",
     "q_embed_neardup", "q1_agg", "q_freq_tokens", "q2_join_agg",
     "q_exact_dedup", "q_ann_topk", "q_exact_dup_pairs", "q_theta_set_ops",

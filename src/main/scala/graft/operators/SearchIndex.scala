@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Inverted-index build + conjunctive (AND) term search with bounded
+  * top-k — the corpus-inspection primitive a training-data pipeline uses
+  * to audit what a filter kept ("show me the top documents containing all
+  * of these terms") and the seed of benchmark decontamination by lookup.
+  *
+  * Spark-first shape:
+  *  - `postings` is the classic narrow-row index: one full-text scan
+  *    explodes tokens and aggregates (term, doc_id) -> tf. At 10^12 docs
+  *    the posting table dwarfs the vocabulary, so everything downstream
+  *    joins ON TERM against a tiny broadcast query set — the corpus text
+  *    is never touched again.
+  *  - `searchAll` broadcasts the (query_id, term) pairs, semi-restricts
+  *    the postings in the scan (predicate on term pushes down when the
+  *    posting table is stored term-partitioned), and reduces per
+  *    (query_id, doc): a doc matches when it covers EVERY term of the
+  *    query. Top-k per query uses the bounded MinNPair aggregate (flat
+  *    <= 2k longs per buffer) instead of a rank window — a hot query
+  *    matching 10^9 docs must not sort 10^9 rows in one window task.
+  *  - ALL-INTEGER scoring (summed term frequency, ties to the smaller
+  *    doc id) keeps the result byte-identical across engines, so the
+  *    driver oracle (q_search_conjunctive) is a strict hash compare.
+  *    BM25-style weighting would add floats; the integer tf score is the
+  *    oracle-checkable core and the ranking seam is one Column swap.
+  */
+object SearchIndex {
+
+  /** (term, doc_id, tf) posting rows; tokenization mirrors
+    * `TextOps.tokenize` (trim + split `\s+`) for SQL-oracle parity. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Docs containing ALL terms of each query, scored by total tf, top k
+    * per query (score desc, doc_id asc). `queries` is (query_id:long,
+    * terms:array<string>); duplicate terms within a query are collapsed
+    * (a query is a term SET — coverage counts distinct terms). */
+  def searchAll(postingsDf: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val qTerms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(array_distinct(col("terms"))).as("term"))
+    val qSize = qTerms.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val minN = udaf(new MinNKeepPairsAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val perDoc = postingsDf
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("tf").as("score"))
+      .join(broadcast(qSize), Seq("query_id"))
+      .filter(col("n_hit") === col("n_terms"))
+    // top-k: MinNPair on key = -score (largest scores sort first), ties
+    // to the smaller doc_id — bounded buffers, no window; the variant
+    // keeps the keys so the score comes back without re-joining perDoc
+    perDoc
+      .groupBy("query_id")
+      .agg(minN((-col("score")).cast("long"), col("doc_id")).as("_pairs"))
+      .select(col("query_id"), explode(expr(
+        "transform(sequence(0, size(_pairs) div 2 - 1)," +
+          " i -> struct(-_pairs[2*i] AS score, _pairs[2*i+1] AS doc_id))")).as("h"))
+      .select(col("query_id"), col("h.doc_id").as("doc_id"), col("h.score").as("score"))
+  }
+
+  /** [[FixedSample.MinNPairAgg]] that keeps the sorted flat (key, id)
+    * pairs in `finish` (the base class drops the keys) — here the key IS
+    * the negated score, which the caller needs back. */
+  private class MinNKeepPairsAgg(n: Int) extends FixedSample.MinNPairAgg(n) {
+    override def finish(r: Array[Long]): Array[Long] = r
+  }
+}
