@@ -518,6 +518,95 @@ object SparkEntry {
         (3L, Seq("table"))).toDF("query_id", "terms")
       SearchIndex.searchAll(p, qs, k = 10).orderBy("query_id", "doc_id")
     }),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // CCNet-style paragraph-level dedup, composed from attested kernels:
+      // non-overlapping 32-token chunks stand in for paragraphs (the
+      // corpus has no newline structure), first occurrence in (doc_id,
+      // chunk_idx) order wins. Over docsWithDups so the injected exact
+      // copies lose ALL their chunks — keep/remove counts per doc. The
+      // keeper choice is a min(struct) aggregate on the chunk hash, never
+      // a per-hash window.
+      val ch = DocChunker.chunks(docsWithDups(s, dir), "doc_id", "text",
+          windowTokens = 32, strideTokens = 32)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("h"))
+      val keeper = ch.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("k"))
+        .select(col("h"), col("k.doc_id").as("kdoc"), col("k.chunk_idx").as("kidx"))
+      ch.join(keeper, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") === col("kdoc") && col("chunk_idx") === col("kidx"),
+            1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
+    }),
+    "q_vocab_encode" -> ((s, dir) => {
+      // frequency-ranked vocabulary (top 24 by count desc, token asc) +
+      // in-order token-id encoding with OOV drop — the id stream pinned
+      // per doc by md5 of the comma-joined sequence
+      val docs = t(s, dir, "documents")
+      val vocab = Vocab.build(docs, "text", v = 24)
+      Vocab.encode(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          expr("md5(array_join(transform(ids, x -> cast(x as string)), ','))")
+            .as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_global_shuffle" -> ((s, dir) =>
+      // deterministic corpus permutation + contiguous global positions via
+      // the two-phase scan (range sort, per-partition counts, map-only
+      // zip) — the oracle is the single-task window definition
+      GlobalShuffle.withPositions(t(s, dir, "documents"), "doc_id")
+        .select(col("pos"), col("doc_id"))
+        .orderBy("pos")),
+    "q_table_compact" -> ((s, dir) => {
+      // snapshot compaction must be INVISIBLE to queries: fragment the
+      // table into 32 files, compact to 2, and the emitted rows must
+      // still hash-match the raw table; file shrink / fingerprint /
+      // history invariants are require()d in-plan (q_simhash-style
+      // self-verification — file layout is not SQL-expressible)
+      val root = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+      val io = new graft.pipeline.ParquetTableIO(s, root)
+      io.overwrite("docs", t(s, dir, "documents")
+        .select("doc_id", "text").repartition(32))
+      io.commit("docs", "fp-compact-q")
+      val before = io.read("docs").inputFiles.length
+      io.compact("docs", targetFiles = 2)
+      val after = io.read("docs").inputFiles.length
+      require(before >= 16 && after <= 2,
+        s"compaction did not shrink the file count: $before -> $after")
+      require(io.committedFingerprint("docs").contains("fp-compact-q"),
+        "compaction must preserve the committed fingerprint")
+      require(io.snapshots("docs").size == 2,
+        "compaction must ADD a snapshot, never rewrite history")
+      io.read("docs")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+    "q_cooccur" -> ((s, dir) =>
+      // windowed token co-occurrence (window 3, unordered pairs, top 50):
+      // map-only per-doc pair generation, only (pair -> partial count)
+      // rows shuffle; the oracle is the positional self-join definition
+      Cooccur.top(t(s, dir, "documents"), "text", window = 3, k = 50)),
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-text aggregation per target host (inlink descriptions —
+      // the link-graph relevance signal): anchors() captures (href, text)
+      // with inner markup stripped; relative links have no host and drop.
+      // Anchor text synthesized from doc_id arithmetic, mirrored verbatim
+      // in the oracle.
+      GraftFunctions.register(s)
+      val i = col("doc_id")
+      val html = concat(
+        lit("""<p>intro</p><a href="https://out"""), (i * 7 % 20).cast("string"),
+        lit(""".example.com/p">read <b>about</b>  topic"""), (i % 5).cast("string"),
+        lit("""</a><a href="/rel">skip</a>""")).cast("binary")
+      t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+        .select(explode(expr("anchors(html)")).as("a"))
+        .select(expr("url_host(a._1)").as("host"), col("a._2").as("anchor"))
+        .filter(col("host") =!= "")
+        .groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
+        .orderBy("host", "anchor")
+    }),
 
     // --------------------------------------------------- sketch operators
     "q_theta_distinct" -> ((s, dir) => {
@@ -1325,6 +1414,68 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS rn FROM hits)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
         |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // paragraph-dedup truth from the chunk arithmetic (q_chunk_docs'
+    // oracle shape at window=stride=32) + first-occurrence window
+    "q_paragraph_dedup" ->
+      s"""$allDocsCte,
+         |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |      FROM all_docs WHERE trim(text) <> ''),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |starts AS (SELECT doc_id, toks, n, unnest(range(1, n + 1, 32)) AS st FROM n),
+         |ch AS (SELECT doc_id, ((st - 1) // 32)::INT AS idx,
+         |       md5(array_to_string(toks[st:st + 31], ' ')) AS h FROM starts),
+         |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY h
+         |      ORDER BY doc_id, idx) AS rn FROM ch)
+         |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // vocab truth: token histogram -> top-24 ids by (count desc, token
+    // asc) -> per-doc in-order id join; md5 of the joined sequence
+    "q_vocab_encode" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |      FROM documents WHERE trim(text) <> ''),
+        |pos AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS p, arr FROM t),
+        |tok AS (SELECT doc_id, p, arr[p] AS term FROM pos),
+        |counts AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |vocab AS (SELECT * FROM (SELECT term,
+        |    (row_number() OVER (ORDER BY c DESC, term) - 1)::INT AS id
+        |  FROM counts) WHERE id < 24),
+        |enc AS (SELECT t2.doc_id, t2.p, v.id
+        |  FROM tok t2 LEFT JOIN vocab v USING (term))
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  md5(array_to_string(coalesce(
+        |    list(id ORDER BY p) FILTER (WHERE id IS NOT NULL), []), ',')) AS ids_md5
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the single-task window definition the two-phase scan must equal
+    "q_global_shuffle" ->
+      """SELECT (row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1)::BIGINT AS pos,
+        |       doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+    // compaction is invisible: the post-compaction read must equal the
+    // raw table (layout invariants are require()d in-plan)
+    "q_table_compact" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id",
+    // the positional-self-join definition of windowed co-occurrence; the
+    // total (cnt desc, tok_a, tok_b) order makes the top-50 SET unique
+    "q_cooccur" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        |      FROM documents WHERE trim(text) <> ''),
+        |pos AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS p, arr FROM t),
+        |tok AS (SELECT doc_id, p, arr[p] AS term FROM pos),
+        |pr AS (SELECT least(x.term, y.term) AS tok_a, greatest(x.term, y.term) AS tok_b
+        |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 3)
+        |SELECT tok_a, tok_b, count(*)::BIGINT AS cnt FROM pr GROUP BY 1, 2
+        |ORDER BY cnt DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+    // expected (host, anchor) histogram rebuilt from the same arithmetic
+    // (markup inside the anchor is stripped, double space collapses)
+    "q_anchor_text" ->
+      """WITH a AS (SELECT
+        |  'out' || ((doc_id*7) % 20)::VARCHAR || '.example.com' AS host,
+        |  'read about topic' || (doc_id % 5)::VARCHAR AS anchor
+        |FROM documents)
+        |SELECT host, anchor, count(*)::BIGINT AS cnt
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,

@@ -33,7 +33,9 @@ object Verify {
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_host_graph",
     "q_gopher_filter",
-    "q_warc_roundtrip", "q_search_conjunctive",
+    "q_warc_roundtrip", "q_search_conjunctive", "q_global_shuffle",
+    "q_table_compact", "q_vocab_encode", "q_paragraph_dedup",
+    "q_cooccur", "q_anchor_text",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens",

@@ -149,6 +149,82 @@ object HtmlText {
     out.toArray
   }
 
+  /** `<a href>` links WITH their anchor text — the per-target relevance
+    * signal of the link graph (inlink descriptions aggregate host-side).
+    * The text is everything between the anchor's `>` and the next `</a`
+    * (case-insensitive), inner markup stripped, whitespace collapsed,
+    * `&amp;` decoded; unterminated anchors take the rest of the document.
+    * Scanning resumes right after the opening tag (same traversal as
+    * [[outlinks]], so the href list stays identical: `anchors(h).map(_._1)
+    * == outlinks(h)` for comment-free html — pinned in OutlinksSpec). */
+  def anchors(html: Array[Byte]): Array[(String, String)] =
+    anchors(new String(html, StandardCharsets.UTF_8))
+
+  def anchors(html: String): Array[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close).trim
+            if (!inner.startsWith("/")) {
+              val sp = inner.indexWhere(ch => ch.isWhitespace || ch == '/')
+              val name = (if (sp < 0) inner else inner.substring(0, sp)).toLowerCase
+              if (name == "a") attrValue(inner, "href").filter(_.nonEmpty).foreach { v =>
+                val textEnd = indexOfIgnoreCase(html, "</a", close + 1)
+                val raw = html.substring(close + 1, if (textEnd < 0) n else textEnd)
+                out += ((v.replace("&amp;", "&"), collapseText(raw)))
+              }
+            }
+            i = close + 1
+          }
+        }
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= n) {
+      var j = 0
+      while (j < needle.length &&
+        Character.toLowerCase(s.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Strip `<...>` spans, decode `&amp;`, collapse whitespace runs, trim. */
+  private def collapseText(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var inTag = false
+    var pendingWs = false
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (inTag) { if (ch == '>') inTag = false }
+      else if (ch == '<') inTag = true
+      else if (ch.isWhitespace) { if (sb.length > 0) pendingWs = true }
+      else {
+        if (pendingWs) { sb.append(' '); pendingWs = false }
+        sb.append(ch)
+      }
+      i += 1
+    }
+    sb.toString.replace("&amp;", "&")
+  }
+
   /** First value of the named attribute inside a tag's `<...>` content
     * (name matched case-insensitively at a token boundary). */
   private def attrValue(inner: String, attr: String): Option[String] = {

@@ -39,6 +39,15 @@ trait TableIO {
   def snapshots(table: String): Seq[(Long, String)]
   /** Read the table as of a COMMITTED snapshot id (time travel). */
   def readAt(table: String, snapshotId: Long): DataFrame
+  /** Small-file maintenance (Iceberg's `rewrite_data_files`): rewrite the
+    * committed HEAD into `targetFiles` files as a NEW snapshot committed
+    * under the SAME fingerprint — data-identical, so pipeline resume
+    * still matches, while readers stop paying per-file open/footer cost.
+    * At 10^12 docs the accumulated output of incremental runs is the
+    * small-files problem; compaction is a background maintenance job that
+    * must never change query results — the spec + driver query pin
+    * exactly that. Returns the new snapshot id. */
+  def compact(table: String, targetFiles: Int): Long
 }
 
 /** Parquet-directory realization with snapshot history: each `overwrite`
@@ -130,5 +139,23 @@ class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
       s"readAt($table, $snapshotId): not a committed snapshot " +
         s"(committed: ${readLog(table).map(_._1).mkString(",")})")
     spark.read.parquet(versionDir(table, snapshotId).toString)
+  }
+
+  override def compact(table: String, targetFiles: Int): Long = {
+    require(targetFiles >= 1, s"bad targetFiles $targetFiles")
+    val fp = committedFingerprint(table).getOrElse(throw new IllegalStateException(
+      s"compact($table): head is not a committed snapshot"))
+    // one read -> one write: coalesce avoids a shuffle when shrinking the
+    // file count (the normal compaction direction); repartition only when
+    // the head has FEWER files than the target (splitting requires one)
+    val head = read(table)
+    val nFiles = head.inputFiles.length
+    val rewritten =
+      if (nFiles >= targetFiles) head.coalesce(targetFiles)
+      else head.repartition(targetFiles)
+    overwrite(table, rewritten)
+    commit(table, fp)
+    val v = headVersion(table).get
+    v
   }
 }

@@ -236,6 +236,7 @@ object GraftFunctions {
       if (a == null || b == null) None else Some(TextOps.commonSubstringAtLeast(a, b, minLen))),
     "extract_text" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.extract)),
     "outlinks" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.outlinks)),
+    "anchors" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.anchors)),
     "url_normalize" -> udf((u: String) => Option(u).map(UrlOps.normalize)),
     "url_host" -> udf((u: String) => Option(u).map(UrlOps.host)),
     "url_domain" -> udf((u: String) => Option(u).map(UrlOps.domainOf)),

@@ -43,4 +43,25 @@ class OutlinksSpec extends AnyFunSuite {
     val html = new String(HtmlText.wrap("https://e.org/p", "T", "body text"), "UTF-8")
     assert(outlinks(html).toSeq == Seq("/", "/about"))
   }
+
+  test("anchors: text captured, inner markup stripped, whitespace collapsed, &amp; decoded") {
+    val html =
+      """<a href="https://a.com/1">Plain  text</a>
+        |<a href="/2"><b>bold</b> and <i>ital</i></a>
+        |<a href="/3">A &amp; B</a>
+        |<a href="/4"></a>""".stripMargin
+    assert(HtmlText.anchors(html).toSeq == Seq(
+      ("https://a.com/1", "Plain text"), ("/2", "bold and ital"),
+      ("/3", "A & B"), ("/4", "")))
+  }
+
+  test("anchors: unterminated anchor takes the rest; hrefs == outlinks on comment-free html") {
+    assert(HtmlText.anchors("""<a href="/x">tail with <em>no</em> close""").toSeq ==
+      Seq(("/x", "tail with no close")))
+    val html =
+      """<a href="https://a.com/1">one</a><a class='big' href='/rel/2'>two</a>
+        |<a href=plain3.html rel=nofollow>three</a><a HREF="/c?x=1&amp;y=2">l</a>""".stripMargin
+    assert(HtmlText.anchors(html).map(_._1).toSeq == outlinks(html).toSeq)
+    assert(HtmlText.anchors(html).map(_._2).toSeq == Seq("one", "two", "three", "l"))
+  }
 }

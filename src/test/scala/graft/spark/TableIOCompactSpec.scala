@@ -1,0 +1,43 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.ParquetTableIO
+import org.apache.spark.sql.functions._
+
+/** Snapshot compaction: data-identical rewrite, fewer files, same
+  * fingerprint (resume still matches), history grows, and pre-compaction
+  * snapshots stay time-travelable. */
+class TableIOCompactSpec extends AnyFunSuite with SparkSuiteBase {
+  import spark.implicits._
+
+  test("compact: fewer files, identical rows, fingerprint preserved, history intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val io = new ParquetTableIO(spark, root)
+    val df = (0 until 500).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")
+
+    io.overwrite("docs", df.repartition(32)) // the small-files problem
+    io.commit("docs", "fp-v1")
+    val v1 = io.snapshots("docs").last._1
+    val filesBefore = io.read("docs").inputFiles.length
+    assert(filesBefore >= 16, s"fixture must start fragmented, got $filesBefore")
+
+    val v2 = io.compact("docs", targetFiles = 2)
+    assert(v2 != v1)
+    val filesAfter = io.read("docs").inputFiles.length
+    assert(filesAfter <= 2, s"expected <= 2 files, got $filesAfter")
+
+    // same data, same fingerprint, both snapshots committed + addressable
+    assert(io.committedFingerprint("docs").contains("fp-v1"))
+    assert(io.snapshots("docs").map(_._1) == Seq(v1, v2))
+    val before = io.readAt("docs", v1).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val after = io.readAt("docs", v2).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
+  test("compact refuses an uncommitted head") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    val io = new ParquetTableIO(spark, root)
+    io.overwrite("docs", Seq((1L, "a")).toDF("doc_id", "text"))
+    intercept[IllegalStateException] { io.compact("docs", 1) }
+  }
+}
