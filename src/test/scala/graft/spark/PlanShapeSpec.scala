@@ -59,6 +59,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     assert(plan("q_decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("q_search_conjunctive broadcasts the query terms; the postings never sort-merge") {
+    // both joins against the corpus-sized side (term match, per-query
+    // size) must be broadcast hash joins — a sort-merge would shuffle the
+    // whole posting table for a handful of query terms
+    val p = plan("q_search_conjunctive")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), s"postings are sort-merge joined:\n${p.take(2000)}")
+  }
+
+  test("q_vocab_encode broadcasts the vocabulary to the token scan") {
+    assert(plan("q_vocab_encode").contains("BroadcastHashJoin"))
+  }
+
   test("q_pack_sequences windows per physical partition, not per stratum") {
     // the packing scan's window must partition by (stratum, partition id):
     // a stratum-only window would serialize each language through one task
