@@ -607,6 +607,68 @@ object SparkEntry {
         .groupBy("host", "anchor").agg(count(lit(1)).as("cnt"))
         .orderBy("host", "anchor")
     }),
+    "q_classifier_margin" -> ((s, dir) =>
+      // fastText-style hashed-linear quality model (model-free stand-in):
+      // weight(token) = md5-derived integer in [-500, 500], margin = the
+      // weight sum — ALL-INTEGER from codegen'd md5/conv/sum (no UDF), so
+      // the keep boundary is drift-free and the oracle runs the IDENTICAL
+      // model. Swapping in trained weights = swapping the weight column
+      // for a broadcast-joined lookup; the plan shape stays this one.
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("w",
+          expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 1001 - 500"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
+        .withColumn("keep", col("margin") > 0)
+        .orderBy("doc_id")),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // incremental-processing primitive on the storage seam: commit two
+      // snapshots (v2 = edits + deletes + new docs, all by arithmetic the
+      // oracle mirrors), then TableIO.diff emits the exact changelog —
+      // an update shows up as one delete + one insert.
+      val root = java.nio.file.Files.createTempDirectory("graft-diff-q").toString
+      val io = new graft.pipeline.ParquetTableIO(s, root)
+      val v1 = t(s, dir, "documents").select("doc_id", "text")
+      io.overwrite("docs", v1); io.commit("docs", "v1")
+      val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      io.overwrite("docs", v2); io.commit("docs", "v2")
+      val ids = io.snapshots("docs").map(_._1)
+      io.diff("docs", ids.head, ids.last)
+        .select(col("change"), col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("change", "doc_id")
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity closes a session) —
+      // the classic event-stream primitive. Per-user windows are bounded
+      // by per-user volume (~10^2 here; at web scale sessionization keys
+      // on (user, day) first when single users exceed a task). Integer
+      // epoch-us arithmetic keeps the session boundaries drift-free.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        // the parquet ts is TIMESTAMP_NTZ; the UTC session zone makes the
+        // cast a pure reinterpretation, aligning with DuckDB's naive
+        // epoch_us
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull or
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum("new_s")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"), max("event_id").as("last_event"))
+        .orderBy("user_id", "session_idx")
+    }),
 
     // --------------------------------------------------- sketch operators
     "q_theta_distinct" -> ((s, dir) => {
@@ -1476,6 +1538,48 @@ object SparkEntry {
         |FROM documents)
         |SELECT host, anchor, count(*)::BIGINT AS cnt
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the IDENTICAL hashed linear model: same md5-prefix weights, same
+    // integer margin, same keep boundary
+    "q_classifier_margin" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |w AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1001 - 500 AS w FROM tok)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  CAST(sum(w) AS BIGINT) AS margin, (CAST(sum(w) AS BIGINT) > 0) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the changelog rebuilt from the same v1/v2 arithmetic via EXCEPT
+    // (rows are unique per snapshot, so EXCEPT == exceptAll)
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' EDITED' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |del AS (SELECT 'delete' AS change, doc_id, md5(text) AS text_md5
+        |  FROM (SELECT * FROM v1 EXCEPT SELECT * FROM v2)),
+        |ins AS (SELECT 'insert' AS change, doc_id, md5(text) AS text_md5
+        |  FROM (SELECT * FROM v2 EXCEPT SELECT * FROM v1))
+        |SELECT * FROM del UNION ALL SELECT * FROM ins ORDER BY change, doc_id""".stripMargin,
+    // the same gap rule in DuckDB's window dialect; epoch_us keeps the
+    // 30-min boundary integer-exact on both engines
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s FROM e),
+        |g AS (SELECT user_id, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*)::BIGINT AS n_events, min(event_id) AS first_event,
+        |  max(event_id) AS last_event
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_theta_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,

@@ -35,7 +35,8 @@ object Verify {
     "q_gopher_filter",
     "q_warc_roundtrip", "q_search_conjunctive", "q_global_shuffle",
     "q_table_compact", "q_vocab_encode", "q_paragraph_dedup",
-    "q_cooccur", "q_anchor_text",
+    "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
+    "q_sessionize",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens",

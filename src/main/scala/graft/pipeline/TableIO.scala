@@ -39,6 +39,21 @@ trait TableIO {
   def snapshots(table: String): Seq[(Long, String)]
   /** Read the table as of a COMMITTED snapshot id (time travel). */
   def readAt(table: String, snapshotId: Long): DataFrame
+  /** Changelog between two committed snapshots: full-row comparison,
+    * `change = 'delete'` for rows present at `fromId` but gone at `toId`,
+    * `'insert'` for the reverse (an update is one of each) — the
+    * incremental-processing primitive (process only what changed since
+    * the last committed run). On Iceberg this is the native changelog /
+    * incremental read, which costs nothing; this generic fallback works
+    * on any snapshot store at the cost of one shuffle of each snapshot —
+    * keyed `exceptAll`s, no driver-side rows. */
+  def diff(table: String, fromId: Long, toId: Long): DataFrame = {
+    val a = readAt(table, fromId)
+    val b = readAt(table, toId)
+    a.exceptAll(b).withColumn("change", org.apache.spark.sql.functions.lit("delete"))
+      .unionByName(b.exceptAll(a).withColumn("change", org.apache.spark.sql.functions.lit("insert")))
+  }
+
   /** Small-file maintenance (Iceberg's `rewrite_data_files`): rewrite the
     * committed HEAD into `targetFiles` files as a NEW snapshot committed
     * under the SAME fingerprint — data-identical, so pipeline resume

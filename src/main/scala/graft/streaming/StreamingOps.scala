@@ -78,6 +78,24 @@ object StreamingOps {
     * use `streamingExactDedupWithinWatermark`, which bounds state to the
     * watermark horizon (duplicates farther apart than the horizon are then
     * NOT collapsed — the standard streaming trade). */
+  /** Gap-based sessionization on a stream: Spark's native `session_window`
+    * (dynamic merging windows in the state store) + a watermark bounding
+    * state. The SAME call shape runs in batch (session_window is a plain
+    * grouping expression there), which is how the spec pins
+    * stream ≡ batch over arbitrary micro-batch splits. Output: one row
+    * per closed (user, session) with event count + bounds. */
+  def sessionize(events: DataFrame, tsCol: String, userCol: String,
+                 gap: String = "30 minutes", watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    base
+      .groupBy(col(userCol).as("user_id"), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(tsCol).as("first_ts"), max(tsCol).as("last_ts"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("first_ts"), col("last_ts"))
+  }
+
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
 

@@ -311,4 +311,46 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
       assert(pairs.contains((50L, 51L)), s"live bucket lost state: $pairs")
     } finally q.stop()
   }
+
+  test("streaming sessionize (native session_window): closed sessions == batch run") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val base = 1700000000000L
+    val min = 60000L
+    // 3 users, gaps straddling the 10-minute rule: user 1 has two
+    // sessions (25-min gap), user 2 one long chained session (9-min
+    // steps merge), user 3 three singletons
+    val rows: Seq[(Timestamp, Long)] = (Seq(
+      (0L, 1L), (5L, 1L), (9L, 1L), (34L, 1L), (36L, 1L),
+      (1L, 2L), (10L, 2L), (19L, 2L), (28L, 2L),
+      (2L, 3L), (20L, 3L), (40L, 3L))
+      .map { case (m, u) => (new Timestamp(base + m * min), u) })
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user")
+    val q = StreamingOps.sessionize(df, "ts", "user", gap = "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // arbitrary micro-batch boundaries mid-session, then two flush
+      // events (a sacrificial user far in the future) so the watermark
+      // passes every real session's end and append emits them all
+      input.addData(rows.take(5): _*); q.processAllAvailable()
+      input.addData(rows.slice(5, 9): _*); q.processAllAvailable()
+      input.addData(rows.drop(9): _*); q.processAllAvailable()
+      input.addData((new Timestamp(base + 10000 * min), 999L)); q.processAllAvailable()
+      input.addData((new Timestamp(base + 20000 * min), 999L)); q.processAllAvailable()
+      val got = sq.sql("SELECT * FROM sess WHERE user_id != 999").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      // batch truth: the SAME call on a static frame
+      val batch = StreamingOps.sessionize(
+          rows.toDF("ts", "user"), "ts", "user", gap = "10 minutes")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+          r.getTimestamp(3).getTime, r.getTimestamp(4).getTime)).toSet
+      assert(batch.size == 6, s"fixture must make 6 sessions, got $batch")
+      assert(got == batch)
+    } finally q.stop()
+  }
 }

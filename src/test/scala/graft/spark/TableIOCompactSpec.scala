@@ -34,6 +34,22 @@ class TableIOCompactSpec extends AnyFunSuite with SparkSuiteBase {
     assert(after == before)
   }
 
+  test("diff: update = delete+insert, pure add = insert, pure remove = delete") {
+    val root = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    val io = new ParquetTableIO(spark, root)
+    io.overwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"))
+    io.commit("t", "v1")
+    io.overwrite("t", Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "x"))
+    io.commit("t", "v2")
+    val ids = io.snapshots("t").map(_._1)
+    val got = io.diff("t", ids.head, ids.last)
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("delete", 2L, "b"), ("insert", 2L, "B"),   // update
+      ("delete", 3L, "c"),                        // removed
+      ("insert", 4L, "d")))                       // added
+  }
+
   test("compact refuses an uncommitted head") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact2").toString
     val io = new ParquetTableIO(spark, root)
