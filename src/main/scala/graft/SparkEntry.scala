@@ -470,17 +470,19 @@ object SparkEntry {
       // Common-Crawl-native ingestion, attested as a byte-exact round
       // trip: wrap each doc as an html payload, serialize response
       // records into multi-record WARC segment blobs (25 records each,
-      // order-keyed so segment bytes are deterministic), re-split +
-      // re-parse, and emit per-url payload identity (strlen + md5) the
-      // oracle recomputes straight from the raw table. Sub-second
-      // timestamps (doc_id*1000001 us) exercise fractional WARC dates.
+      // order-keyed so segment bytes are deterministic, one gzip MEMBER
+      // per record — the real CC container), re-split + re-parse, and
+      // emit per-url payload identity (strlen + md5) the oracle
+      // recomputes straight from the raw table. Sub-second timestamps
+      // (doc_id*1000001 us) exercise fractional WARC dates.
       val rows = t(s, dir, "documents").select(
         concat(lit("https://warc.example/doc/"), col("doc_id")).as("url"),
         (lit(1600000000000000L) + col("doc_id") * 1000001L).as("ts_us"),
         concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
           .cast("binary").as("payload"),
         col("doc_id").as("ord"))
-      val files = graft.sources.WarcIO.writeFiles(rows, "url", "ts_us", "payload", "ord", 25)
+      val files = graft.sources.WarcIO.writeFiles(rows, "url", "ts_us", "payload",
+        "ord", 25, gzipPerRecord = true)
       graft.sources.WarcIO.readFiles(files, "bytes")
         .select(col("url"), col("ts_us"), col("status"),
           length(col("payload")).cast("long").as("n_bytes"),

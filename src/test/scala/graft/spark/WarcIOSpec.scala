@@ -61,6 +61,45 @@ class WarcIOSpec extends AnyFunSuite with SparkSuiteBase {
     intercept[IllegalArgumentException] { WarcIO.parseFile(noTerm) }
   }
 
+  test("gzip member-per-record segments parse identically to plain segments") {
+    val recs = (0 until 7).map(i =>
+      WarcIO.record(s"https://gz.example/$i", 1000000L * (i + 1),
+        s"<p>page $i ${"y" * (i * 13 % 17)}</p>".getBytes(UTF_8)))
+    val plain = WarcIO.file(recs)
+    val gz = WarcIO.file(recs, gzipPerRecord = true)
+    assert((gz(0) & 0xff) == 0x1f && (gz(1) & 0xff) == 0x8b, "expected gzip magic")
+    assert(gz.length != plain.length)
+    val a = WarcIO.parseFile(plain).map(r => (r.url, r.tsUs, new String(r.payload, UTF_8)))
+    val b = WarcIO.parseFile(gz).map(r => (r.url, r.tsUs, new String(r.payload, UTF_8)))
+    assert(a == b && a.size == 7)
+  }
+
+  test("warc ingestion is streamable: parsed stream rows == batch parse") {
+    // segments arrive as a stream of binary blobs (the production shape:
+    // a file-watch source over landing warc.gz objects); warc_parse is
+    // map-only, so it runs unchanged under structured streaming
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val segs: Seq[Array[Byte]] = (0 until 3).map { f =>
+      WarcIO.file((0 until 5).map { i =>
+        WarcIO.record(s"https://stream.example/$f/$i", 1000000L * (f * 5 + i + 1),
+          s"<p>seg $f page $i</p>".getBytes(UTF_8))
+      }, gzipPerRecord = f % 2 == 0) // mixed plain/gzip segments
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    val q = WarcIO.readFiles(input.toDF().toDF("bytes"), "bytes")
+      .writeStream.format("memory").queryName("warc_stream").outputMode("append").start()
+    try {
+      input.addData(segs.head); q.processAllAvailable()
+      input.addData(segs.tail: _*); q.processAllAvailable()
+      val got = sq.sql("SELECT url, ts_us FROM warc_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch = segs.flatMap(WarcIO.parseFile).map(r => (r.url, r.tsUs)).toSet
+      assert(got == batch && got.size == 15)
+    } finally q.stop()
+  }
+
   test("spark write/read round trip; segment bytes invariant under partitioning") {
     val rows = (0 until 57).map { i =>
       (s"https://site${i % 7}.example/p/$i", 1600000000000000L + i * 1000000L,
