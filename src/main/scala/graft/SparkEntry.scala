@@ -520,6 +520,20 @@ object SparkEntry {
         (3L, Seq("table"))).toDF("query_id", "terms")
       SearchIndex.searchAll(p, qs, k = 10).orderBy("query_id", "doc_id")
     }),
+    "q_search_ranked" -> ((s, dir) => {
+      // BM25-shaped ranked (OR) retrieval in fixed-point integer
+      // arithmetic: rational idf surrogate x dl-normalized saturating tf,
+      // bounded MinNPair top-k — the oracle runs the IDENTICAL integer
+      // formula, so rank order AND scores hash-match strictly.
+      import s.implicits._
+      val p = SearchIndex.postings(t(s, dir, "documents"), "doc_id", "text")
+      val qs = Seq(
+        (0L, Seq("customer", "the")),          // rare + stopword-common mix
+        (1L, Seq("spark", "window", "merge")),
+        (2L, Seq("query", "query", "batch")),  // dup term collapses
+        (3L, Seq("stream"))).toDF("query_id", "terms")
+      SearchIndex.searchRanked(p, qs, k = 10).orderBy("query_id", "doc_id")
+    }),
     "q_paragraph_dedup" -> ((s, dir) => {
       // CCNet-style paragraph-level dedup, composed from attested kernels:
       // non-overlapping 32-token chunks stand in for paragraphs (the
@@ -1476,6 +1490,31 @@ object SparkEntry {
         |  FROM m JOIN qs USING (query_id) WHERE m.nh = qs.n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, doc_id) AS rn FROM hits)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
+        |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // ranked-retrieval truth: the SAME fixed-point integer BM25-shaped
+    // weight (DuckDB // == Spark div on non-negative bigints), window
+    // top-10 under the same (score desc, doc_id asc) total order
+    "q_search_ranked" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks
+        |      WHERE term <> '' GROUP BY 1, 2),
+        |st AS (SELECT sum(tf)::BIGINT AS a, count(DISTINCT doc_id)::BIGINT AS n FROM p),
+        |q AS (SELECT * FROM (VALUES (0,'customer'),(0,'the'),
+        |    (1,'spark'),(1,'window'),(1,'merge'),
+        |    (2,'query'),(2,'batch'),(3,'stream')) AS v(query_id, term)),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM p
+        |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM p GROUP BY 1),
+        |m AS (SELECT q.query_id, p.doc_id, CAST(sum(
+        |      ((2 * (st.n - dfq.df) + 1) * ((100000 * 44 * st.a * p.tf)
+        |        // (20 * st.a * p.tf + 6 * st.a + 18 * dl.dl * st.n)))
+        |      // (2 * dfq.df + 1)) AS BIGINT) AS score
+        |  FROM q JOIN p USING (term) JOIN dfq USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN st GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rn FROM m)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
         |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
     // paragraph-dedup truth from the chunk arithmetic (q_chunk_docs'

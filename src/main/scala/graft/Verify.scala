@@ -33,7 +33,8 @@ object Verify {
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_host_graph",
     "q_gopher_filter",
-    "q_warc_roundtrip", "q_search_conjunctive", "q_global_shuffle",
+    "q_warc_roundtrip", "q_search_conjunctive", "q_search_ranked",
+    "q_global_shuffle",
     "q_table_compact", "q_vocab_encode", "q_paragraph_dedup",
     "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
     "q_sessionize",
@@ -59,7 +60,11 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter, for cheap
+    // single-query rehearsals while iterating (the driver passes 2 args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -114,6 +119,7 @@ object Verify {
     val t0 = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - t0) / 1000000000L
     val names = orderedQueryNames(SparkEntry.queries.keys)
+      .filter(n => only.forall(_.contains(n)))
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val remaining = budgetSec - elapsedSec

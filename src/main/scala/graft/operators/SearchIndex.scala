@@ -70,6 +70,79 @@ object SearchIndex {
       .select(col("query_id"), col("h.doc_id").as("doc_id"), col("h.score").as("score"))
   }
 
+  /** Disjunctive (OR) ranked retrieval with BM25-SHAPED weighting in
+    * ALL-INTEGER fixed-point arithmetic — the ranking seam `searchAll`'s
+    * doc left open, realized without giving up the strict cross-engine
+    * hash oracle.
+    *
+    * Per matched (term t, doc d), with corpus stats A = Σ tf (total
+    * tokens), N = #docs with ≥1 token, dl = Σ tf over d, df = #docs
+    * containing t, and BM25 constants k1 = 6/5, b = 3/4 cleared to
+    * integers:
+    *
+    *   tfpart = (S·44·A·tf) div (20·A·tf + 6·A + 18·dl·N)
+    *            // = S · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)), avgdl = A/N
+    *   w      = ((2(N−df)+1) · tfpart) div (2df+1)
+    *            // Robertson idf's log replaced by the integer-exact
+    *            // rational (N−df+½)/(df+½) — monotone in rarity, so the
+    *            // RANKING behavior (rare terms up-weighted, tf saturating
+    *            // in dl-normalized units) is BM25's; the absolute scale is
+    *            // not. A float-log BM25 is a one-Column swap, priced at
+    *            // losing bit-exact oracle parity.
+    *   score(q,d) = Σ_t w  — ties broken by doc_id asc.
+    *
+    * Integer envelope (documented, not load-bearing at sandbox SFs):
+    * tfpart ≤ 2.2·S, so w ≤ 2.2·S·(2N+1) and the tfpart numerator
+    * S·44·A·tf stays under 2^63 for A·tf < 2×10^15 at S = 10^5 — at
+    * 10^12-doc scale S drops or the expression moves to DECIMAL(38).
+    *
+    * Scale shape: corpus stats and per-query-term dfs are tiny aggregates
+    * (broadcast); the only corpus-sized shuffle joins hit rows against doc
+    * lengths on the narrow doc_id key; top-k per query is the bounded
+    * MinNPair aggregate, never a window. In production the postings table
+    * is stored (like the IVF index) with (dl, A, N) persisted beside it —
+    * here the stats derive from `postingsDf` itself so blank-doc semantics
+    * can't diverge from the index. */
+  def searchRanked(postingsDf: DataFrame, queries: DataFrame, k: Int,
+                   scale: Long = 100000L): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val qTerms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(array_distinct(col("terms"))).as("term"))
+    // corpus stats: one aggregate row, cross-joined (broadcast) not collected
+    val stats = postingsDf
+      .agg(sum("tf").cast("long").as("A"),
+        countDistinct("doc_id").cast("long").as("N"))
+    // df only for query terms: per-term distinct-doc counts restricted by a
+    // broadcast semi-join — vocabulary-sized df tables never materialize
+    val dfq = postingsDf
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val docLen = postingsDf.groupBy("doc_id").agg(sum("tf").cast("long").as("dl"))
+    val minN = udaf(new MinNKeepPairsAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    // `div` (true integer division) only exists in SQL expression syntax;
+    // float `/` + cast would silently lose exactness past 2^53
+    val w = expr(
+      s"((2L * (N - df) + 1L) * ((${scale}L * 44L * A * tf)" +
+        " div (20L * A * tf + 6L * A + 18L * dl * N))) div (2L * df + 1L)")
+    val perDoc = postingsDf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(w).cast("long").as("score"))
+    perDoc
+      .groupBy("query_id")
+      .agg(minN((-col("score")).cast("long"), col("doc_id")).as("_pairs"))
+      .select(col("query_id"), explode(expr(
+        "transform(sequence(0, size(_pairs) div 2 - 1)," +
+          " i -> struct(-_pairs[2*i] AS score, _pairs[2*i+1] AS doc_id))")).as("h"))
+      .select(col("query_id"), col("h.doc_id").as("doc_id"), col("h.score").as("score"))
+  }
+
   /** [[FixedSample.MinNPairAgg]] that keeps the sorted flat (key, id)
     * pairs in `finish` (the base class drops the keys) — here the key IS
     * the negated score, which the caller needs back. */

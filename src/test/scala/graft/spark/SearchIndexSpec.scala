@@ -52,6 +52,63 @@ class SearchIndexSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth)
   }
 
+  // the searchRanked fixed-point weight, recomputed independently
+  private def bm25ishScores(corpus: Seq[(Long, String)], terms: Seq[String],
+                            scale: Long = 100000L): Map[Long, Long] = {
+    val counts = corpus.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val nonEmpty = counts.filter(_._2.nonEmpty)
+    val bigA = nonEmpty.values.map(_.values.sum).sum
+    val bigN = nonEmpty.size.toLong
+    val dfm = terms.distinct.map(t => t -> nonEmpty.count(_._2.contains(t)).toLong).toMap
+    nonEmpty.flatMap { case (id, cnt) =>
+      val dl = cnt.values.sum
+      val score = terms.distinct.flatMap { t =>
+        val tf = cnt.getOrElse(t, 0L)
+        if (tf == 0) None
+        else {
+          val df = dfm(t)
+          val tfpart = (scale * 44L * bigA * tf) / (20L * bigA * tf + 6L * bigA + 18L * dl * bigN)
+          Some(((2L * (bigN - df) + 1L) * tfpart) / (2L * df + 1L))
+        }
+      }.sum
+      if (score > 0) Some(id -> score) else None
+    }
+  }
+
+  test("ranked search == brute force of the same integer formula") {
+    val queries = Seq(
+      (0L, Seq("spark", "join")),
+      (1L, Seq("table", "table", "key")), // dup term collapses
+      (2L, Seq("zebra")),                 // no hits anywhere
+      (3L, Seq("agg")))
+    val k = 7
+    val truth = queries.flatMap { case (qid, terms) =>
+      bm25ishScores(docs, terms).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(truth.nonEmpty && !truth.exists(_._1 == 2L))
+    val p = SearchIndex.postings(docs.toDF("doc_id", "text"), "doc_id", "text")
+    val got = SearchIndex.searchRanked(p, queries.toDF("query_id", "terms"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth)
+  }
+
+  test("ranked search up-weights rare terms over frequent ones") {
+    // 'rare' appears in 1 doc, 'common' in every doc; a doc matching only
+    // 'rare' must outrank docs matching only 'common' for the 2-term query
+    val corpus: Seq[(Long, String)] =
+      (0L, "rare alpha beta") +: (1 until 20).map(i => (i.toLong, "common alpha beta"))
+    val p = SearchIndex.postings(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val got = SearchIndex.searchRanked(
+      p, Seq((0L, Seq("rare", "common"))).toDF("query_id", "terms"), 3)
+      .orderBy($"score".desc, $"doc_id").collect()
+    assert(got.head.getLong(1) == 0L, s"rare-term doc should rank first: ${got.toSeq}")
+    assert(got.head.getLong(2) > got(1).getLong(2))
+  }
+
   test("k larger than the hit count returns every hit") {
     val p = SearchIndex.postings(docs.toDF("doc_id", "text"), "doc_id", "text")
     val all = SearchIndex.searchAll(p, Seq((9L, Seq("join"))).toDF("query_id", "terms"), 10000)
