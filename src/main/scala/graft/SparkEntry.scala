@@ -186,6 +186,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
+    "q_cdc_chunks" -> ((s, dir) =>
+      // content-defined chunking: boundary after token i iff the
+      // md5-derived hash of the 4-token window ending at i ≡ 0 (mod 16)
+      // — shift-robust dedup chunks; the oracle recomputes EVERY boundary
+      // from the same window hashes, so cut positions and chunk contents
+      // are pinned exactly
+      DocChunker.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+          windowTokens = 4, divisor = 16)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
     "q_cluster_survivors" -> ((s, dir) =>
       // score-based keep-one-copy: the survivor of each duplicate group is
       // the highest-priority copy (deterministic prio = doc_id % 3 so the
@@ -1232,6 +1244,25 @@ object SparkEntry {
         |  least(64, n - st + 1)::INT AS chunk_tokens,
         |  md5(array_to_string(toks[st:st + 63], ' ')) AS chunk_md5
         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    // cdc truth: the identical window-hash boundary rule, evaluated as a
+    // list computation (no sequential state — the checked config has no
+    // min/max bounds, deliberately)
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, toks, list_sort(list_distinct(list_append(
+        |    list_filter(range(4, n + 1), i ->
+        |      (('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 8))::BIGINT
+        |        % 16) = 0), n))) AS ends FROM n),
+        |c AS (SELECT doc_id, toks, ends, unnest(range(1, len(ends) + 1)) AS j FROM b),
+        |ch AS (SELECT doc_id, (j - 1)::INT AS chunk_idx,
+        |       CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END AS st,
+        |       ends[j] AS en, toks FROM c)
+        |SELECT doc_id, chunk_idx, (en - st + 1)::BIGINT AS chunk_tokens,
+        |  md5(array_to_string(toks[st:en], ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     // score-argmax keep-one-copy truth: per exact-text group keep the row
     // with max(doc_id % 3), ties to min doc_id
     "q_cluster_survivors" ->

@@ -40,6 +40,7 @@ object Verify {
     "q_sessionize",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
+    "q_cdc_chunks",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens",
     "q_host_rank",
     "q_incremental_dedup", "q_req_quantiles", "q_kll_quantiles",

@@ -297,6 +297,81 @@ object DocChunker {
       .select(col("id"), col("c._1").as("chunk_idx"),
         col("c._2").as("chunk_tokens"), col("c._3").as("chunk_text"))
   }
+
+  /** Content-defined chunking (FastCDC/rolling-hash shape, token
+    * granularity): a boundary closes the chunk after 0-based token `i`
+    * (i >= w-1) iff the hash of the w-token window ending at `i` is
+    * ≡ 0 (mod `divisor`); the doc end always closes the last chunk.
+    * Boundaries depend ONLY on local content — an insertion near the doc
+    * head re-cuts at most the chunks whose windows overlap the edit, so
+    * chunk-level dedup still matches the untouched tail, where fixed
+    * `chunks()` windows all shift and nothing matches (the reason CDC
+    * exists; cf. LBFS SOSP'01 / FastCDC ATC'16 at byte granularity).
+    *
+    * The window hash is the first-8-hex-digits-of-md5 integer (the same
+    * cross-engine construction as [[StratifiedSample.uniformCol]]), so an
+    * external SQL engine reproduces every boundary exactly. Expected
+    * chunk length ≈ `divisor` tokens.
+    *
+    * `minTokens`/`maxTokens` (0 = off) add the production size bounds:
+    * a boundary is ignored while the open chunk is shorter than min, and
+    * a cut is forced when it reaches max. Bounds make the cut sequence
+    * SEQUENTIAL per doc (each cut depends on the previous), which is why
+    * the oracle-checked config leaves them off — the kernel is the same
+    * single pass either way, and the spec pins the bounded variant.
+    *
+    * Map-only: one generator row per chunk, no shuffle; compiled UDF
+    * (interpreted HOF per-position md5 would be strictly slower). */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                windowTokens: Int = 4, divisor: Int = 16,
+                minTokens: Int = 0, maxTokens: Int = 0): DataFrame = {
+    require(windowTokens >= 1 && divisor >= 1,
+      s"bad cdc config window=$windowTokens divisor=$divisor")
+    require(minTokens >= 0 && (maxTokens == 0 || maxTokens >= math.max(minTokens, 1)),
+      s"bad cdc bounds min=$minTokens max=$maxTokens")
+    val w = windowTokens
+    val cdcUdf = udf { (t: String) =>
+      val toks = TextOps.tokenize(t)
+      val n = toks.length
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+      if (n > 0) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        // content-defined cut points: hash each sliding window once,
+        // independent of where previous cuts landed
+        val cut = new Array[Boolean](n)
+        var i = w - 1
+        while (i < n) {
+          val win = toks.slice(i - w + 1, i + 1).mkString(" ")
+          val d = md.digest(win.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 8 hex digits == top 4 bytes, unsigned
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          cut(i) = h % divisor == 0
+          md.reset()
+          i += 1
+        }
+        cut(n - 1) = true
+        var start = 0
+        var idx = 0
+        var j = 0
+        while (j < n) {
+          val len = j - start + 1
+          val take = (cut(j) && (minTokens == 0 || len >= minTokens || j == n - 1)) ||
+            (maxTokens > 0 && len >= maxTokens)
+          if (take) {
+            out += ((idx, len, toks.slice(start, j + 1).mkString(" ")))
+            idx += 1
+            start = j + 1
+          }
+          j += 1
+        }
+      }
+      out.toSeq
+    }
+    docs.select(col(idCol).as("id"), explode(cdcUdf(col(textCol))).as("c"))
+      .select(col("id"), col("c._1").as("chunk_idx"),
+        col("c._2").as("chunk_tokens"), col("c._3").as("chunk_text"))
+  }
 }
 
 /** Fixed-token-budget sequence packing: assign every document to the

@@ -178,6 +178,79 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got.count(_._1 == 1L) == 4) // starts 0, 48, 96, 144
   }
 
+  // independent reference for cdcChunks: list-based (non-sequential)
+  // boundary computation straight from the definition
+  private def cdcTruth(toks: Seq[String], w: Int, d: Int): Seq[(Int, Int, String)] = {
+    if (toks.isEmpty) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val b = md.digest(s.getBytes("UTF-8")); md.reset()
+      java.lang.Long.parseLong(
+        b.take(4).map(x => f"${x & 0xff}%02x").mkString, 16)
+    }
+    val ends = ((w - 1 until toks.length)
+      .filter(i => h(toks.slice(i - w + 1, i + 1).mkString(" ")) % d == 0)
+      :+ (toks.length - 1)).distinct.sorted
+    ends.zipWithIndex.map { case (e, j) =>
+      val st = if (j == 0) 0 else ends(j - 1) + 1
+      (j, e - st + 1, toks.slice(st, e + 1).mkString(" "))
+    }
+  }
+
+  test("cdc chunker: boundaries/contents match the list-based definition; lossless") {
+    val docs = Seq(
+      (1L, (0 until 200).map(i => s"t${i % 91}").mkString(" ")),
+      (2L, "one two three"), // shorter than the window: single chunk
+      (3L, "  "))            // blank: no chunks
+    val (w, d) = (4, 16)
+    val truth = docs.flatMap { case (id, txt) =>
+      cdcTruth(graft.core.TextOps.tokenize(txt), w, d).map {
+        case (idx, n, t) => (id, idx, n, t)
+      }
+    }.toSet
+    val got = DocChunker.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text", w, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == truth)
+    assert(got.count(_._1 == 1L) > 3, "200 tokens at divisor 16 must cut > 3 chunks")
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("one two three"))
+    assert(!got.exists(_._1 == 3L))
+    // lossless: chunks in idx order re-join to the tokenized doc
+    val rejoined = got.filter(_._1 == 1L).toSeq.sortBy(_._2).map(_._4).mkString(" ")
+    assert(rejoined == graft.core.TextOps.tokenize(docs.head._2).mkString(" "))
+  }
+
+  test("cdc chunker: shift-robust where fixed chunking is not") {
+    val base = (0 until 300).map(i => s"k${(i * 17 + 3) % 113}")
+    val docs = Seq((1L, base.mkString(" ")),
+      (2L, ("pre1 pre2 pre3 " + base.mkString(" ")))) // 3-token insertion at head
+    val cdc = DocChunker.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text", 4, 16)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val a = cdc.filter(_._1 == 1L).map(_._2).toSet
+    val b = cdc.filter(_._1 == 2L).map(_._2).toSet
+    // every chunk of the original past the edit seam survives verbatim
+    assert((a intersect b).size >= a.size - 2,
+      s"cdc must re-find the untouched tail: |a|=${a.size} shared=${(a intersect b).size}")
+    // fixed windows all shift: nothing survives
+    val fixed = DocChunker.chunks(docs.toDF("doc_id", "text"), "doc_id", "text", 32, 32)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val fa = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val fb = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert((fa intersect fb).isEmpty)
+  }
+
+  test("cdc chunker: min/max bounds hold and cuts stay content-local") {
+    val toks = (0 until 400).map(i => s"m${(i * 29 + 11) % 97}")
+    val got = DocChunker.cdcChunks(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text",
+        windowTokens = 4, divisor = 8, minTokens = 6, maxTokens = 24)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(got.nonEmpty)
+    got.dropRight(1).foreach { case (_, n, _) =>
+      assert(n >= 6 && n <= 24, s"chunk size $n out of [6, 24]") }
+    assert(got.last._2 <= 24) // final chunk may undershoot min, never max
+    assert(got.map(_._3).mkString(" ") == toks.mkString(" "))
+  }
+
   test("sequence packing: two-phase scan == sequential cumsum; partitioning-invariant") {
     val rnd = new scala.util.Random(13)
     val docs = (0 until 500).map { i =>
