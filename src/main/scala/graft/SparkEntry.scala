@@ -350,6 +350,16 @@ object SparkEntry {
           regexp_extract_all(col("text"),
             lit(graft.core.TextOps.BpeIshPattern), lit(0)),
           x => !x.rlike(s"^[${graft.core.TextOps.BpeIshWs}]+$$"))).as("n_bpe_tokens"))),
+    "q_lm_score" -> ((s, dir) => {
+      // count-based bigram-LM scoring (the perplexity-filter shape):
+      // add-one-smoothed transition probabilities in fixed-point integers,
+      // self-scored over the corpus's own count tables — the oracle
+      // rebuilds both tables and the identical integer formula
+      val d = t(s, dir, "documents")
+      val uni = BigramLm.unigramCounts(d, "text")
+      val bi = BigramLm.bigramCounts(d, "doc_id", "text")
+      BigramLm.score(d, "doc_id", "text", uni, bi).orderBy("doc_id")
+    }),
     "q_lang_id" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
@@ -1361,6 +1371,28 @@ object SparkEntry {
          |      t -> NOT regexp_matches(t, '^[$ws]+$$')))::INT AS n_bpe_tokens
          |FROM documents""".stripMargin
     },
+    // bigram-LM truth: both count tables + the same add-one fixed-point
+    // division, blank/1-token docs zero via the left join
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents),
+        |u AS (SELECT w, count(*)::BIGINT AS cu FROM
+        |      (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |v AS (SELECT count(*)::BIGINT AS v FROM u),
+        |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
+        |      (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY 1, 2),
+        |sc AS (SELECT p.doc_id,
+        |       ((1000000 * (bc.cb + 1)) // (u.cu + v.v)) AS s
+        |       FROM pairs p JOIN bc USING (w1, w2)
+        |       JOIN u ON u.w = p.w1 CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS nb, sum(s)::BIGINT AS score
+        |        FROM sc GROUP BY 1)
+        |SELECT t.doc_id, coalesce(nb, 0)::BIGINT AS n_bigrams,
+        |  coalesce(score, 0)::BIGINT AS score,
+        |  (coalesce(score, 0) // greatest(coalesce(nb, 1), 1))::BIGINT AS avg_fp
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> langIdOracleSql,
     "q_quality" ->
       """SELECT doc_id,
