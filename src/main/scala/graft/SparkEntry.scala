@@ -360,6 +360,29 @@ object SparkEntry {
       val bi = BigramLm.bigramCounts(d, "doc_id", "text")
       BigramLm.score(d, "doc_id", "text", uni, bi).orderBy("doc_id")
     }),
+    "q_mojibake_fix" -> ((s, dir) => {
+      // encoding-damage repair gate (self-verifying, q_simhash_complete
+      // style): per-doc non-ascii suffixes from doc_id arithmetic are
+      // mis-decoded through ISO-8859-1 once and twice via Spark's own
+      // encode/decode builtins; fix_mojibake must reverse both EXACTLY,
+      // decline to touch the clean text, and the corruption must be
+      // non-vacuous — the oracle pins all four booleans from the same
+      // arithmetic. (The corpus fixture is pure ascii; suffix variant 1
+      // adds CJK, variant 2 adds cp1252-range punctuation.)
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("_dec", concat(col("text"), expr(
+          "CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN ' café 中文'" +
+            " WHEN 2 THEN ' — naïve €9' ELSE '' END")))
+        .withColumn("_c1", expr("decode(encode(_dec, 'UTF-8'), 'ISO-8859-1')"))
+        .withColumn("_c2", expr("decode(encode(_c1, 'UTF-8'), 'ISO-8859-1')"))
+        .select(col("doc_id"),
+          (expr("fix_mojibake(_c1)") === col("_dec")).as("repaired_once_ok"),
+          (expr("fix_mojibake(_c2)") === col("_dec")).as("repaired_twice_ok"),
+          (expr("fix_mojibake(_dec)") === col("_dec")).as("clean_untouched"),
+          (col("_c1") =!= col("_dec")).as("was_corrupted"))
+        .orderBy("doc_id")
+    }),
     "q_lang_id" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
@@ -1393,6 +1416,12 @@ object SparkEntry {
         |  coalesce(score, 0)::BIGINT AS score,
         |  (coalesce(score, 0) // greatest(coalesce(nb, 1), 1))::BIGINT AS avg_fp
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // mojibake-gate truth: repairs must succeed for every doc and the
+    // 2-of-3 corruption pattern must actually fire (non-vacuity)
+    "q_mojibake_fix" ->
+      """SELECT doc_id, true AS repaired_once_ok, true AS repaired_twice_ok,
+        |  true AS clean_untouched, (doc_id % 3 <> 0) AS was_corrupted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> langIdOracleSql,
     "q_quality" ->
       """SELECT doc_id,

@@ -28,7 +28,8 @@ object Verify {
     * Queries not listed (future additions) run between the cheap tier and
     * the heavy tier, ordered by name. */
   private val cheapFirst: Seq[String] = Seq(
-    "q_media_features", "q_repetition", "q_lang_id", "q_quality",
+    "q_media_features", "q_repetition", "q_lang_id", "q_mojibake_fix",
+    "q_quality",
     "q_fingerprint", "q_frame_sample", "q_extract_text", "q_theta_distinct",
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_host_graph",

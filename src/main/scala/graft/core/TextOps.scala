@@ -602,6 +602,77 @@ object TextOps {
     RepStats(n, nDistinct, topTok, topBig)
   }
 
+  /** Mojibake repair — UTF-8 bytes that were mis-decoded through a legacy
+    * single-byte charset ("é" → "Ã©", "’" → "â€™") are the most common
+    * encoding damage in crawled text. Repair reverses the mis-decode: map
+    * each char back to the byte it came from (identity for U+0000–U+00FF =
+    * ISO-8859-1; the 27 Windows-1252 graphics at 0x80–0x9F, € ‚ ƒ … ™ œ ž Ÿ
+    * etc., by table — covering BOTH common mis-decode charsets in one
+    * pass), then strictly re-decode as UTF-8. The repair applies ONLY when
+    * every char maps to a byte AND the bytes form valid UTF-8 containing at
+    * least one multi-byte sequence — pure ASCII and genuine non-Latin text
+    * pass through untouched, as does legitimate Latin-1 prose ("café"
+    * encodes to a lone 0xE9, not valid UTF-8). Doubly-mojibaked text is
+    * repaired to fixpoint (bounded at 4 rounds).
+    *
+    * Inherent heuristic edge (documented, not fixable without a language
+    * model): clean text that legitimately spells a full mojibake sequence
+    * ("Ã©" as literal content) is indistinguishable from damage and gets
+    * "repaired". */
+  def fixMojibake(text: String): String = {
+    var cur = text
+    var rounds = 0
+    while (rounds < 4) {
+      val next = unMojibakeOnce(cur)
+      if (next == null || next == cur) return cur
+      cur = next
+      rounds += 1
+    }
+    cur
+  }
+
+  /** Windows-1252 0x80–0x9F graphics char → byte (the non-ISO part). */
+  private val Cp1252Back: Map[Char, Byte] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F
+  ).map { case (c, b) => c -> b.toByte }
+
+  /** One reverse-decode round; null = not mojibake (leave input alone). */
+  private def unMojibakeOnce(s: String): String = {
+    val n = s.length
+    val bytes = new Array[Byte](n)
+    var i = 0
+    var hasHigh = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 0x100) {
+        bytes(i) = c.toByte
+        if (c >= 0x80) hasHigh = true
+      } else {
+        val b = Cp1252Back.getOrElse(c, 0: Byte)
+        if (b == 0) return null // genuine non-Latin char: not mojibake
+        bytes(i) = b
+        hasHigh = true
+      }
+      i += 1
+    }
+    if (!hasHigh) return null // pure ASCII: nothing to repair
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out.length < n) out else null // multi-byte sequences must shrink it
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => null // real Latin-1 text
+    }
+  }
+
   /** Composite quality score in [0,1]: favors mid-length docs with a sane
     * stopword ratio and low punctuation density. */
   def qualityScore(text: String): Double = {

@@ -241,6 +241,7 @@ object GraftFunctions {
     "url_host" -> udf((u: String) => Option(u).map(UrlOps.host)),
     "url_domain" -> udf((u: String) => Option(u).map(UrlOps.domainOf)),
     "lang_id" -> udf((t: String) => Option(t).map(TextOps.langId)),
+    "fix_mojibake" -> udf((t: String) => Option(t).map(TextOps.fixMojibake)),
     "quality_score" -> udf((t: String) => Option(t).map(TextOps.qualityScore)),
     "stop_count" -> udf((toks: Seq[String]) =>
       Option(toks).map(_.count(t => TextOps.StopWords.contains(t.toLowerCase)))),

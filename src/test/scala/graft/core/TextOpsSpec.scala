@@ -107,4 +107,52 @@ class TextOpsSpec extends AnyFunSuite {
       assert(f.fps.toSeq == TextOps.winnowedFingerprints(t).toSeq)
     }
   }
+
+  private def mojibake(s: String, charset: String): String =
+    new String(s.getBytes("UTF-8"), charset)
+
+  test("fixMojibake repairs latin-1 and cp1252 mis-decodes, single and double") {
+    // ISO-8859-1 maps every byte, so any UTF-8 content round-trips; the
+    // cp1252 fixtures avoid UTF-8 bytes 81/8D/8F/90/9D, which Java's
+    // cp1252 decoder turns into U+FFFD (see the lossy-byte test below)
+    val isoOnly = Seq("smart ‘quotes’ and “doubles” … €99 — dash")
+    val both = Seq(
+      "café déjà vu naïve",
+      "中文网页内容测试",       // CJK (3-byte sequences)
+      "mixed ascii with é at the end")
+    val cases = both.map((_, Seq("ISO-8859-1", "windows-1252"))) ++
+      isoOnly.map((_, Seq("ISO-8859-1")))
+    for ((orig, css) <- cases; cs <- css) {
+      val once = mojibake(orig, cs)
+      assert(once != orig, s"fixture must actually corrupt [$orig/$cs]")
+      assert(TextOps.fixMojibake(once) == orig, s"single $cs round trip [$orig]")
+      val twice = mojibake(once, cs)
+      assert(TextOps.fixMojibake(twice) == orig, s"double $cs round trip [$orig]")
+    }
+  }
+
+  test("fixMojibake: cp1252's five undefined bytes destroy data — repair declines") {
+    // ” is UTF-8 E2 80 9D; cp1252 has no 0x9D, Java decodes it to U+FFFD.
+    // The damage is unrecoverable, so the repair must pass it through
+    // unchanged rather than guess.
+    val lossy = mojibake("a “fancy” quote", "windows-1252")
+    assert(lossy.contains('�'))
+    assert(TextOps.fixMojibake(lossy) == lossy)
+  }
+
+  test("fixMojibake is identity on clean text") {
+    val clean = Seq(
+      "plain ascii text stays put",
+      "",
+      "café crème brûlée",   // genuine Latin-1-range prose: lone high bytes
+      "中文 already correct",  // genuine CJK: chars unmappable to bytes
+      "price 10€ only",       // lone cp1252 char, no valid UTF-8 sequence
+      "AÃ")               // trailing Ã with no continuation char
+    clean.foreach(s => assert(TextOps.fixMojibake(s) == s, s"[$s]"))
+  }
+
+  test("fixMojibake documented edge: literal mojibake-spelling content is repaired") {
+    assert(TextOps.fixMojibake("the sequence Ã© renders as e-acute") ==
+      "the sequence é renders as e-acute")
+  }
 }
