@@ -268,6 +268,24 @@ object SparkEntry {
       NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5, dfOrdered = true)
         .orderBy("id_a", "id_b")),
+    "q_containment" -> ((s, dir) => {
+      // asymmetric near-dup (quote/boilerplate-wrap shape): every 10th doc
+      // re-appears truncated to its first 60% of tokens plus one novel
+      // token — its gram set is a near-subset of the original's, which
+      // symmetric Jaccard under-scores but containment flags. The oracle
+      // rebuilds the same derived corpus by arithmetic and brute-forces
+      // containment from literal gram lists.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val toksExpr = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+      val derived = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), expr(s"concat_ws(' ', slice($toksExpr, 1," +
+          s" CAST(greatest(1L, (6 * size($toksExpr)) div 10) AS INT)))").as("_pfx"))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("_pfx"), lit(" zz"), col("doc_id").cast("string")).as("text"))
+      NgramJaccard.containmentPairs(base.union(derived), "doc_id", "text",
+          n = 3, tNum = 4, tDen = 5)
+        .orderBy("id_a", "id_b")
+    }),
     "q_simhash_neardup" -> ((s, dir) => {
       // Self-verifying PRODUCTION-config lane gate (r2 judge item #6 —
       // this query was rows-only until r3). The default-cap SimHash lane
@@ -1379,6 +1397,36 @@ object SparkEntry {
     // gram), all-integer outputs so no float round-trip can drift. Blank
     // docs excluded up front: the kernel tokenizes '' to 0 grams (never a
     // candidate) while regexp_split_to_array would give them the [''] gram.
+    // containment truth: same derived corpus by arithmetic, literal-gram
+    // brute force, the SAME all-integer 4/5 threshold on |A∩B|/|A|
+    "q_containment" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents WHERE doc_id % 10 = 0),
+        |derived AS (SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(toks[1:greatest(1, (6 * len(toks)) // 10)], ' ')
+        |      || ' zz' || doc_id AS text FROM d0),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |    UNION ALL SELECT doc_id, text FROM derived),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM corpus WHERE trim(text) <> ''),
+        |s AS (SELECT doc_id,
+        |      list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                     for i in range(1, greatest(len(toks) - 1, 2))]) AS sh
+        |      FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |v AS (SELECT da AS id_a, db AS id_b,
+        |      len(list_intersect(sa.sh, sb.sh))::INT AS common_grams,
+        |      len(sa.sh)::INT AS grams_a, len(sb.sh)::INT AS grams_b
+        |      FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db)
+        |SELECT id_a, id_b, common_grams, grams_a, grams_b,
+        |  (grams_a > 0 AND 5 * common_grams >= 4 * grams_a) AS a_in_b,
+        |  (grams_b > 0 AND 5 * common_grams >= 4 * grams_b) AS b_in_a
+        |FROM v WHERE (grams_a > 0 AND 5 * common_grams >= 4 * grams_a)
+        |   OR (grams_b > 0 AND 5 * common_grams >= 4 * grams_b)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardOracleSql,
     // the df-ordered variant answers the SAME truth — order must be
     // result-invisible while no gram caps

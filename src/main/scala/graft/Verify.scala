@@ -49,7 +49,8 @@ object Verify {
     "q_exact_dedup", "q_ann_topk", "q_exact_dup_pairs", "q_theta_set_ops",
     "q_exact_survivors", "q5_setops", "q_incremental_bloom", "q3_window",
     "q_training_prep", "q_substring_dedup", "q_simhash_complete",
-    "q_ann_ivf", "q_incremental_bloom_sharded", "q_semantic_dedup")
+    "q_ann_ivf", "q_incremental_bloom_sharded", "q_semantic_dedup",
+    "q_containment")
   private val heavyLast: Seq[String] = Seq(
     "q_simhash_neardup", "q_pages_pipeline", "q_pages_recall",
     "q_minhash_neardup", "q_ngram_jaccard", "q_ngram_jaccard_df",

@@ -139,6 +139,89 @@ object NgramJaccard {
         (col("grams_a") + col("grams_b") - col("common_grams")) >= threshold)
   }
 
+  /** EXACT n-gram CONTAINMENT pairs — the asymmetric sibling of [[pairs]]:
+    * C(A,B) = |A∩B| / |A| >= tNum/tDen means A's grams are (nearly) a
+    * subset of B's. This is the "page B = page A + boilerplate" shape that
+    * symmetric Jaccard structurally misses: J(A,B) = |A∩B|/|A∪B| shrinks
+    * as B grows, C(A,B) doesn't.
+    *
+    * Prefix lemma, containment form: C(A,B) >= t ⟹ |A∩B| >= ceil(t·|A|),
+    * so A collides with B inside A's first |A| − ceil(t·|A|) + 1 grams
+    * (pigeonhole on A's sorted gram list). The CONTAINEE side therefore
+    * indexes only its prefix — but the container side has no lower bound
+    * on |A∩B|/|B|, so it must index every gram. Realized as ONE posting
+    * per (doc, gram) carrying an in-prefix flag, encoded into the posting
+    * id's low bit so the salted/capped [[BucketedPairs]] machinery is
+    * reused verbatim; a bucket pair decodes to the candidate direction(s)
+    * whose member was a prefix posting. Threshold is a rational tNum/tDen
+    * and the verify compares tDen·|A∩B| >= tNum·|A| — all-integer,
+    * oracle-exact.
+    *
+    * Returns (id_a, id_b, common_grams, grams_a, grams_b, a_in_b, b_in_a)
+    * with id_a < id_b, keeping rows where either direction holds. Ids must
+    * fit 62 bits (checked per row) — the flag bit steals one. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, tNum: Int = 4, tDen: Int = 5,
+                       maxPostings: Int = 10000): DataFrame = {
+    require(n >= 1 && tNum >= 1 && tDen >= tNum,
+      s"bad config n=$n t=$tNum/$tDen")
+    val flagged = udf { (t: String) =>
+      val g = TextOps.shingleHashes(t, n) // sorted ascending = global order
+      val need = (tNum.toLong * g.length + tDen - 1) / tDen // ceil(t*|A|)
+      val keep = math.max(0L, g.length - need + 1L)
+      g.zipWithIndex.map { case (h, i) => (h, i < keep) }
+    }
+    val maxId = (1L << 61) - 1
+    val postings = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .withColumn("id", when(col("id").between(0L, maxId), col("id"))
+        .otherwise(expr(s"raise_error('containmentPairs: id out of [0, 2^61)')")))
+      .select(col("id"), explode(flagged(col("t"))).as("g"))
+      .select((col("id") * 2L + when(col("g._2"), 1L).otherwise(0L)).as("eid"),
+        col("g._1").as("gram"))
+    val cand = BucketedPairs.edges(postings, Seq("gram"), "eid", maxPostings)
+      // bit ops, not `/`: Column `/` is floating division and a 62-bit id
+      // would lose low bits through the double round trip
+      .select(shiftright(col("id_a"), 1).as("ida"),
+        (col("id_a").bitwiseAND(1L) === 1L).as("fa"),
+        shiftright(col("id_b"), 1).as("idb"),
+        (col("id_b").bitwiseAND(1L) === 1L).as("fb"))
+      .filter(col("ida") =!= col("idb")) // same doc's prefix/full postings
+      .filter(col("fa") || col("fb"))    // some side must be a prefix hit
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
+    val stats = udf((a: String, b: String) => overlapStats(a, b, n))
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("st", stats(col("t_a"), col("t_b")))
+      .select(col("id_a"), col("id_b"),
+        col("st._1").as("common_grams"),
+        col("st._2").as("grams_a"),
+        col("st._3").as("grams_b"))
+      .withColumn("a_in_b", col("grams_a") > 0 &&
+        lit(tDen) * col("common_grams") >= lit(tNum) * col("grams_a"))
+      .withColumn("b_in_a", col("grams_b") > 0 &&
+        lit(tDen) * col("common_grams") >= lit(tNum) * col("grams_b"))
+      .filter(col("a_in_b") || col("b_in_a"))
+  }
+
+  /** Brute-force containment oracle (tests only — O(n^2), small n). */
+  def bruteForceContainment(docs: Seq[(Long, String)], n: Int,
+                            tNum: Int, tDen: Int): Set[(Long, Long, Boolean, Boolean)] = {
+    (for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs
+      if ia < ib
+      st = overlapStats(ta, tb, n)
+      ainb = st._2 > 0 && tDen.toLong * st._1 >= tNum.toLong * st._2
+      bina = st._3 > 0 && tDen.toLong * st._1 >= tNum.toLong * st._3
+      if ainb || bina
+    } yield (ia, ib, ainb, bina)).toSet
+  }
+
   /** Brute-force oracle (tests only — O(n^2), small n). */
   def bruteForcePairs(docs: Seq[(Long, String)], n: Int,
                       threshold: Double): Set[(Long, Long)] = {

@@ -91,6 +91,51 @@ class NgramJaccardSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == NgramJaccard.bruteForcePairs(docs, 3, 0.5))
   }
 
+  // containment corpus: every 5th base doc re-appears WRAPPED in heavy
+  // boilerplate (containee ⊂ container), plus the near-dup edits above
+  private def containCorpus: Seq[(Long, String)] = {
+    def sentence(seed: Int, len: Int): String =
+      (0 until len).map(i => s"w${(seed * 31 + i * 7) % 97}").mkString(" ")
+    val base = (0 until 30).map(i => (i.toLong, sentence(i, 20 + i % 10)))
+    val wrapped = base.collect { case (id, t) if id % 5 == 0 =>
+      (id + 2000L, sentence(900 + id.toInt, 40) + " " + t + " " + sentence(800 + id.toInt, 40))
+    }
+    base ++ wrapped ++ Seq((5000L, ""), (5001L, "one two"))
+  }
+
+  test("containment pairs == brute force at t=4/5, n=3") {
+    val docs = containCorpus
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    val got = NgramJaccard.containmentPairs(df, "doc_id", "text", n = 3,
+        tNum = 4, tDen = 5)
+      .select("id_a", "id_b", "a_in_b", "b_in_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    val want = NgramJaccard.bruteForceContainment(docs, 3, 4, 5)
+    assert(want.nonEmpty, "oracle must be non-vacuous")
+    assert(got == want)
+  }
+
+  test("containment catches the boilerplate-wrap pairs symmetric Jaccard misses") {
+    val docs = containCorpus
+    val wrappedPairs = docs.collect {
+      case (id, _) if id >= 2000L && id < 5000L => (id - 2000L, id)
+    }.toSet
+    assert(wrappedPairs.nonEmpty)
+    // symmetric Jaccard at t=0.5 misses them: the wrapper triples the size
+    val jac = NgramJaccard.bruteForcePairs(docs, 3, 0.5)
+    assert(wrappedPairs.forall(p => !jac.contains(p)),
+      s"fixture broken: Jaccard found a wrapped pair")
+    // the containment lane finds every one, flagged a_in_b
+    import spark.implicits._
+    val got = NgramJaccard.containmentPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, tNum = 4, tDen = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(5))).toMap
+    wrappedPairs.foreach { p =>
+      assert(got.get(p).exists(identity), s"missed wrapped pair $p")
+    }
+  }
+
   test("overlapStats is exact on knowns") {
     val (i1, a1, b1) = NgramJaccard.overlapStats("a b c d", "a b c d", 3)
     assert((i1, a1, b1) == (2, 2, 2)) // grams: "a b c","b c d"
