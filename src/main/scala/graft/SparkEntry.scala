@@ -473,6 +473,33 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").as("link_idx"), col("col").as("link"))
         .orderBy("doc_id", "link_idx")
     }),
+    "q_head_meta" -> ((s, dir) => {
+      // head metadata a crawler acts on before content analysis: canonical
+      // link (publisher-declared dedup key) + robots index/follow gating,
+      // composed with url_normalize into the actual canonical KEY; html
+      // built from doc_id arithmetic, oracle rebuilds every field
+      GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"), headHtml.as("html"))
+        .select(col("doc_id"), expr("head_meta(html)").as("m"))
+        .select(col("doc_id"), col("m.canonical").as("canonical"),
+          col("m.noindex").as("noindex"), col("m.nofollow").as("nofollow"),
+          expr("CASE WHEN m.canonical <> '' THEN url_normalize(m.canonical)" +
+            " ELSE '' END").as("canon_key"))
+        .orderBy("doc_id")
+    }),
+    "q_canonical_dedup" -> ((s, dir) => {
+      // publisher-declared dedup: group by the normalized canonical key,
+      // keep the smallest doc_id — the cheapest dedup lane of a crawl
+      // (no content touched at all); map-only extract + one narrow-key
+      // aggregate
+      GraftFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"), headHtml.as("html"))
+        .select(col("doc_id"), expr("head_meta(html).canonical").as("c"))
+        .filter(col("c") =!= "")
+        .groupBy(expr("url_normalize(c)").as("canon_key"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("canon_key")
+    }),
     "q_host_graph" -> ((s, dir) => {
       // link-graph host in-degree: the composition outlinks -> url_host ->
       // shuffle-on-host aggregate (the edge-building step of host-level
@@ -1154,6 +1181,26 @@ object SparkEntry {
       col("text"), lit("</p>"), anchors, lit("</body></html>")).cast("binary")
   }
 
+  /** The q_head_meta/q_canonical_dedup head corpus: canonical links and
+    * robots metas synthesized from doc_id arithmetic (decoy link/meta tags
+    * always present), mirrored in both oracles. The canonical href is
+    * deliberately messy — uppercase www host, trailing slash, utm param,
+    * `&amp;` escape — so `url_normalize` has real work to do. */
+  private def headHtml: Column = {
+    val i = col("doc_id")
+    concat(
+      lit("<html><head><link rel=stylesheet href=\"/s.css\">" +
+        "<meta name=viewport content=\"width=device-width\">"),
+      when(i % 2 === 0, concat(
+        lit("<link rel=\"canonical\" href=\"https://WWW.Example.com/c/"),
+        (i % 50).cast("string"),
+        lit("/?utm_source=x&amp;b=2\">"))).otherwise(""),
+      when(i % 3 === 0, concat(lit("<meta name=robots content=\""),
+        when(i % 6 === 0, "noindex, nofollow").otherwise("nofollow"),
+        lit("\">"))).otherwise(""),
+      lit("</head><body><p>"), col("text"), lit("</p></body></html>")).cast("binary")
+  }
+
   /** Deterministic north-rule pages corpus (same shape as the 10^12-doc
     * Iceberg table; 800 rows at test scale, seed 42). */
   private def pagesDf(s: SparkSession): DataFrame =
@@ -1524,6 +1571,23 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS host,
         |  'example.' || (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS domain
         |FROM documents""".stripMargin,
+    // head-metadata truth: every field from the same doc_id arithmetic,
+    // canon_key = the EXPECTED normalized form (www/case/utm/slash undone)
+    "q_head_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.Example.com/c/'
+        |    || (doc_id % 50) || '/?utm_source=x&b=2' ELSE '' END AS canonical,
+        |  (doc_id % 6 = 0) AS noindex,
+        |  (doc_id % 3 = 0) AS nofollow,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'https://example.com/c/'
+        |    || (doc_id % 50) || '?b=2' ELSE '' END AS canon_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_canonical_dedup" ->
+      """WITH k AS (SELECT doc_id,
+        |    'https://example.com/c/' || (doc_id % 50) || '?b=2' AS canon_key
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT canon_key, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // ordered expected link list rebuilt from the same arithmetic; the
     // range lateral pins ORDER (posexplode index), not just the set
     "q_outlinks" ->

@@ -192,6 +192,69 @@ object HtmlText {
     out.toArray
   }
 
+  /** Head metadata a crawl pipeline acts on before any content analysis:
+    * `<link rel=canonical href=...>` (the publisher-declared dedup key —
+    * canonical-URL grouping collapses print/mobile/tracking variants
+    * without touching content) and `<meta name=robots content=...>`
+    * (index/follow gating per RFC 9309's HTML companion convention).
+    *
+    * Rules (same single-pass tag traversal as [[outlinks]]):
+    *  - first canonical wins; empty hrefs ignored; `&amp;` decoded;
+    *  - robots directives OR across multiple meta tags; tokens matched
+    *    case-insensitively after comma-split+trim; `none` is the
+    *    conventional shorthand for `noindex, nofollow`;
+    *  - other `<link rel>`/`<meta name>` values are ignored; comments
+    *    skipped. Absent → ("", false, false). */
+  def headMeta(html: Array[Byte]): HeadMeta =
+    headMeta(new String(html, StandardCharsets.UTF_8))
+
+  def headMeta(html: String): HeadMeta = {
+    var canonical = ""
+    var noindex = false
+    var nofollow = false
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val close = html.indexOf('>', i)
+          if (close < 0) { i = n }
+          else {
+            val inner = html.substring(i + 1, close).trim
+            if (!inner.startsWith("/")) {
+              val sp = inner.indexWhere(ch => ch.isWhitespace || ch == '/')
+              val name = (if (sp < 0) inner else inner.substring(0, sp)).toLowerCase
+              if (name == "link") {
+                if (attrValue(inner, "rel").exists(_.trim.equalsIgnoreCase("canonical")) &&
+                  canonical.isEmpty)
+                  attrValue(inner, "href").filter(_.nonEmpty)
+                    .foreach(v => canonical = v.replace("&amp;", "&"))
+              } else if (name == "meta") {
+                if (attrValue(inner, "name").exists(_.trim.equalsIgnoreCase("robots")))
+                  attrValue(inner, "content").foreach { content =>
+                    content.split(',').foreach { tok =>
+                      tok.trim.toLowerCase match {
+                        case "noindex"  => noindex = true
+                        case "nofollow" => nofollow = true
+                        case "none"     => noindex = true; nofollow = true
+                        case _          => ()
+                      }
+                    }
+                  }
+              }
+            }
+            i = close + 1
+          }
+        }
+      } else i += 1
+    }
+    HeadMeta(canonical, noindex, nofollow)
+  }
+
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
     val n = s.length - needle.length
     var i = math.max(from, 0)
@@ -337,3 +400,7 @@ object HtmlText {
     sb.toString
   }
 }
+
+/** Result of [[HtmlText.headMeta]]; a case class so the Spark UDF surface
+  * exposes named struct fields (canonical, noindex, nofollow). */
+case class HeadMeta(canonical: String, noindex: Boolean, nofollow: Boolean)

@@ -237,6 +237,7 @@ object GraftFunctions {
     "extract_text" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.extract)),
     "outlinks" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.outlinks)),
     "anchors" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.anchors)),
+    "head_meta" -> udf((html: Array[Byte]) => Option(html).map(HtmlText.headMeta)),
     "url_normalize" -> udf((u: String) => Option(u).map(UrlOps.normalize)),
     "url_host" -> udf((u: String) => Option(u).map(UrlOps.host)),
     "url_domain" -> udf((u: String) => Option(u).map(UrlOps.domainOf)),

@@ -64,4 +64,33 @@ class OutlinksSpec extends AnyFunSuite {
     assert(HtmlText.anchors(html).map(_._1).toSeq == outlinks(html).toSeq)
     assert(HtmlText.anchors(html).map(_._2).toSeq == Seq("one", "two", "three", "l"))
   }
+
+  test("headMeta: canonical link and robots directives, all quoting forms") {
+    val html =
+      """<html><head><link rel=stylesheet href="/s.css">
+        |<LINK REL="Canonical" HREF="https://ex.com/page?a=1&amp;b=2">
+        |<link rel="canonical" href="https://ex.com/SECOND-ignored">
+        |<meta name=viewport content="width=device-width">
+        |<meta name="ROBOTS" content="NoIndex, nofollow ">
+        |</head><body>x</body></html>""".stripMargin
+    val m = HtmlText.headMeta(html)
+    assert(m == HeadMeta("https://ex.com/page?a=1&b=2", noindex = true, nofollow = true))
+  }
+
+  test("headMeta: directives OR across tags; 'none' expands; comments skipped") {
+    val html =
+      """<meta name=robots content=nofollow>
+        |<!-- <meta name=robots content=noindex> <link rel=canonical href=/no> -->
+        |<meta name="robots" content="noarchive">""".stripMargin
+    assert(HtmlText.headMeta(html) == HeadMeta("", noindex = false, nofollow = true))
+    assert(HtmlText.headMeta("<meta name=robots content=none>") ==
+      HeadMeta("", noindex = true, nofollow = true))
+  }
+
+  test("headMeta: absent metadata and empty/relless links are defaults") {
+    assert(HtmlText.headMeta("<html><body>plain</body></html>") ==
+      HeadMeta("", noindex = false, nofollow = false))
+    assert(HtmlText.headMeta("""<link href="/x"><link rel=canonical href="">""") ==
+      HeadMeta("", noindex = false, nofollow = false))
+  }
 }
