@@ -473,6 +473,26 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").as("link_idx"), col("col").as("link"))
         .orderBy("doc_id", "link_idx")
     }),
+    "q_boilerplate_strip" -> ((s, dir) => {
+      // per-host template removal over CDC chunks: 48-token headers and
+      // 32-token footers injected by host arithmetic recur across each
+      // host's docs (df >= 3 ⇒ template) while content chunks stay unique;
+      // CDC is what makes footers align across different-length docs. The
+      // oracle recomputes chunks, host dfs, flags, and the cleaned text.
+      val deco = t(s, dir, "documents").select(col("doc_id"),
+        expr("concat('h', CAST(doc_id % 20 AS STRING))").as("host"),
+        expr("concat(" +
+          "array_join(transform(sequence(0, 47), j -> concat('b'," +
+          " CAST(doc_id % 20 AS STRING), 'x', CAST(j AS STRING))), ' ')," +
+          " ' ', text, ' '," +
+          "array_join(transform(sequence(0, 31), j -> concat('f'," +
+          " CAST(doc_id % 20 AS STRING), 'x', CAST(j AS STRING))), ' '))").as("text"))
+      Boilerplate.strip(deco, "doc_id", "host", "text",
+          windowTokens = 4, divisor = 16, minDf = 3)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_boiler"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
     "q_head_meta" -> ((s, dir) => {
       // head metadata a crawler acts on before content analysis: canonical
       // link (publisher-declared dedup key) + robots index/follow gating,
@@ -1571,6 +1591,40 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS host,
         |  'example.' || (CASE WHEN doc_id % 4 = 0 THEN 'co.uk' ELSE 'com' END) AS domain
         |FROM documents""".stripMargin,
+    // boilerplate truth: decorated corpus by arithmetic, the cdc boundary
+    // rule, host-scoped chunk dfs, and the same >= 3 flag; clean_md5 over
+    // the idx-ordered kept chunks (coalesce: an all-template doc cleans
+    // to the empty string, not NULL)
+    "q_boilerplate_strip" ->
+      """WITH deco AS (SELECT doc_id, 'h' || (doc_id % 20) AS host,
+        |    array_to_string(list_transform(range(0, 48),
+        |      j -> 'b' || (doc_id % 20) || 'x' || j), ' ')
+        |    || ' ' || text || ' ' ||
+        |    array_to_string(list_transform(range(0, 32),
+        |      j -> 'f' || (doc_id % 20) || 'x' || j), ' ') AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, host,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM deco),
+        |n AS (SELECT doc_id, host, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, host, toks, list_sort(list_distinct(list_append(
+        |    list_filter(range(4, n + 1), i ->
+        |      (('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 8))::BIGINT
+        |        % 16) = 0), n))) AS ends FROM n),
+        |c AS (SELECT doc_id, host, toks, ends,
+        |      unnest(range(1, len(ends) + 1)) AS j FROM b),
+        |ch AS (SELECT doc_id, host, (j - 1)::INT AS idx,
+        |       array_to_string(toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END):ends[j]], ' ') AS ctext
+        |       FROM c),
+        |dfc AS (SELECT host, ctext, count(DISTINCT doc_id) AS df
+        |        FROM ch GROUP BY 1, 2),
+        |fl AS (SELECT ch.doc_id, ch.idx, ch.ctext, (dfc.df >= 3) AS boiler
+        |       FROM ch JOIN dfc USING (host, ctext))
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN ctext END, ' '
+        |      ORDER BY idx), '')) AS clean_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // head-metadata truth: every field from the same doc_id arithmetic,
     // canon_key = the EXPECTED normalized form (www/case/utm/slash undone)
     "q_head_meta" ->

@@ -36,7 +36,7 @@ object Verify {
     "q_canonical_dedup", "q_host_graph",
     "q_gopher_filter",
     "q_warc_roundtrip", "q_search_conjunctive", "q_search_ranked",
-    "q_global_shuffle",
+    "q_boilerplate_strip", "q_global_shuffle",
     "q_table_compact", "q_vocab_encode", "q_paragraph_dedup",
     "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
     "q_sessionize",
