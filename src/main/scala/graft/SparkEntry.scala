@@ -378,6 +378,48 @@ object SparkEntry {
       val bi = BigramLm.bigramCounts(d, "doc_id", "text")
       BigramLm.score(d, "doc_id", "text", uni, bi).orderBy("doc_id")
     }),
+    "q_robots_gate" -> ((s, dir) => {
+      // RFC 9309 fetch gating (self-verifying, mojibake-gate style): one
+      // policy exercising prefix rules, a longer allow override, a $-
+      // anchored wildcard, and an agent-specific vs * group split; the
+      // path pattern cycles by doc_id and the oracle pins the expected
+      // verdicts from the same arithmetic.
+      GraftFunctions.register(s)
+      val robots =
+        "User-agent: GraftBot\nDisallow: /private/\nAllow: /private/pub*\n" +
+          "Disallow: /*.pdf$\n\nUser-agent: *\nDisallow: /\n"
+      t(s, dir, "documents")
+        .withColumn("_path", expr(
+          "CASE CAST(doc_id % 5 AS INT)" +
+            " WHEN 0 THEN concat('/public/page', CAST(doc_id AS STRING))" +
+            " WHEN 1 THEN concat('/private/x', CAST(doc_id AS STRING))" +
+            " WHEN 2 THEN concat('/private/pub', CAST(doc_id AS STRING))" +
+            " WHEN 3 THEN concat('/doc/f', CAST(doc_id AS STRING), '.pdf')" +
+            " ELSE concat('/doc/f', CAST(doc_id AS STRING), '.pdfx') END"))
+        .select(col("doc_id"),
+          expr(s"robots_allowed('${robots.replace("\n", "\\n")}', 'graftbot', _path)")
+            .as("bot_allowed"),
+          expr(s"robots_allowed('${robots.replace("\n", "\\n")}', 'OtherBot', _path)")
+            .as("other_allowed"))
+        .orderBy("doc_id")
+    }),
+    "q_script_profile" -> ((s, dir) => {
+      // script-mix triage ahead of language ID: per-codepoint class counts
+      // over arithmetic-decorated text (cyrillic / cjk+kana+arabic / digit
+      // + math-sign variants); the oracle rebuilds the same text and
+      // counts every class with the literal range regexes the kernel
+      // ranges state
+      GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .withColumn("_t", concat(col("text"), expr(
+          "CASE CAST(doc_id % 4 AS INT) WHEN 1 THEN ' Привет мир'" +
+            " WHEN 2 THEN ' 中文テキスト ناص' WHEN 3 THEN ' 123 × ok'" +
+            " ELSE '' END")))
+        .select(col("doc_id"), expr("script_profile(_t)").as("p"))
+        .select(col("doc_id"), col("p.latin"), col("p.cjk"), col("p.cyrillic"),
+          col("p.arabic"), col("p.digit"), col("p.space"), col("p.other"))
+        .orderBy("doc_id")
+    }),
     "q_mojibake_fix" -> ((s, dir) => {
       // encoding-damage repair gate (self-verifying, q_simhash_complete
       // style): per-doc non-ascii suffixes from doc_id arithmetic are
@@ -644,6 +686,21 @@ object SparkEntry {
         (3L, Seq("stream"))).toDF("query_id", "terms")
       SearchIndex.searchRanked(p, qs, k = 10).orderBy("query_id", "doc_id")
     }),
+    "q_phrase_search" -> ((s, dir) => {
+      // exact phrase retrieval over the positional index: broadcast
+      // (phrase, term, offset) rows, shift each hit's position list by
+      // its offset, intersect per (phrase, doc) — overlap-correct (a
+      // replace-count oracle would undercount self-overlapping phrases,
+      // so the oracle recomputes positionally too)
+      import s.implicits._
+      val pp = SearchIndex.positionalPostings(t(s, dir, "documents"), "doc_id", "text")
+      val phrases = Seq(
+        (0L, Seq("batch", "batch")),       // dup term, self-overlapping
+        (1L, Seq("scan", "merge")),
+        (2L, Seq("the", "fast", "key")),
+        (3L, Seq("window"))).toDF("phrase_id", "terms")
+      SearchIndex.phraseSearch(pp, phrases).orderBy("phrase_id", "doc_id")
+    }),
     "q_paragraph_dedup" -> ((s, dir) => {
       // CCNet-style paragraph-level dedup, composed from attested kernels:
       // non-overlapping 32-token chunks stand in for paragraphs (the
@@ -749,6 +806,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
         .withColumn("keep", col("margin") > 0)
         .orderBy("doc_id")),
+    "q_domain_best" -> ((s, dir) => {
+      // curation composition: per-domain quota filled by QUALITY — the
+      // hashed-linear margin (q_classifier_margin's model) ranks, the
+      // bounded MinNPair cap keeps each arithmetic domain's top 3 by
+      // (margin desc, id asc); oracle = the textbook window over the
+      // identical margin model
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("w",
+          expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % 1001 - 500"))
+        .groupBy("doc_id")
+        .agg(sum("w").as("margin"))
+        .withColumn("domain", expr("concat('d', CAST(doc_id % 15 AS STRING))"))
+      DomainCap.keepBest(scored, "doc_id", "domain", "margin", n = 3)
+        .select("doc_id", "domain", "margin")
+        .orderBy("doc_id")
+    }),
+    "q_table_upsert" -> ((s, dir) => {
+      // MERGE INTO on the storage seam (the daily-refresh write path):
+      // commit v1, upsert arithmetic edits + inserts + deletes (one key
+      // both updated AND deleted — delete wins), commit v2, read back;
+      // the oracle rebuilds the expected final table from the same
+      // arithmetic
+      val root = java.nio.file.Files.createTempDirectory("graft-upsert-q").toString
+      val io = new graft.pipeline.ParquetTableIO(s, root)
+      val v1 = t(s, dir, "documents").select("doc_id", "text")
+      io.overwrite("docs", v1); io.commit("docs", "v1")
+      val updates = v1.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" UPDATED")).as("text"))
+        .unionByName(v1.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val dels = v1.filter(col("doc_id") % 17 === 3).select("doc_id")
+      io.upsert("docs", updates, Seq("doc_id"), Some(dels))
+      io.commit("docs", "v2")
+      io.read("docs")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     "q_snapshot_diff" -> ((s, dir) => {
       // incremental-processing primitive on the storage seam: commit two
       // snapshots (v2 = edits + deletes + new docs, all by arithmetic the
@@ -885,6 +981,25 @@ object SparkEntry {
       clicks.crossJoin(views).select(
         expr("cast(theta_intersect_estimate(a, b) as bigint)").as("click_and_view"),
         expr("cast(theta_anotb_estimate(a, b) as bigint)").as("click_not_view"))
+    }),
+    "q_theta_jaccard" -> ((s, dir) => {
+      // set-similarity from sketches alone (the audience-overlap question
+      // answered without re-touching raw ids): Jaccard numerator and
+      // denominator from one theta pair per event-type pair; exact-mode
+      // sketches at this SF ⇒ the oracle's exact distinct counts match
+      // bit-for-bit (q_theta_set_ops precedent)
+      GraftFunctions.register(s)
+      val ev = t(s, dir, "events")
+      val sketches = ev.filter(col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type").agg(expr("theta_sketch(user_id)").as("th"))
+      val a = sketches.select(col("event_type").as("type_a"), col("th").as("tha"))
+      val b = sketches.select(col("event_type").as("type_b"), col("th").as("thb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          expr("cast(theta_intersect_estimate(tha, thb) as bigint)").as("j_num"),
+          expr("cast(theta_union_estimate(tha, thb) as bigint)").as("j_den"),
+          expr("cast(floor(1000000 * theta_jaccard(tha, thb)) as bigint)").as("jaccard_fp"))
+        .orderBy("type_a", "type_b")
     }),
     "q_freq_tokens" -> ((s, dir) => {
       // Misra–Gries frequent-items sketch over per-lang token streams,
@@ -1531,6 +1646,32 @@ object SparkEntry {
         |  coalesce(score, 0)::BIGINT AS score,
         |  (coalesce(score, 0) // greatest(coalesce(nb, 1), 1))::BIGINT AS avg_fp
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // robots-gate truth: verdicts from the doc_id arithmetic — GraftBot
+    // allowed on public/longer-allow/anchored-miss paths, the * group
+    // denies everything to other agents
+    "q_robots_gate" ->
+      """SELECT doc_id,
+        |  (doc_id % 5 IN (0, 2, 4)) AS bot_allowed,
+        |  false AS other_allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // script-profile truth: same decorated text, literal-range regex
+    // counts; `other` = codepoint length minus the classified classes
+    "q_script_profile" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 1 THEN ' Привет мир'
+        |       WHEN doc_id % 4 = 2 THEN ' 中文テキスト ناص'
+        |       WHEN doc_id % 4 = 3 THEN ' 123 × ok' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}]'))::INT AS latin,
+        |  len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}]'))::INT AS cjk,
+        |  len(regexp_extract_all(t, '[\x{400}-\x{4FF}]'))::INT AS cyrillic,
+        |  len(regexp_extract_all(t, '[\x{600}-\x{6FF}]'))::INT AS arabic,
+        |  len(regexp_extract_all(t, '[0-9]'))::INT AS digit,
+        |  len(regexp_extract_all(t, '[\x09-\x0D\x20]'))::INT AS space,
+        |  (length(t) - len(regexp_extract_all(t,
+        |    '[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}\x{AC00}-\x{D7AF}\x{400}-\x{4FF}\x{600}-\x{6FF}0-9\x09-\x0D\x20]')))::INT AS other
+        |FROM d ORDER BY doc_id""".stripMargin,
     // mojibake-gate truth: repairs must succeed for every doc and the
     // 2-of-3 corruption pattern must actually fire (non-vacuity)
     "q_mojibake_fix" ->
@@ -1775,6 +1916,22 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS rn FROM m)
         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score
         |FROM r WHERE rn <= 10 ORDER BY query_id, doc_id""".stripMargin,
+    // phrase truth: positional brute force (list-slice equality at every
+    // start), overlapping occurrences counted
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents),
+        |p AS (SELECT * FROM (VALUES (0, ['batch', 'batch']),
+        |    (1, ['scan', 'merge']), (2, ['the', 'fast', 'key']),
+        |    (3, ['window'])) AS v(phrase_id, ph)),
+        |m AS (SELECT t.doc_id, p.phrase_id,
+        |    len(list_filter(range(1, len(toks) - len(ph) + 2),
+        |        i -> toks[i:i + len(ph) - 1] = ph)) AS n_occurrences
+        |  FROM t CROSS JOIN p)
+        |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+        |  n_occurrences::INT AS n_occurrences
+        |FROM m WHERE n_occurrences > 0 ORDER BY phrase_id, doc_id""".stripMargin,
     // paragraph-dedup truth from the chunk arithmetic (q_chunk_docs'
     // oracle shape at window=stride=32) + first-occurrence window
     "q_paragraph_dedup" ->
@@ -1848,6 +2005,35 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  CAST(sum(w) AS BIGINT) AS margin, (CAST(sum(w) AS BIGINT) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // domain-best truth: identical margin model + the row_number window
+    // the engine deliberately avoids
+    "q_domain_best" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE trim(text) <> ''),
+        |m AS (SELECT doc_id, CAST(sum(('0x' || substr(md5(tok), 1, 8))::BIGINT
+        |      % 1001 - 500) AS BIGINT) AS margin
+        |  FROM tok GROUP BY doc_id),
+        |d AS (SELECT doc_id, 'd' || (doc_id % 15) AS domain, margin FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY domain
+        |      ORDER BY margin DESC, doc_id) AS rn FROM d)
+        |SELECT doc_id, domain, margin FROM r WHERE rn <= 3
+        |ORDER BY doc_id""".stripMargin,
+    // upsert truth: same arithmetic arms — updates replace by key,
+    // inserts appear, deleted keys drop (including updated-then-deleted)
+    "q_table_upsert" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |dels AS (SELECT doc_id FROM v1 WHERE doc_id % 17 = 3),
+        |up AS (SELECT doc_id, text || ' UPDATED' AS text FROM v1 WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM v1 WHERE doc_id % 25 = 0),
+        |kept AS (SELECT * FROM v1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM up)
+        |    AND doc_id NOT IN (SELECT doc_id FROM dels)),
+        |ins AS (SELECT * FROM up WHERE doc_id NOT IN (SELECT doc_id FROM dels))
+        |SELECT doc_id, md5(text) AS text_md5
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |ORDER BY doc_id""".stripMargin,
     // the changelog rebuilt from the same v1/v2 arithmetic via EXCEPT
     // (rows are unique per snapshot, so EXCEPT == exceptAll)
     "q_snapshot_diff" ->
@@ -1896,6 +2082,25 @@ object SparkEntry {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // theta-Jaccard truth: exact distinct-set intersect/union counts per
+    // type pair; jaccard_fp floors the SAME double division both engines
+    // evaluate (IEEE, identical operand order)
+    "q_theta_jaccard" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+        |    WHERE event_type IN ('click', 'view', 'purchase')),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+        |  FROM (SELECT DISTINCT event_type FROM u) a,
+        |       (SELECT DISTINCT event_type FROM u) b
+        |  WHERE a.event_type < b.event_type),
+        |stats AS (SELECT p.type_a, p.type_b,
+        |  (SELECT count(*) FROM (SELECT user_id FROM u WHERE event_type = p.type_a
+        |     INTERSECT SELECT user_id FROM u WHERE event_type = p.type_b)) AS j_num,
+        |  (SELECT count(*) FROM (SELECT user_id FROM u WHERE event_type = p.type_a
+        |     UNION SELECT user_id FROM u WHERE event_type = p.type_b)) AS j_den
+        |  FROM pairs p)
+        |SELECT type_a, type_b, j_num::BIGINT AS j_num, j_den::BIGINT AS j_den,
+        |  CAST(floor(1000000 * (j_num::DOUBLE / j_den)) AS BIGINT) AS jaccard_fp
+        |FROM stats ORDER BY type_a, type_b""".stripMargin,
     "q_theta_set_ops" ->
       """SELECT
         |  (SELECT count(DISTINCT c.user_id) FROM events c

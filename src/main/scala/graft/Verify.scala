@@ -29,19 +29,21 @@ object Verify {
     * the heavy tier, ordered by name. */
   private val cheapFirst: Seq[String] = Seq(
     "q_media_features", "q_repetition", "q_lang_id", "q_mojibake_fix",
-    "q_quality",
+    "q_script_profile", "q_robots_gate", "q_quality",
     "q_fingerprint", "q_frame_sample", "q_extract_text", "q_theta_distinct",
-    "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct", "q6_rollup",
+    "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct",
+    "q_theta_jaccard", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_head_meta",
     "q_canonical_dedup", "q_host_graph",
     "q_gopher_filter",
     "q_warc_roundtrip", "q_search_conjunctive", "q_search_ranked",
-    "q_boilerplate_strip", "q_global_shuffle",
-    "q_table_compact", "q_vocab_encode", "q_paragraph_dedup",
+    "q_phrase_search", "q_boilerplate_strip", "q_global_shuffle",
+    "q_table_compact", "q_table_upsert", "q_vocab_encode", "q_paragraph_dedup",
     "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
     "q_sessionize",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
-    "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_chunk_docs",
+    "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_domain_best",
+    "q_chunk_docs",
     "q_cdc_chunks",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens", "q_lm_score",
     "q_host_rank",

@@ -602,6 +602,42 @@ object TextOps {
     RepStats(n, nDistinct, topTok, topBig)
   }
 
+  final case class ScriptProfile(latin: Int, cjk: Int, cyrillic: Int,
+                                 arabic: Int, digit: Int, space: Int, other: Int)
+
+  /** Per-script character histogram — the cheap pre-langid triage of a
+    * crawl (script mix decides which language-ID path even applies, flags
+    * mixed-script spam, and catches encoding damage as `other` spikes).
+    * Classes are EXPLICIT codepoint ranges, not Unicode property tables,
+    * so an external engine reproduces every count with the same literal
+    * character-class regexes:
+    *   latin    A-Z a-z U+00C0–U+024F minus × (U+00D7) ÷ (U+00F7)
+    *   cjk      U+4E00–U+9FFF (Han) U+3040–U+30FF (kana) U+AC00–U+D7AF (hangul)
+    *   cyrillic U+0400–U+04FF;  arabic U+0600–U+06FF;  digit 0-9
+    *   space    U+0009–U+000D U+0020 (RE2 \s set + VT, stated explicitly)
+    *   other    everything else (one count per code POINT — supplementary
+    *            chars count once, not per surrogate half) */
+  def scriptProfile(text: String): ScriptProfile = {
+    var latin = 0; var cjk = 0; var cyr = 0; var ar = 0
+    var digit = 0; var space = 0; var other = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= 0xC0 && cp <= 0x24F && cp != 0xD7 && cp != 0xF7)) latin += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF) ||
+        (cp >= 0xAC00 && cp <= 0xD7AF)) cjk += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) ar += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if ((cp >= 0x09 && cp <= 0x0D) || cp == 0x20) space += 1
+      else other += 1
+    }
+    ScriptProfile(latin, cjk, cyr, ar, digit, space, other)
+  }
+
   /** Mojibake repair — UTF-8 bytes that were mis-decoded through a legacy
     * single-byte charset ("é" → "Ã©", "’" → "â€™") are the most common
     * encoding damage in crawled text. Repair reverses the mis-decode: map

@@ -143,6 +143,48 @@ object SearchIndex {
       .select(col("query_id"), col("h.doc_id").as("doc_id"), col("h.score").as("score"))
   }
 
+  /** Positional posting rows (term, doc_id, positions: sorted int array)
+    * — the phrase-capable index. Positions are 0-based token offsets. */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")))
+      .groupBy(col("col").as("term"), col("doc_id"))
+      .agg(sort_array(collect_list("pos")).as("positions"))
+
+  /** Exact phrase search over positional postings: a document matches
+    * phrase (t_0 … t_{k-1}) at position p iff every t_i occurs at p + i.
+    * Realized with NO positional self-join: the broadcast (phrase_id,
+    * term, offset) rows join postings ON TERM, each hit's position list
+    * is shifted by its offset, and one per-(phrase, doc) aggregate
+    * intersects the k shifted lists — surviving positions ARE the match
+    * starts, so overlapping occurrences count correctly (a replace-based
+    * count would not). Duplicate phrase terms work unchanged: each offset
+    * joins its own copy of the posting row.
+    *
+    * Scale: postings shuffle on (phrase_id, doc) after a broadcast term
+    * semi-restriction — narrow rows, k per doc at most; per-doc position
+    * lists are doc-bounded like every text kernel. Returns (phrase_id,
+    * doc_id, n_occurrences > 0). */
+  def phraseSearch(posPostings: DataFrame, phrases: DataFrame): DataFrame = {
+    val pTerms = phrases
+      .select(col("phrase_id").cast("long").as("phrase_id"),
+        posexplode(col("terms")).as(Seq("off", "term")))
+    val pLen = pTerms.groupBy("phrase_id").agg(count(lit(1)).as("k"))
+    posPostings
+      .join(broadcast(pTerms), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        expr("transform(positions, p -> p - off)").as("shifted"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), collect_list("shifted").as("ls"))
+      .join(broadcast(pLen), Seq("phrase_id"))
+      .filter(col("n_hit") === col("k")) // every phrase slot found in the doc
+      .select(col("phrase_id"), col("doc_id"),
+        expr("size(aggregate(slice(ls, 2, size(ls) - 1), ls[0]," +
+          " (acc, x) -> array_intersect(acc, x)))").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
   /** [[FixedSample.MinNPairAgg]] that keeps the sorted flat (key, id)
     * pairs in `finish` (the base class drops the keys) — here the key IS
     * the negated score, which the caller needs back. */

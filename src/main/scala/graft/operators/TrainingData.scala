@@ -163,6 +163,30 @@ object DomainCap {
     val keep = keptIds(docs, idCol, domainCol, n).select("_id")
     docs.join(keep, docs(idCol).cast("long") === keep("_id"), "left_semi")
   }
+
+  /** Quality-ranked per-domain cap — "at most n pages per domain, BEST
+    * first": keeps each domain's n best documents by (score desc, id asc)
+    * instead of [[cap]]'s smallest-id n. Same bounded-buffer argument: a
+    * MinNPair aggregate keyed on the negated integer score (<= 2n longs
+    * per domain under ObjectHashAggregate), never a row_number window that
+    * would serialize a hot domain through one task. The score must be an
+    * integer column (the engine's quality signals — classifier margin,
+    * LM avg, gopher gate — are all-integer by design). */
+  def keepBest(docs: DataFrame, idCol: String, domainCol: String,
+               scoreCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad cap $n")
+    IdColumns.requireLongCastable(docs, idCol, "DomainCap.keepBest")
+    val minN = udaf(new FixedSample.MinNPairAgg(n),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    val kept = docs
+      .select(col(domainCol).as("_dom"),
+        (-col(scoreCol).cast("long")).as("_k"), col(idCol).cast("long").as("_id"))
+      .groupBy("_dom")
+      .agg(minN(col("_k"), col("_id")).as("_ids"))
+      .select(explode(col("_ids")).as("_id"))
+    docs.join(kept, docs(idCol).cast("long") === kept("_id"), "left_semi")
+  }
 }
 
 /** Deterministic FIXED-SIZE per-stratum sampling — "exactly k docs per

@@ -54,6 +54,46 @@ trait TableIO {
       .unionByName(b.exceptAll(a).withColumn("change", org.apache.spark.sql.functions.lit("insert")))
   }
 
+  /** Keyed upsert (Iceberg's `MERGE INTO target USING updates ON key WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`) — the write path
+    * of a daily corpus refresh: rows of the committed HEAD whose key
+    * collides with an update row are replaced, everything else is kept,
+    * update rows win whole-row. `deleteKeys` (optional) drops rows by key
+    * (the WHEN MATCHED DELETE arm — takedowns, robots revocations).
+    * Realized as one left-anti per arm + a union, i.e. narrow key-hash
+    * shuffles of the two inputs; on Iceberg the same statement is a
+    * metadata-level merge-on-read. Writes the new (uncommitted) head; the
+    * caller commits with its own fingerprint, same discipline as every
+    * write. Requires the current head to be COMMITTED — an uncommitted
+    * head would be rewritten in place underneath the lazy merged plan
+    * that still reads it.
+    *
+    * Update rows must be key-unique (enforced: duplicate update keys
+    * would make "update rows win" order-dependent). */
+  def upsert(table: String, updates: DataFrame, keyCols: Seq[String],
+             deleteKeys: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.{count => fcount, lit}
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    require(committedFingerprint(table).isDefined,
+      s"upsert($table): head is not a committed snapshot")
+    val dupKeys = updates.groupBy(keyCols.map(updates(_)): _*)
+      .agg(fcount(lit(1)).as("_n")).filter("_n > 1").limit(1).count()
+    require(dupKeys == 0, s"upsert updates carry duplicate keys on $keyCols")
+    val head = read(table)
+    val kept0 = head.join(updates.select(keyCols.map(updates(_)): _*),
+      keyCols, "left_anti")
+    val kept = deleteKeys match {
+      case Some(d) => kept0.join(d.select(keyCols.map(d(_)): _*), keyCols, "left_anti")
+      case None    => kept0
+    }
+    val merged = kept.unionByName(
+      deleteKeys match {
+        case Some(d) => updates.join(d.select(keyCols.map(d(_)): _*), keyCols, "left_anti")
+        case None    => updates
+      })
+    overwrite(table, merged)
+  }
+
   /** Small-file maintenance (Iceberg's `rewrite_data_files`): rewrite the
     * committed HEAD into `targetFiles` files as a NEW snapshot committed
     * under the SAME fingerprint — data-identical, so pipeline resume

@@ -194,6 +194,20 @@ object GraftFunctions {
     "theta_anotb_estimate" -> udf((a: Array[Byte], b: Array[Byte]) =>
       if (a == null || b == null) None
       else Some(ThetaSketch.aNotB(ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate)),
+    "theta_union_estimate" -> udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else Some(ThetaSketch.deserialize(a).merge(ThetaSketch.deserialize(b)).estimate)),
+    // Jaccard from one sketch pair (DataSketches JaccardSimilarity shape):
+    // |A∩B|/|A∪B| with both estimated at the common theta — exact-mode
+    // sketches give the exact rational
+    "theta_jaccard" -> udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) None
+      else {
+        val inter = ThetaSketch.intersection(
+          ThetaSketch.deserialize(a), ThetaSketch.deserialize(b)).estimate
+        val uni = ThetaSketch.deserialize(a).merge(ThetaSketch.deserialize(b)).estimate
+        Some(if (uni == 0.0) 0.0 else inter / uni)
+      }),
     "hll_estimate" -> udf((b: Array[Byte]) => Option(b).map(HllSketch.deserialize(_).estimate)),
     "freq_topk" -> udf((b: Array[Byte], k: Int) => Option(b).map(FreqSketch.deserialize(_).topK(k))),
     "freq_estimate" -> udf((b: Array[Byte], item: String) =>
@@ -243,6 +257,10 @@ object GraftFunctions {
     "url_domain" -> udf((u: String) => Option(u).map(UrlOps.domainOf)),
     "lang_id" -> udf((t: String) => Option(t).map(TextOps.langId)),
     "fix_mojibake" -> udf((t: String) => Option(t).map(TextOps.fixMojibake)),
+    "script_profile" -> udf((t: String) => Option(t).map(TextOps.scriptProfile)),
+    "robots_allowed" -> udf((content: String, agent: String, path: String) =>
+      if (content == null || agent == null || path == null) None
+      else Some(RobotsTxt.allowed(content, agent, path))),
     "quality_score" -> udf((t: String) => Option(t).map(TextOps.qualityScore)),
     "stop_count" -> udf((toks: Seq[String]) =>
       Option(toks).map(_.count(t => TextOps.StopWords.contains(t.toLowerCase)))),

@@ -151,6 +151,20 @@ class TextOpsSpec extends AnyFunSuite {
     clean.foreach(s => assert(TextOps.fixMojibake(s) == s, s"[$s]"))
   }
 
+  test("scriptProfile: hand-counted classes; supplementary chars count once") {
+    import TextOps.ScriptProfile
+    assert(TextOps.scriptProfile("ab CD") == ScriptProfile(4, 0, 0, 0, 0, 1, 0))
+    assert(TextOps.scriptProfile("naïve café") == ScriptProfile(9, 0, 0, 0, 0, 1, 0))
+    assert(TextOps.scriptProfile("中文 かな 한글") == ScriptProfile(0, 6, 0, 0, 0, 2, 0))
+    assert(TextOps.scriptProfile("Привет, мир! 42") ==
+      ScriptProfile(0, 0, 9, 0, 2, 2, 2)) // comma + bang are other
+    assert(TextOps.scriptProfile("٥ بيت") == ScriptProfile(0, 0, 0, 4, 0, 1, 0))
+    assert(TextOps.scriptProfile("5×3") == ScriptProfile(0, 0, 0, 0, 2, 0, 1))
+    // emoji = one supplementary codepoint -> other counts 1, not 2
+    assert(TextOps.scriptProfile("a😀b") == ScriptProfile(2, 0, 0, 0, 0, 0, 1))
+    assert(TextOps.scriptProfile("") == ScriptProfile(0, 0, 0, 0, 0, 0, 0))
+  }
+
   test("fixMojibake documented edge: literal mojibake-spelling content is repaired") {
     assert(TextOps.fixMojibake("the sequence Ã© renders as e-acute") ==
       "the sequence é renders as e-acute")

@@ -98,9 +98,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // (1x1, the q_simhash pattern) — its data-sized joins (cell-keyed
     // brute force, survivor semi-joins, component compare) are all
     // hash-equi and capped like the simhash gates
+    // q_theta_jaccard pairs the per-event-type sketch frame with itself
+    // under `type_a < type_b` — a non-equi join over a HANDFUL of
+    // sketch rows (one per event type), the q_theta_set_ops 1x1 pattern
+    // generalized; the data-sized work all happened in the sketch
+    // aggregation above it
+    // q_search_ranked / q_lm_score cross-join a broadcast SINGLE-ROW
+    // stats aggregate (corpus A/N, vocab size) onto the scoring rows —
+    // a 1xN broadcast constant, not a data-sized cross product
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
-      "q_theta_set_ops", "q_pages_pipeline", "q_pages_recall",
-      "q_simhash_complete", "q_simhash_neardup", "q_semantic_dedup")
+      "q_theta_set_ops", "q_theta_jaccard", "q_pages_pipeline", "q_pages_recall",
+      "q_simhash_complete", "q_simhash_neardup", "q_semantic_dedup",
+      "q_search_ranked", "q_lm_score")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

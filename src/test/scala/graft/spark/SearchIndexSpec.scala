@@ -109,6 +109,30 @@ class SearchIndexSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got.head.getLong(2) > got(1).getLong(2))
   }
 
+  test("phrase search == positional brute force (overlaps, duplicate terms, k=1)") {
+    val corpus: Seq[(Long, String)] = docs ++ Seq(
+      (500L, "spark table spark table spark"), // overlapping bigram hits
+      (501L, "key key key key"),               // self-overlapping dup-term phrase
+      (502L, ""))
+    val phrases = Seq(
+      (0L, Seq("spark", "table")),
+      (1L, Seq("key", "key")),
+      (2L, Seq("table", "spark", "table")),
+      (3L, Seq("agg")),           // k = 1
+      (4L, Seq("zebra", "agg")))  // no hits
+    val truth = (for {
+      (pid, ph) <- phrases
+      (id, t) <- corpus
+      n = toks(t).sliding(ph.size).count(_ == ph) if n > 0
+    } yield (pid, id, n)).toSet
+    assert(truth.exists(_._1 == 1L) && truth.exists(p => p._1 == 0L && p._3 >= 2))
+    assert(!truth.exists(_._1 == 4L))
+    val pp = SearchIndex.positionalPostings(corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val got = SearchIndex.phraseSearch(pp, phrases.toDF("phrase_id", "terms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == truth)
+  }
+
   test("k larger than the hit count returns every hit") {
     val p = SearchIndex.postings(docs.toDF("doc_id", "text"), "doc_id", "text")
     val all = SearchIndex.searchAll(p, Seq((9L, Seq("join"))).toDF("query_id", "terms"), 10000)

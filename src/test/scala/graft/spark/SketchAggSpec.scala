@@ -71,6 +71,23 @@ class SketchAggSpec extends AnyFunSuite with SparkSuiteBase {
     assert(math.abs(anotb - 40000) / 40000 < 0.1, s"aNotB est=$anotb")
   }
 
+  test("theta_jaccard: exact in exact mode, near-true in estimation mode") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    def sk(r: Range) = r.toDF("v").agg(expr("theta_sketch(v)")).first().getAs[Array[Byte]](0)
+    def jac(a: Array[Byte], b: Array[Byte]): Double =
+      Seq((a, b)).toDF("a", "b").select(expr("theta_jaccard(a, b)")).first().getDouble(0)
+    // exact mode (both sets below nominal entries): J is the exact rational
+    val small = jac(sk(0 until 300), sk(200 until 500))
+    assert(small == 100.0 / 500.0, s"exact-mode J=$small")
+    // estimation mode: |A∩B|=20k, |A∪B|=100k -> J=0.2 within 10%
+    val big = jac(sk(0 until 60000), sk(40000 until 100000))
+    assert(math.abs(big - 0.2) / 0.2 < 0.1, s"estimation-mode J=$big")
+    // degenerate: disjoint and identical
+    assert(jac(sk(0 until 100), sk(1000 until 1100)) == 0.0)
+    assert(jac(sk(0 until 100), sk(0 until 100)) == 1.0)
+  }
+
   test("req_merge / theta_union / hll_union re-merge stored sketch columns") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -50,6 +50,38 @@ class TableIOCompactSpec extends AnyFunSuite with SparkSuiteBase {
       ("insert", 4L, "d")))                       // added
   }
 
+  test("upsert: updates replace by key, inserts appear, deletes drop, rest kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val io = new ParquetTableIO(spark, root)
+    val v1 = (0 until 50).map(i => (i.toLong, s"body $i")).toDF("id", "x")
+    io.overwrite("t", v1); io.commit("t", "f1")
+    val updates = Seq((3L, "EDIT 3"), (7L, "EDIT 7"), (100L, "NEW 100")).toDF("id", "x")
+    val dels = Seq(Tuple1(9L), Tuple1(7L)).toDF("id") // 7 is BOTH updated and deleted
+    io.upsert("t", updates, Seq("id"), Some(dels))
+    io.commit("t", "f2")
+    val got = io.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val want = (0 until 50).filterNot(i => i == 3 || i == 7 || i == 9)
+      .map(i => (i.toLong, s"body $i")).toMap ++ Map(3L -> "EDIT 3", 100L -> "NEW 100")
+    assert(got == want) // delete wins over update for id 7
+    // history intact: v1 still time-travelable
+    val ids = io.snapshots("t").map(_._1)
+    assert(ids.size == 2 && io.readAt("t", ids.head).count() == 50)
+  }
+
+  test("upsert refuses duplicate update keys and uncommitted heads") {
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert2").toString
+    val io = new ParquetTableIO(spark, root)
+    io.overwrite("t", Seq((1L, "a")).toDF("id", "x"))
+    // head not committed yet
+    intercept[IllegalArgumentException] {
+      io.upsert("t", Seq((1L, "b")).toDF("id", "x"), Seq("id"))
+    }
+    io.commit("t", "f1")
+    intercept[IllegalArgumentException] {
+      io.upsert("t", Seq((1L, "b"), (1L, "c")).toDF("id", "x"), Seq("id"))
+    }
+  }
+
   test("compact refuses an uncommitted head") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact2").toString
     val io = new ParquetTableIO(spark, root)

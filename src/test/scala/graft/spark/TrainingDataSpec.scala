@@ -178,6 +178,19 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got.count(_._1 == 1L) == 4) // starts 0, 48, 96, 144
   }
 
+  test("domain keepBest: bounded aggregate == (score desc, id asc) window truth") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, if (i < 200) "hot" else s"d${i % 7}", ((i * 37) % 50).toLong)
+    } // 'hot' has many score ties -> the id tie-break is load-bearing
+    val truth = docs.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy { case (id, _, s) => (-s, id) }.take(3)
+    }.map(_._1).toSet
+    val got = DomainCap.keepBest(docs.toDF("doc_id", "domain", "score"),
+        "doc_id", "domain", "score", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == truth)
+  }
+
   // independent reference for cdcChunks: list-based (non-sequential)
   // boundary computation straight from the definition
   private def cdcTruth(toks: Seq[String], w: Int, d: Int): Seq[(Int, Int, String)] = {
