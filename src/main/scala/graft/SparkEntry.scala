@@ -982,6 +982,16 @@ object SparkEntry {
         expr("cast(theta_intersect_estimate(a, b) as bigint)").as("click_and_view"),
         expr("cast(theta_anotb_estimate(a, b) as bigint)").as("click_not_view"))
     }),
+    "q_embed_quantize" -> ((s, dir) =>
+      // int8 vector quantization (the 4x storage/shuffle lever of a
+      // 10^12-vector index): floor(x·127/maxabs + 0.5) stated literally so
+      // the oracle reproduces every element; q_md5 pins the whole vector,
+      // scale pins the double bit-for-bit
+      AnnSearch.quantizeInt8(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          md5(concat_ws(",", col("qvec"))).as("q_md5"),
+          expr("aggregate(qvec, 0L, (acc, x) -> acc + abs(x))").as("l1"))
+        .orderBy("vec_id")),
     "q_theta_jaccard" -> ((s, dir) => {
       // set-similarity from sketches alone (the audience-overlap question
       // answered without re-touching raw ids): Jaccard numerator and
@@ -2082,6 +2092,19 @@ object SparkEntry {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // quantization truth: the identical floor(x·127/m + 0.5) over the
+    // identically-widened doubles — md5 of the joined int list
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |      coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS m FROM v),
+        |q AS (SELECT vec_id, m AS scale,
+        |      CASE WHEN m = 0 THEN list_transform(v, x -> 0)
+        |           ELSE list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS INT))
+        |      END AS qv FROM m)
+        |SELECT vec_id, scale, md5(array_to_string(qv, ',')) AS q_md5,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1
+        |FROM q ORDER BY vec_id""".stripMargin,
     // theta-Jaccard truth: exact distinct-set intersect/union counts per
     // type pair; jaccard_fp floors the SAME double division both engines
     // evaluate (IEEE, identical operand order)

@@ -104,6 +104,39 @@ object AnnSearch {
       org.apache.spark.sql.GraftBridge.expression(a.cast("array<double>")),
       org.apache.spark.sql.GraftBridge.expression(b.cast("array<double>"))))
 
+  /** Symmetric per-vector int8 quantization — the storage lever of a
+    * 10^12-vector ANN index (float32 → int8 is 4× less shuffle/scan/cache
+    * everywhere downstream): q_i = floor(v_i·127/maxabs + 0.5), scale =
+    * maxabs. The rounding is stated as floor(x + 0.5) — not a library
+    * round — so an external engine reproduces every element bit-exactly;
+    * floats widen to double first (exact) and the expression keeps one
+    * operand order. Zero vectors quantize to zeros with scale 0.
+    * Cosine is scale-free, so quantized search needs no dequantization
+    * (see [[quantizedCosine]]); dot/L2 reconstruction multiplies by
+    * scale/127 per side. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_m", expr(
+        "aggregate(_v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(x)))"))
+      .select(col("vec_id"), col("_m").as("scale"),
+        expr("CASE WHEN _m = 0.0 THEN transform(_v, x -> 0)" +
+          " ELSE transform(_v, x -> CAST(floor(x * 127.0 / _m + 0.5) AS INT))" +
+          " END").as("qvec"))
+
+  /** Cosine over int8-quantized vectors: integer dot products (exact, no
+    * float drift until the final division), the per-vector scales cancel.
+    * For dim ≤ 2^15 the int64 accumulators cannot overflow (|q| ≤ 127). */
+  def quantizedCosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("long") * q), lit(0L), (acc, z) => acc + z)
+    val ab = dot(a, b)
+    val aa = dot(a, a)
+    val bb = dot(b, b)
+    when(aa === 0L || bb === 0L, lit(0.0))
+      .otherwise(ab.cast("double") / (sqrt(aa.cast("double")) * sqrt(bb.cast("double"))))
+  }
+
   // ---------------------------------------------------------- tuning
 
   /** Per-hyperplane sign-agreement probability of a pair at cosine `c`. */

@@ -104,6 +104,37 @@ class AnnSearchSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == local)
   }
 
+  test("int8 quantization: element-exact vs local reference; cosine survives within 0.02") {
+    import org.apache.spark.sql.functions._
+    val vecs = randomVecs(80, 64, seed = 99L) :+ (999L, Array.fill(64)(0.0))
+    val df = toDf(vecs)
+    val got = AnnSearch.quantizeInt8(df, "id", "v")
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getSeq[Int](2).toArray))).toMap
+    vecs.foreach { case (id, v) =>
+      val m = v.map(math.abs).max
+      val q = if (m == 0.0) v.map(_ => 0)
+        else v.map(x => math.floor(x * 127.0 / m + 0.5).toInt)
+      assert(got(id)._1 == m && java.util.Arrays.equals(got(id)._2, q), s"vec $id")
+      assert(got(id)._2.forall(x => x >= -127 && x <= 127))
+    }
+    // quantized cosine tracks float cosine (scales cancel)
+    val q = AnnSearch.quantizeInt8(df, "id", "v").select(col("vec_id"), col("qvec"))
+    val pairs = q.withColumnRenamed("vec_id", "ia").withColumnRenamed("qvec", "qa")
+      .join(q.withColumnRenamed("vec_id", "ib").withColumnRenamed("qvec", "qb"),
+        col("ia") + 1 === col("ib"))
+      .select(col("ia"), col("ib"),
+        AnnSearch.quantizedCosine(col("qa"), col("qb")).as("cq"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val byId = vecs.toMap
+    pairs.foreach { case ((ia, ib), cq) =>
+      if (ib != 999L) {
+        val cf = AnnSearch.cosineKernel(byId(ia), byId(ib))
+        assert(math.abs(cq - cf) < 0.02, s"pair ($ia,$ib): cq=$cq cf=$cf")
+      } else assert(cq == 0.0) // zero vector pins the guard branch
+    }
+  }
+
   test("CosineSimilarity codegen expression matches the Scala kernel; null in, null out") {
     val sq = spark
     import sq.implicits._
