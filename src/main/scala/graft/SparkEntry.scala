@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.pipeline.NearDupPipeline
 import graft.spark.GraftFunctions
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -992,6 +993,23 @@ object SparkEntry {
           md5(concat_ws(",", col("qvec"))).as("q_md5"),
           expr("aggregate(qvec, 0L, (acc, x) -> acc + abs(x))").as("l1"))
         .orderBy("vec_id")),
+    "q_attribution" -> ((s, dir) => {
+      // interval join (click → purchase attribution within 6 h): the
+      // batch face of the stream-stream watermarked join — the SAME
+      // StreamingOps call, micros-exact window, oracle states it in
+      // integer epoch arithmetic
+      val ev = t(s, dir, "events")
+      StreamingOps.attributionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", windowSec = 21600)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          // parquet carries TIMESTAMP_NTZ; the session is pinned UTC so
+          // the cast to (ltz) TIMESTAMP is value-identity for micros
+          (unix_micros(col("purchase_ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     "q_theta_jaccard" -> ((s, dir) => {
       // set-similarity from sketches alone (the audience-overlap question
       // answered without re-touching raw ids): Jaccard numerator and
@@ -2092,6 +2110,15 @@ object SparkEntry {
     "q_hll_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
         |FROM events GROUP BY 1""".stripMargin,
+    // attribution truth: the interval condition in integer micros
+    "q_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        |  AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 21600000000
+        |ORDER BY 1, 2, 3""".stripMargin,
     // quantization truth: the identical floor(x·127/m + 0.5) over the
     // identically-widened doubles — md5 of the joined int list
     "q_embed_quantize" ->

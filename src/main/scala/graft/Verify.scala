@@ -40,7 +40,7 @@ object Verify {
     "q_phrase_search", "q_boilerplate_strip", "q_global_shuffle",
     "q_table_compact", "q_table_upsert", "q_vocab_encode", "q_paragraph_dedup",
     "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
-    "q_sessionize",
+    "q_sessionize", "q_attribution",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_domain_best",
     "q_chunk_docs",

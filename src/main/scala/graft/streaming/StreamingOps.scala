@@ -96,6 +96,38 @@ object StreamingOps {
         col("n_events"), col("first_ts"), col("last_ts"))
   }
 
+  /** Stream-stream INTERVAL join (click → purchase attribution): each
+    * purchase matches the same user's clicks with
+    * `click_ts ∈ [purchase_ts − windowSec, purchase_ts]`. The one
+    * Structured-Streaming surface nothing else in this engine exercises:
+    * BOTH sides buffer state, and it stays bounded precisely because the
+    * join condition carries the time interval against two watermarked
+    * event-time columns — Spark derives each side's state expiry from
+    * watermark + range, no timers or custom state. The SAME call runs in
+    * batch (unified Dataset API), which is how the driver oracle checks
+    * the join semantics; the spec pins stream ≡ batch across arbitrary
+    * micro-batch splits. Timestamp comparisons are micros-exact, so the
+    * batch oracle can state the window in integer epoch arithmetic. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      userCol: String, tsCol: String, idCol: String,
+                      windowSec: Long, watermark: String = "10 minutes"): DataFrame = {
+    require(windowSec > 0, s"bad window $windowSec")
+    val c0 = clicks.select(col(userCol).as("user_id"),
+      col(tsCol).as("click_ts"), col(idCol).as("click_id"))
+    val p0 = purchases.select(col(userCol).as("p_user"),
+      col(tsCol).as("purchase_ts"), col(idCol).as("purchase_id"))
+    val (c, p) =
+      if (clicks.isStreaming)
+        (c0.withWatermark("click_ts", watermark),
+          p0.withWatermark("purchase_ts", watermark))
+      else (c0, p0)
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
 

@@ -312,6 +312,56 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (attribution): inner results == batch run") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val base = 1700000000000L
+    val min = 60000L
+    // clicks/purchases straddle the 30-min window: user 1 has 2 clicks
+    // inside + 1 outside; user 2's click is AT the boundary (inclusive);
+    // user 3 purchases with no click; user 4 clicks with no purchase
+    val clicks: Seq[(Long, Timestamp, Long)] = Seq(
+      (1L, 0L, 100L), (1L, 20L, 101L), (1L, 61L, 102L),
+      (2L, 10L, 200L), (4L, 5L, 400L))
+      .map { case (u, m, id) => (u, new Timestamp(base + m * min), id) }
+    val purchases: Seq[(Long, Timestamp, Long)] = Seq(
+      (1L, 30L, 900L), (1L, 75L, 901L), (2L, 40L, 902L), (3L, 50L, 903L))
+      .map { case (u, m, id) => (u, new Timestamp(base + m * min), id) }
+    val ci = MemoryStream[(Long, Timestamp, Long)]
+    val pi = MemoryStream[(Long, Timestamp, Long)]
+    // watermark wide enough that the deliberately out-of-order arrivals
+    // below (u2's m=10 click lands after m=75 purchases raised the
+    // global watermark) are buffered, not dropped as late
+    val joined = StreamingOps.attributionJoin(
+      ci.toDF().toDF("user", "ts", "id"), pi.toDF().toDF("user", "ts", "id"),
+      "user", "ts", "id", windowSec = 1800, watermark = "2 hours")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // interleave arrivals across micro-batches (purchases before their
+      // clicks in one batch — the state buffering must hold both sides)
+      ci.addData(clicks.take(2): _*); q.processAllAvailable()
+      pi.addData(purchases.take(2): _*); q.processAllAvailable()
+      ci.addData(clicks.drop(2): _*); q.processAllAvailable()
+      pi.addData(purchases.drop(2): _*); q.processAllAvailable()
+      val got = sq.sql("SELECT user_id, click_id, purchase_id FROM attr")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = StreamingOps.attributionJoin(
+          clicks.toDF("user", "ts", "id"), purchases.toDF("user", "ts", "id"),
+          "user", "ts", "id", windowSec = 1800)
+        .select("user_id", "click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // hand truth: u1 p900 <- clicks 100,101 (0,20 within [0,30]);
+      // p901 <- clicks 101? (75-20=55 out) no; click 102 (75-61=14) yes;
+      // u2 p902 <- click 200 (40-10=30, boundary INCLUSIVE); u3/u4 none
+      val want = Set((1L, 100L, 900L), (1L, 101L, 900L), (1L, 102L, 901L),
+        (2L, 200L, 902L))
+      assert(batch == want, s"batch=$batch")
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionize (native session_window): closed sessions == batch run") {
     val sq = spark
     import sq.implicits._
