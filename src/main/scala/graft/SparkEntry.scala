@@ -807,6 +807,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
         .withColumn("keep", col("margin") > 0)
         .orderBy("doc_id")),
+    "q_corpus_mix" -> ((s, dir) => {
+      // pre-training data mixing: 2 epochs of the en slice + 1 of the
+      // rest, deterministically interleaved with contiguous positions
+      // (md5 of the (source, epoch, id) triple is the mix key — no RNG,
+      // any engine reproduces the exact training order)
+      val d = t(s, dir, "documents")
+      CorpusMix.mix(Seq(
+          ("en2", d.filter(col("lang") === "en"), 2),
+          ("rest", d.filter(col("lang") =!= "en"), 1)), "doc_id")
+        .orderBy("pos")
+    }),
     "q_domain_best" -> ((s, dir) => {
       // curation composition: per-domain quota filled by QUALITY — the
       // hashed-linear margin (q_classifier_margin's model) ranks, the
@@ -2033,6 +2044,20 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  CAST(sum(w) AS BIGINT) AS margin, (CAST(sum(w) AS BIGINT) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // mix truth: the same (source, epoch, id) copies under the md5-key
+    // total order the two-phase scan realizes
+    "q_corpus_mix" ->
+      """WITH src AS (
+        |  SELECT 'en2' AS source, e.epoch, doc_id FROM documents,
+        |    (VALUES (0), (1)) AS e(epoch) WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'rest' AS source, 0 AS epoch, doc_id FROM documents
+        |  WHERE lang <> 'en'),
+        |k AS (SELECT source, epoch, doc_id,
+        |      source || ':' || epoch || ':' || doc_id AS mixid FROM src)
+        |SELECT source, epoch::INT AS epoch, doc_id,
+        |  (row_number() OVER (ORDER BY md5(mixid), mixid) - 1)::BIGINT AS pos
+        |FROM k ORDER BY pos""".stripMargin,
     // domain-best truth: identical margin model + the row_number window
     // the engine deliberately avoids
     "q_domain_best" ->

@@ -38,7 +38,8 @@ object Verify {
     "q_gopher_filter",
     "q_warc_roundtrip", "q_search_conjunctive", "q_search_ranked",
     "q_phrase_search", "q_boilerplate_strip", "q_global_shuffle",
-    "q_table_compact", "q_table_upsert", "q_vocab_encode", "q_paragraph_dedup",
+    "q_table_compact", "q_table_upsert", "q_vocab_encode", "q_corpus_mix",
+    "q_paragraph_dedup",
     "q_cooccur", "q_anchor_text", "q_classifier_margin", "q_snapshot_diff",
     "q_sessionize", "q_attribution",
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",

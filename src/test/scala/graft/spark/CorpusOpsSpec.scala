@@ -64,4 +64,27 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSuiteBase {
     val byId = docs.toMap
     rows.foreach(r => assert(r.getString(1) == byId(r.getLong(0))))
   }
+
+  test("corpus mix: weighted epochs interleave == md5 window truth; copies exact") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    val a = (0 until 40).map(i => (i.toLong, s"a$i")).toDF("doc_id", "text")
+    val b = (100 until 160).map(i => (i.toLong, s"b$i")).toDF("doc_id", "text")
+    val got = graft.operators.CorpusMix.mix(
+        Seq(("hi", a, 2), ("lo", b, 1)), "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // exact copy structure: every 'hi' doc twice (epochs 0,1), 'lo' once
+    assert(got.count(_._1 == "hi") == 80 && got.count(_._1 == "lo") == 60)
+    assert(got.filter(_._1 == "hi").groupBy(_._3).forall {
+      case (_, g) => g.map(_._2).sorted.toSeq == Seq(0, 1) })
+    // contiguous permutation in (md5(mixid), mixid) order
+    val md = MessageDigest.getInstance("MD5")
+    def m(s: String) = { val d = md.digest(s.getBytes("UTF-8")); md.reset()
+      d.map(x => f"${x & 0xff}%02x").mkString }
+    val want = got.map { case (s, e, id, _) => (s, e, id, s"$s:$e:$id") }
+      .sortBy { case (_, _, _, k) => (m(k), k) }
+      .zipWithIndex.map { case ((s, e, id, _), i) => (s, e, id, i.toLong) }.toSet
+    assert(got.toSet == want)
+    assert(got.map(_._4).sorted.toSeq == (0L until 140L))
+  }
 }
