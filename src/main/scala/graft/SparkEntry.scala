@@ -807,6 +807,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
         .withColumn("keep", col("margin") > 0)
         .orderBy("doc_id")),
+    "q_corpus_report" -> ((s, dir) => {
+      // the datasheet query: per-language corpus statistics a data card
+      // reports — docs, chars, tokens, distinct tokens, integer mean doc
+      // length, exact-duplicate surplus — all exact, one narrow-keyed
+      // aggregate per input scan, joined on the tiny lang key
+      val d = t(s, dir, "documents")
+      val docs = d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"))
+      val toks = d.select(col("lang"),
+          explode(filter(split(trim(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct_tokens"))
+      val dups = d.groupBy(col("lang"), xxhash64(col("text")).as("_h"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy("lang").agg(sum(expr("_c - 1L")).as("n_dup_docs"))
+      docs.join(toks, Seq("lang"), "left").join(dups, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+          expr("coalesce(n_tokens, 0L) div n_docs").as("mean_tokens"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+        .orderBy("lang")
+    }),
     "q_corpus_mix" -> ((s, dir) => {
       // pre-training data mixing: 2 epochs of the en slice + 1 of the
       // rest, deterministically interleaved with contiguous positions
@@ -2044,6 +2067,26 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  CAST(sum(w) AS BIGINT) AS margin, (CAST(sum(w) AS BIGINT) > 0) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // datasheet truth: every stat exact from first principles (duplicate
+    // surplus grouped on the literal text — the engine's content hash
+    // must be count-equivalent)
+    "q_corpus_report" ->
+      """WITH d AS (SELECT lang, doc_id, text FROM documents),
+        |docs AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars FROM d GROUP BY 1),
+        |tk AS (SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok FROM d),
+        |t2 AS (SELECT lang, count(*)::BIGINT AS n_tokens,
+        |    count(DISTINCT tok)::BIGINT AS n_distinct_tokens FROM tk GROUP BY 1),
+        |dup AS (SELECT lang, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs FROM
+        |    (SELECT lang, text, count(*) AS c FROM d GROUP BY 1, 2) GROUP BY 1)
+        |SELECT d2.lang, d2.n_docs, d2.n_chars,
+        |  coalesce(t2.n_tokens, 0) AS n_tokens,
+        |  coalesce(t2.n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  (coalesce(t2.n_tokens, 0) // d2.n_docs)::BIGINT AS mean_tokens,
+        |  coalesce(dup.n_dup_docs, 0) AS n_dup_docs
+        |FROM docs d2 LEFT JOIN t2 USING (lang) LEFT JOIN dup USING (lang)
+        |ORDER BY lang""".stripMargin,
     // mix truth: the same (source, epoch, id) copies under the md5-key
     // total order the two-phase scan realizes
     "q_corpus_mix" ->

@@ -32,7 +32,7 @@ object Verify {
     "q_script_profile", "q_robots_gate", "q_quality",
     "q_fingerprint", "q_frame_sample", "q_extract_text", "q_theta_distinct",
     "q4_topk", "q_req_stats", "q_token_count", "q_hll_distinct",
-    "q_theta_jaccard", "q_embed_quantize", "q6_rollup",
+    "q_theta_jaccard", "q_embed_quantize", "q_corpus_report", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_head_meta",
     "q_canonical_dedup", "q_host_graph",
     "q_gopher_filter",
