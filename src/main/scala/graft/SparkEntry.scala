@@ -444,6 +444,16 @@ object SparkEntry {
           (col("_c1") =!= col("_dec")).as("was_corrupted"))
         .orderBy("doc_id")
     }),
+    "q_lm_trigram" -> ((s, dir) => {
+      // interpolated trigram LM (Jelinek–Mercer λ = 1/3/6 over 10):
+      // longer-context sibling of q_lm_score, same fixed-point per-term
+      // divisions stated in the oracle verbatim
+      val d = t(s, dir, "documents")
+      val uni = BigramLm.unigramCounts(d, "text")
+      val bi = BigramLm.bigramCounts(d, "doc_id", "text")
+      val tri = BigramLm.trigramCounts(d, "doc_id", "text")
+      BigramLm.scoreInterpolated(d, "doc_id", "text", uni, bi, tri).orderBy("doc_id")
+    }),
     "q_lang_id" -> ((s, dir) => {
       GraftFunctions.register(s)
       t(s, dir, "documents").select(col("doc_id"), expr("lang_id(text)").as("lang_guess"))
@@ -1740,6 +1750,38 @@ object SparkEntry {
       """SELECT doc_id, true AS repaired_once_ok, true AS repaired_twice_ok,
         |  true AS clean_untouched, (doc_id % 3 <> 0) AS was_corrupted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // interpolated-trigram truth: the identical three fixed-point
+    // divisions per trigram position
+    "q_lm_trigram" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM documents),
+        |u AS (SELECT w, count(*)::BIGINT AS cu FROM
+        |      (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |v AS (SELECT count(*)::BIGINT AS v, sum(cu)::BIGINT AS tt FROM u),
+        |pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM
+        |      (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY 1, 2),
+        |tg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3 FROM
+        |      (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+        |tc AS (SELECT w1, w2, w3, count(*)::BIGINT AS ct FROM tg GROUP BY 1, 2, 3),
+        |sc AS (SELECT g.doc_id,
+        |      (6 * 1000000 * (coalesce(tc.ct, 0) + 1)) // (10 * (coalesce(b12.cb, 0) + v.v))
+        |    + (3 * 1000000 * (coalesce(b23.cb, 0) + 1)) // (10 * (coalesce(u2.cu, 0) + v.v))
+        |    + (1 * 1000000 * (coalesce(u3.cu, 0) + 1)) // (10 * (v.tt + v.v)) AS s
+        |  FROM tg g
+        |  LEFT JOIN tc ON tc.w1 = g.w1 AND tc.w2 = g.w2 AND tc.w3 = g.w3
+        |  LEFT JOIN bc b12 ON b12.w1 = g.w1 AND b12.w2 = g.w2
+        |  LEFT JOIN bc b23 ON b23.w1 = g.w2 AND b23.w2 = g.w3
+        |  LEFT JOIN u u2 ON u2.w = g.w2
+        |  LEFT JOIN u u3 ON u3.w = g.w3
+        |  CROSS JOIN v),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS nt, sum(s)::BIGINT AS score
+        |        FROM sc GROUP BY 1)
+        |SELECT t.doc_id, coalesce(nt, 0)::BIGINT AS n_trigrams,
+        |  coalesce(score, 0)::BIGINT AS score,
+        |  (coalesce(score, 0) // greatest(coalesce(nt, 1), 1))::BIGINT AS avg_fp
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_lang_id" -> langIdOracleSql,
     "q_quality" ->
       """SELECT doc_id,

@@ -47,6 +47,7 @@ object Verify {
     "q_chunk_docs",
     "q_cdc_chunks",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens", "q_lm_score",
+    "q_lm_trigram",
     "q_host_rank",
     "q_incremental_dedup", "q_req_quantiles", "q_kll_quantiles",
     "q_embed_neardup", "q1_agg", "q_freq_tokens", "q2_join_agg",

@@ -57,6 +57,65 @@ object BigramLm {
           " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2)) ELSE array() END")).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
 
+  /** One row per in-document trigram occurrence: (doc_id, w1, w2, w3). */
+  def docTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toksCol(textCol).as("_toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(_toks) >= 3 THEN transform(sequence(0, size(_toks) - 3)," +
+          " i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2, _toks[i + 2] AS w3))" +
+          " ELSE array() END")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"), col("p.w3"))
+
+  /** (w1, w2, w3, ct) corpus trigram counts. */
+  def trigramCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docTrigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+
+  /** Interpolated trigram scoring (Jelinek–Mercer with integer mixture
+    * weights λ = (lNum._1, lNum._2, lNum._3)/lDen over unigram, bigram,
+    * trigram contexts — the standard back-off-free interpolation), each
+    * add-one-smoothed conditional in its own fixed-point division:
+    *
+    *   s_i = (λ3·S·(c(w1w2w3)+1)) div (lDen·(c(w1w2)+V))
+    *       + (λ2·S·(c(w2w3)+1))   div (lDen·(c(w2)+V))
+    *       + (λ1·S·(c(w3)+1))     div (lDen·(T+V))
+    *
+    * Per-term integer rounding is part of the definition (the oracle
+    * states the identical three divisions). Docs with < 3 tokens score
+    * (0, 0, 0); five narrow-key joins + one broadcast stats row. */
+  def scoreInterpolated(docs: DataFrame, idCol: String, textCol: String,
+                        uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                        lNum: (Int, Int, Int) = (1, 3, 6), lDen: Int = 10,
+                        scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1 && lDen >= 1 && lNum._1 + lNum._2 + lNum._3 == lDen,
+      s"bad mixture $lNum / $lDen")
+    val stats = uni.agg(count(lit(1)).cast("long").as("V"),
+      sum("cu").cast("long").as("T"))
+    val scored = docTrigrams(docs, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.toDF("w1", "w2", "c12"), Seq("w1", "w2"), "left")
+      .join(bi.toDF("w2", "w3", "c23"), Seq("w2", "w3"), "left")
+      .join(uni.toDF("w2", "cu2"), Seq("w2"), "left")
+      .join(uni.toDF("w3", "cu3"), Seq("w3"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        s"(${lNum._3}L * ${scale}L * (coalesce(ct, 0L) + 1L))" +
+          s" div (${lDen}L * (coalesce(c12, 0L) + V))" +
+          s" + (${lNum._2}L * ${scale}L * (coalesce(c23, 0L) + 1L))" +
+          s" div (${lDen}L * (coalesce(cu2, 0L) + V))" +
+          s" + (${lNum._1}L * ${scale}L * (coalesce(cu3, 0L) + 1L))" +
+          s" div (${lDen}L * (T + V))").as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("s").cast("long").as("score"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("avg_fp", expr("score div greatest(n_trigrams, 1L)"))
+  }
+
   /** Per-document LM score over the given count tables. Every input doc
     * gets a row; docs with < 2 tokens score (0, 0, 0). Bigrams absent
     * from `bi` count as 0 (unseen transition — the add-one floor), tokens

@@ -59,6 +59,42 @@ class BigramLmSpec extends AnyFunSuite with SparkSuiteBase {
       s"typical=${avg(0L)} must dwarf noise=${avg(99L)}")
   }
 
+  test("interpolated trigram score == brute force of the three divisions") {
+    val vocab = Array("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val corpus: Seq[(Long, String)] = (0 until 30).map { i =>
+      (i.toLong, (0 until 4 + i % 8).map(j => vocab((i * 5 + j * 3) % vocab.length)).mkString(" "))
+    } ++ Seq((100L, "two words"), (101L, ""))
+    val df = corpus.toDF("doc_id", "text")
+    val uni = BigramLm.unigramCounts(df, "text")
+    val bi = BigramLm.bigramCounts(df, "doc_id", "text")
+    val tri = BigramLm.trigramCounts(df, "doc_id", "text")
+    val got = BigramLm.scoreInterpolated(df, "doc_id", "text", uni, bi, tri)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // local truth
+    val allT = corpus.flatMap { case (_, t) => toks(t) }
+    val cu = allT.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cu.size.toLong
+    val tTot = allT.size.toLong
+    def grams(n: Int) = corpus.flatMap { case (_, t) =>
+      toks(t).sliding(n).filter(_.size == n).map(_.toList) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cb = grams(2)
+    val ct = grams(3)
+    val s = 1000000L
+    val want = corpus.map { case (id, t) =>
+      val tg = toks(t).sliding(3).filter(_.size == 3).map(_.toList).toSeq
+      val sc = tg.map { g =>
+        (6L * s * (ct.getOrElse(g, 0L) + 1L)) / (10L * (cb.getOrElse(g.take(2), 0L) + v)) +
+          (3L * s * (cb.getOrElse(g.drop(1), 0L) + 1L)) / (10L * (cu.getOrElse(g(1), 0L) + v)) +
+          (1L * s * (cu.getOrElse(g(2), 0L) + 1L)) / (10L * (tTot + v))
+      }.sum
+      val n = tg.size.toLong
+      (id, (n, sc, if (n == 0) 0L else sc / n))
+    }.toMap
+    assert(got == want)
+    assert(got(100L) == ((0L, 0L, 0L)) && got(101L) == ((0L, 0L, 0L)))
+  }
+
   test("unseen transitions at score time take the add-one floor, not a crash") {
     val train = Seq((0L, "alpha beta gamma alpha beta")).toDF("doc_id", "text")
     val uni = BigramLm.unigramCounts(train, "text")
