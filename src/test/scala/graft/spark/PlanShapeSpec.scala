@@ -81,6 +81,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
       s"window is not keyed by (_st, _pid):\n${p.take(2000)}")
   }
 
+  test("q_search_ranked broadcasts query terms, dfs, and the stats row") {
+    // the only non-broadcast join allowed is doc-length on the narrow
+    // doc_id key; query terms / per-term dfs / the 1-row corpus stats
+    // must all reach the scoring rows as broadcasts
+    val p = plan("q_search_ranked")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), s"ranked search sort-merges:\n${p.take(2000)}")
+  }
+
+  test("q_phrase_search broadcasts the phrase slots; postings never sort-merge") {
+    val p = plan("q_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), s"phrase search sort-merges:\n${p.take(2000)}")
+  }
+
+  test("q_boilerplate_strip counts chunk dfs without an Expand (no countDistinct)") {
+    // the pre-distinct + count formulation must not plan the
+    // count(DISTINCT) Expand, which would triple the chunk rows
+    val p = plan("q_boilerplate_strip")
+    assert(!p.contains("Expand"), s"Expand in the df aggregate:\n${p.take(2000)}")
+  }
+
   test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
     // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
     // (bruteForceTopK: every corpus vector scores against the broadcast
@@ -109,7 +131,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
       "q_theta_set_ops", "q_theta_jaccard", "q_pages_pipeline", "q_pages_recall",
       "q_simhash_complete", "q_simhash_neardup", "q_semantic_dedup",
-      "q_search_ranked", "q_lm_score")
+      "q_search_ranked", "q_lm_score", "q_lm_trigram")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
