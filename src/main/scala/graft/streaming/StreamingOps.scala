@@ -128,6 +128,44 @@ object StreamingOps {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream → versioned table: each micro-batch keyed-UPSERTs into the
+    * committed head and commits a NEW snapshot fingerprinted by the
+    * epoch id. Exactly-once across restarts/replays falls out of the
+    * fingerprint check — Spark may re-deliver an epoch after a failure,
+    * and an epoch whose fingerprint is already in the snapshot log is
+    * skipped whole (the same idempotence discipline as the pipeline's
+    * config⊕input resume). Batches must carry unique keys
+    * ([[graft.pipeline.TableIO.upsert]] enforces it loudly). On Iceberg
+    * this is the native streaming-commit path; every snapshot stays
+    * time-travelable, so "the corpus as of epoch N" is a readAt. */
+  def sinkToTable(stream: DataFrame, io: graft.pipeline.TableIO, table: String,
+                  keyCols: Seq[String], queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyEpoch(io, table, keyCols, batch, s"$queryName-epoch-$epochId")
+        ()
+      }
+      .queryName(queryName)
+      .start()
+
+  /** One epoch of [[sinkToTable]]: upsert + commit under `fp`, or skip
+    * entirely when `fp` is already in the snapshot log (epoch replay).
+    * Returns whether the epoch was applied. */
+  private[graft] def applyEpoch(io: graft.pipeline.TableIO, table: String,
+                                keyCols: Seq[String], batch: DataFrame,
+                                fp: String): Boolean = {
+    if (io.snapshots(table).exists(_._2 == fp)) false
+    else {
+      if (!io.exists(table) || io.snapshots(table).isEmpty)
+        io.overwrite(table, batch)
+      else
+        io.upsert(table, batch, keyCols)
+      io.commit(table, fp)
+      true
+    }
+  }
+
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
 

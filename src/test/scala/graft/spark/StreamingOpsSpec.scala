@@ -312,6 +312,37 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming table sink: per-epoch upsert commits, time travel, replay idempotence") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ssink").toString
+    val io = new graft.pipeline.ParquetTableIO(sq, root)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.sinkToTable(
+      input.toDF().toDF("id", "x"), io, "t", Seq("id"), "ssink")
+    try {
+      input.addData((1L, "a1"), (2L, "b1"), (3L, "c1")); q.processAllAvailable()
+      input.addData((2L, "b2"), (4L, "d1")); q.processAllAvailable()
+      input.addData((4L, "d2")); q.processAllAvailable()
+      val got = io.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == Map(1L -> "a1", 2L -> "b2", 3L -> "c1", 4L -> "d2"))
+      // one committed snapshot per non-empty epoch, epoch in the fingerprint
+      val snaps = io.snapshots("t")
+      assert(snaps.size == 3 && snaps.forall(_._2.startsWith("ssink-epoch-")))
+      // time travel: the corpus as of the first epoch
+      val v1 = io.readAt("t", snaps.head._1).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(v1 == Map(1L -> "a1", 2L -> "b1", 3L -> "c1"))
+      // replay idempotence: Spark re-delivering a seen epoch is a no-op
+      val before = io.snapshots("t")
+      val applied = StreamingOps.applyEpoch(io, "t", Seq("id"),
+        Seq((2L, "SHOULD-NOT-LAND")).toDF("id", "x"), "ssink-epoch-1")
+      assert(!applied && io.snapshots("t") == before)
+      assert(io.read("t").filter($"x" === "SHOULD-NOT-LAND").count() == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (attribution): inner results == batch run") {
     val sq = spark
     import sq.implicits._
