@@ -199,6 +199,21 @@ object SparkEntry {
           col("chunk_tokens").cast("long").as("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")),
+    "q_cdc_dedup" -> ((s, dir) => {
+      // the lane CDC chunking exists for: every 8th doc re-appears with a
+      // 3-token head insertion (the edit that defeats fixed chunking);
+      // docs sharing >= 2 content-defined chunks pair up. The oracle
+      // recomputes every chunk set and intersection from the boundary
+      // rule.
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ins = base.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("ins"), col("doc_id").cast("string"), lit(" x y "),
+            col("text")).as("text"))
+      DocChunker.cdcSharedChunkPairs(base.union(ins), "doc_id", "text",
+          minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "q_cluster_survivors" -> ((s, dir) =>
       // score-based keep-one-copy: the survivor of each duplicate group is
       // the highest-priority copy (deterministic prio = doc_id % 3 so the
@@ -1549,6 +1564,30 @@ object SparkEntry {
         |  least(64, n - st + 1)::INT AS chunk_tokens,
         |  md5(array_to_string(toks[st:st + 63], ' ')) AS chunk_md5
         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+    // cdc-dedup truth: the boundary rule over the derived corpus, distinct
+    // chunk sets, pairwise intersections >= 2
+    "q_cdc_dedup" ->
+      """WITH ins AS (SELECT doc_id + 4000000 AS doc_id,
+        |    'ins' || doc_id || ' x y ' || text AS text
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents UNION ALL
+        |  SELECT doc_id, text FROM ins),
+        |t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM corpus),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |b AS (SELECT doc_id, toks, list_sort(list_distinct(list_append(
+        |    list_filter(range(4, n + 1), i ->
+        |      (('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 8))::BIGINT
+        |        % 16) = 0), n))) AS ends FROM n),
+        |c AS (SELECT doc_id, toks, ends, unnest(range(1, len(ends) + 1)) AS j FROM b),
+        |hs AS (SELECT DISTINCT doc_id, md5(array_to_string(
+        |    toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END):ends[j]], ' ')) AS h
+        |  FROM c),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_chunks
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_chunks FROM p WHERE shared_chunks >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // cdc truth: the identical window-hash boundary rule, evaluated as a
     // list computation (no sequential state — the checked config has no
     // min/max bounds, deliberately)

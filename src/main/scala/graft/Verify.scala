@@ -45,7 +45,7 @@ object Verify {
     "q_sample_stratified", "q_pack_sequences", "q_decontaminate",
     "q_media_resize", "q_cluster_survivors", "q_domain_cap", "q_domain_best",
     "q_chunk_docs",
-    "q_cdc_chunks",
+    "q_cdc_chunks", "q_cdc_dedup",
     "q_bpe_tokens", "q_sample_bottomk", "q_cms_tokens", "q_lm_score",
     "q_lm_trigram",
     "q_host_rank",

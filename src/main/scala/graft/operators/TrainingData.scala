@@ -322,6 +322,26 @@ object DocChunker {
         col("c._2").as("chunk_tokens"), col("c._3").as("chunk_text"))
   }
 
+  /** CDC near-dup pairs: documents sharing >= `minShared` content-defined
+    * chunks — the dedup lane CDC chunking exists FOR. Because cut points
+    * depend only on local content, a copy with tokens inserted at the
+    * head (ads, timestamps, nav crumbs) still shares every chunk past the
+    * edit seam, where fixed-window chunk dedup shares nothing. Narrow
+    * (chunk_md5, id) rows through the same salted capped bucket machinery
+    * as every other lane; output (id_a, id_b, shared_chunks). */
+  def cdcSharedChunkPairs(docs: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 4, divisor: Int = 16,
+                          minShared: Int = 2, maxPostings: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"bad minShared $minShared")
+    val ch = cdcChunks(docs, idCol, textCol, windowTokens, divisor)
+      .select(md5(col("chunk_text")).as("h"), col("id"))
+      .distinct() // a chunk repeated within one doc counts once
+    BucketedPairs.edges(ch, Seq("h"), "id", maxPostings)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Content-defined chunking (FastCDC/rolling-hash shape, token
     * granularity): a boundary closes the chunk after 0-based token `i`
     * (i >= w-1) iff the hash of the w-token window ending at `i` is

@@ -3,6 +3,7 @@ package graft.spark
 import org.scalatest.funsuite.AnyFunSuite
 import graft.core.TextOps
 import graft.operators.{Decontaminate, DocChunker, DomainCap, FixedSample, SequencePacker, StratifiedSample}
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Training-data operators: decontamination vs a Scala gram-set oracle,
   * md5-exact stratified sampling, and the two-phase packing scan vs the
@@ -262,6 +263,43 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
       assert(n >= 6 && n <= 24, s"chunk size $n out of [6, 24]") }
     assert(got.last._2 <= 24) // final chunk may undershoot min, never max
     assert(got.map(_._3).mkString(" ") == toks.mkString(" "))
+  }
+
+  test("cdc dedup pairs: shared counts == chunk-set intersections; shift-robust vs fixed") {
+    val base = (0 until 12).map { i =>
+      (i.toLong, (0 until 120).map(j => s"t${(i * 41 + j * 13) % 131}").mkString(" "))
+    }
+    val shifted = base.collect { case (id, t) if id % 3 == 0 =>
+      (id + 500L, s"ins$id x y $t") // head insertion
+    }
+    val docs = base ++ shifted
+    val got = DocChunker.cdcSharedChunkPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // truth from the chunk definition (kernel pinned elsewhere)
+    val sets = DocChunker.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(3)).toSet).toMap
+    val want = (for {
+      (a, _) <- docs; (b, _) <- docs if a < b
+      n = (sets(a) intersect sets(b)).size if n >= 2
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want)
+    // every shifted copy is found against its base...
+    shifted.foreach { case (sid, _) =>
+      assert(got.exists(p => p._1 == sid - 500L && p._2 == sid), s"missed $sid") }
+    // ...while fixed 32/32 chunking shares nothing across the shift
+    val fixedPairs = DocChunker.chunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 32, 32)
+      .select(md5(col("chunk_text")).as("h"), col("id"))
+      .collect().groupBy(_.getString(0)).values
+      .flatMap { g =>
+        val ids = g.map(_.getLong(1)).distinct.sorted.toSeq
+        for (x <- ids; y <- ids if x < y) yield (x, y)
+      }.toSet
+    shifted.foreach { case (sid, _) =>
+      assert(!fixedPairs.contains((sid - 500L, sid)),
+        "fixture broken: fixed chunks survived the shift") }
   }
 
   test("sequence packing: two-phase scan == sequential cumsum; partitioning-invariant") {
