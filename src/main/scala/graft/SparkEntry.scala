@@ -625,6 +625,47 @@ object SparkEntry {
           col("n_stop") * 100 >= col("n_tokens") * 3 &&
           col("top_tok_cnt") * 5 <= col("n_tokens"))
     }),
+    "q_admission" -> ((s, dir) => {
+      // the corpus ADMISSION POLICY, end to end: one reason-coded verdict
+      // per document from chained attested kernels, first failing gate
+      // wins — blocked_domain (host arithmetic vs a blocklist) ≻ noindex
+      // (REAL head_meta over arithmetic heads) ≻ exact_dup_loser (content
+      // hash, min-id wins) ≻ low_quality (the all-integer Gopher gate) ≻
+      // admitted. Over docsWithDups so the dup-loser arm actually fires
+      // (every 10th doc re-appears under id+10^6 and must lose to its
+      // original). The oracle recomputes every gate and the priority.
+      GraftFunctions.register(s)
+      val d = docsWithDups(s, dir)
+      val metaRaw = d.select(col("doc_id"), headHtml.as("html"))
+        .select(col("doc_id"), expr("head_meta(html).noindex").as("noindex"))
+      val firstIds = d.groupBy(col("text").as("_t"))
+        .agg(min("doc_id").as("_first"))
+      val quality = d
+        .withColumn("r", expr("rep_stats(text)"))
+        .select(col("doc_id"),
+          col("r.nTokens").as("n_tokens"),
+          length(regexp_replace(trim(col("text")), "\\s+", "")).cast("int").as("sum_wl"),
+          expr("stop_count(split(trim(text), '\\\\s+'))").cast("int").as("n_stop"),
+          col("r.topTokenCount").as("top_tok_cnt"))
+        .withColumn("q_ok",
+          col("n_tokens") >= 30 && col("n_tokens") <= 50000 &&
+            col("sum_wl") >= col("n_tokens") * 2 && col("sum_wl") <= col("n_tokens") * 12 &&
+            col("n_stop") * 100 >= col("n_tokens") * 3 &&
+            col("top_tok_cnt") * 5 <= col("n_tokens"))
+        .select("doc_id", "q_ok")
+      d.select(col("doc_id"), col("text"),
+          expr("concat('h', CAST(doc_id % 20 AS STRING))").as("host"))
+        .join(metaRaw, Seq("doc_id"))
+        .join(quality, Seq("doc_id"))
+        .join(firstIds, col("text") === col("_t"))
+        .select(col("doc_id"),
+          when(col("host").isin("h3", "h7", "h11"), "blocked_domain")
+            .when(col("noindex"), "noindex")
+            .when(col("doc_id") =!= col("_first"), "exact_dup_loser")
+            .when(!col("q_ok"), "low_quality")
+            .otherwise("admitted").as("verdict"))
+        .orderBy("doc_id")
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // compliance scrub: emails / IPv4 / phones -> typed placeholders,
       // with pre-redaction hit counts as audit metrics. PII is injected
@@ -1952,6 +1993,35 @@ object SparkEntry {
     // the quality gate recomputed from first principles (token histogram,
     // non-whitespace char count, stopword membership) with the same
     // all-integer decision arithmetic; blank docs guarded like q_repetition
+    // admission truth: every gate recomputed (blocklist arithmetic,
+    // noindex arithmetic, first-occurrence window on literal text, the
+    // Gopher integer gate) under the same first-failure priority
+    "q_admission" -> (allDocsCte + """,
+        |t AS (SELECT doc_id, text,
+        |  CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |  length(regexp_replace(trim(text), '\s+', '', 'g'))::INT AS sum_wl
+        |  FROM all_docs),
+        |tokc AS (SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c)::INT AS n_tokens, max(c)::INT AS top_tok_cnt FROM tokc GROUP BY 1),
+        |stop AS (SELECT doc_id, len(list_filter(toks,
+        |  x -> list_contains(['the','a','an','and','or','of','in','to','is','it','that','for','on','with','as'], lower(x))))::INT AS n_stop FROM t),
+        |q AS (SELECT t.doc_id,
+        |  (coalesce(n_tokens, 0) >= 30 AND coalesce(n_tokens, 0) <= 50000 AND
+        |   sum_wl >= coalesce(n_tokens, 0)*2 AND sum_wl <= coalesce(n_tokens, 0)*12 AND
+        |   stop.n_stop*100 >= coalesce(n_tokens, 0)*3 AND
+        |   coalesce(top_tok_cnt, 0)*5 <= coalesce(n_tokens, 0)) AS q_ok
+        |  FROM t LEFT JOIN agg USING (doc_id) JOIN stop USING (doc_id)),
+        |f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS first_id
+        |  FROM all_docs)
+        |SELECT d.doc_id,
+        |  CASE WHEN (d.doc_id % 20) IN (3, 7, 11) THEN 'blocked_domain'
+        |       WHEN d.doc_id % 6 = 0 THEN 'noindex'
+        |       WHEN d.doc_id <> f.first_id THEN 'exact_dup_loser'
+        |       WHEN NOT q.q_ok THEN 'low_quality'
+        |       ELSE 'admitted' END AS verdict
+        |FROM all_docs d JOIN q USING (doc_id) JOIN f USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     "q_gopher_filter" ->
       """WITH t AS (SELECT doc_id,
         |  CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,

@@ -35,7 +35,7 @@ object Verify {
     "q_theta_jaccard", "q_embed_quantize", "q_corpus_report", "q6_rollup",
     "q_url_normalize", "q_pii_redact", "q_outlinks", "q_head_meta",
     "q_canonical_dedup", "q_host_graph",
-    "q_gopher_filter",
+    "q_gopher_filter", "q_admission",
     "q_warc_roundtrip", "q_search_conjunctive", "q_search_ranked",
     "q_phrase_search", "q_boilerplate_strip", "q_global_shuffle",
     "q_table_compact", "q_table_upsert", "q_vocab_encode", "q_corpus_mix",
