@@ -328,7 +328,16 @@ object DocChunker {
     * head (ads, timestamps, nav crumbs) still shares every chunk past the
     * edit seam, where fixed-window chunk dedup shares nothing. Narrow
     * (chunk_md5, id) rows through the same salted capped bucket machinery
-    * as every other lane; output (id_a, id_b, shared_chunks). */
+    * as every other lane; output (id_a, id_b, shared_chunks).
+    *
+    * Completeness caveat (same approximation as [[NgramJaccard]]'s lanes):
+    * once a chunk's document frequency exceeds `maxPostings`, the capped
+    * bucket emits star edges instead of all pairs, so that chunk stops
+    * contributing to every pair's count — `shared_chunks` is a LOWER BOUND
+    * past the cap, and pairs whose overlap lives entirely in hot
+    * (template/boilerplate) chunks can be missed. Raise `maxPostings` for
+    * exactness on small corpora; at web scale a >10k-doc chunk is
+    * boilerplate by definition and dropping it is the desired behavior. */
   def cdcSharedChunkPairs(docs: DataFrame, idCol: String, textCol: String,
                           windowTokens: Int = 4, divisor: Int = 16,
                           minShared: Int = 2, maxPostings: Int = 10000): DataFrame = {

@@ -39,6 +39,16 @@ trait TableIO {
   def snapshots(table: String): Seq[(Long, String)]
   /** Read the table as of a COMMITTED snapshot id (time travel). */
   def readAt(table: String, snapshotId: Long): DataFrame
+  /** Drop an UNCOMMITTED head snapshot so the head becomes the last
+    * committed one again; returns whether anything was discarded.
+    * Crash-recovery primitive: a writer that died between `overwrite` and
+    * `commit` leaves a partial head that [[upsert]] (which merges INTO the
+    * committed head) must never read — the recovering writer discards it
+    * and re-derives the epoch from the committed snapshot. No-op when the
+    * head is committed or the table is empty. On Iceberg this is free
+    * (uncommitted writes were never visible); here it deletes the orphan
+    * version dirs. */
+  def discardUncommittedHead(table: String): Boolean
   /** Changelog between two committed snapshots: full-row comparison,
     * `change = 'delete'` for rows present at `fromId` but gone at `toId`,
     * `'insert'` for the reverse (an update is one of each) — the
@@ -188,6 +198,22 @@ class ParquetTableIO(spark: SparkSession, root: String) extends TableIO {
     }
 
   override def snapshots(table: String): Seq[(Long, String)] = readLog(table)
+
+  override def discardUncommittedHead(table: String): Boolean = {
+    val committed = readLog(table).map(_._1).toSet
+    headVersion(table) match {
+      case Some(h) if !committed(h) =>
+        // every version dir above the last committed id is orphan output of
+        // the crashed run (overwrite reuses the head slot, so normally there
+        // is exactly one); committed dirs are never touched
+        val orphans = Iterator.iterate(h)(_ - 1)
+          .takeWhile(v => v > 0 && !committed(v) && fs.exists(versionDir(table, v)))
+          .toSeq
+        orphans.foreach(v => fs.delete(versionDir(table, v), true))
+        orphans.nonEmpty
+      case _ => false
+    }
+  }
 
   override def readAt(table: String, snapshotId: Long): DataFrame = {
     require(readLog(table).exists(_._1 == snapshotId),

@@ -151,16 +151,30 @@ object StreamingOps {
 
   /** One epoch of [[sinkToTable]]: upsert + commit under `fp`, or skip
     * entirely when `fp` is already in the snapshot log (epoch replay).
-    * Returns whether the epoch was applied. */
+    * Returns whether the epoch was applied.
+    *
+    * Crash recovery: a previous attempt that died BETWEEN upsert's
+    * overwrite and its commit leaves an uncommitted head (snapshot log
+    * non-empty, head fingerprint absent). The replayed epoch's fp is not
+    * in the log, so it must re-apply — but `upsert` merges into the
+    * COMMITTED head and refuses an uncommitted one. Discard the partial
+    * head first ([[graft.pipeline.TableIO.discardUncommittedHead]]); the
+    * epoch then re-derives from the last committed snapshot, which is
+    * exactly the state the crashed attempt started from (batch contents
+    * are deterministic per epoch id under Spark's offset-log replay), so
+    * the outcome is identical to the crash never happening. */
   private[graft] def applyEpoch(io: graft.pipeline.TableIO, table: String,
                                 keyCols: Seq[String], batch: DataFrame,
                                 fp: String): Boolean = {
     if (io.snapshots(table).exists(_._2 == fp)) false
     else {
       if (!io.exists(table) || io.snapshots(table).isEmpty)
-        io.overwrite(table, batch)
-      else
+        io.overwrite(table, batch) // overwrite reuses a partial head slot
+      else {
+        if (io.committedFingerprint(table).isEmpty)
+          io.discardUncommittedHead(table)
         io.upsert(table, batch, keyCols)
+      }
       io.commit(table, fp)
       true
     }

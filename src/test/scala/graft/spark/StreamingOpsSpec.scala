@@ -343,6 +343,32 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("sink crash between upsert write and commit: epoch replay recovers") {
+    val sq = spark
+    import sq.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-scrash").toString
+    val io = new graft.pipeline.ParquetTableIO(sq, root)
+    // epoch 0 lands cleanly
+    assert(StreamingOps.applyEpoch(io, "t", Seq("id"),
+      Seq((1L, "a1"), (2L, "b1")).toDF("id", "x"), "e0"))
+    // epoch 1 crashes BETWEEN upsert's overwrite and its commit: reproduce
+    // that exact on-disk state by running the upsert write without the
+    // trailing commit — the head snapshot exists but is not in the log
+    io.upsert("t", Seq((2L, "b2"), (3L, "c1")).toDF("id", "x"), Seq("id"))
+    assert(io.committedFingerprint("t").isEmpty, "fixture: head must be uncommitted")
+    // restart replays epoch 1: must discard the partial head and re-apply,
+    // not wedge on upsert's committed-head requirement
+    val applied = StreamingOps.applyEpoch(io, "t", Seq("id"),
+      Seq((2L, "b2"), (3L, "c1")).toDF("id", "x"), "e1")
+    assert(applied)
+    assert(io.committedFingerprint("t").contains("e1"))
+    val got = io.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+    // and the epoch is now idempotent like any committed one
+    assert(!StreamingOps.applyEpoch(io, "t", Seq("id"),
+      Seq((2L, "SHOULD-NOT-LAND")).toDF("id", "x"), "e1"))
+  }
+
   test("stream-stream interval join (attribution): inner results == batch run") {
     val sq = spark
     import sq.implicits._

@@ -34,6 +34,40 @@ class TableIOCompactSpec extends AnyFunSuite with SparkSuiteBase {
     assert(after == before)
   }
 
+  test("fault injection: crash between write and commit — resume recomputes, never reads the partial head") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fault").toString
+    val io = new ParquetTableIO(spark, root)
+    io.overwrite("t", Seq((1L, "good"), (2L, "good")).toDF("id", "x"))
+    io.commit("t", "fp-run1")
+    val v1 = io.snapshots("t").last._1
+    // run 2 dies after the write, before the _GRAFT_COMMITS append
+    io.overwrite("t", Seq((1L, "PARTIAL")).toDF("id", "x"))
+    // the resume check (committedFingerprint == this run's fp) must say
+    // "recompute" — the partial head has no committed fingerprint
+    assert(io.committedFingerprint("t").isEmpty)
+    // committed history is untouched and still readable
+    assert(io.readAt("t", v1).collect().map(_.getString(1)).forall(_ == "good"))
+    // a recompute overwrite reuses the orphan slot and commits cleanly
+    io.overwrite("t", Seq((1L, "redo"), (2L, "redo")).toDF("id", "x"))
+    io.commit("t", "fp-run2")
+    assert(io.committedFingerprint("t").contains("fp-run2"))
+    assert(io.read("t").collect().map(_.getString(1)).forall(_ == "redo"))
+    assert(io.snapshots("t").size == 2)
+  }
+
+  test("discardUncommittedHead: restores the committed head, idempotent, no-op when committed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-discard").toString
+    val io = new ParquetTableIO(spark, root)
+    io.overwrite("t", Seq((1L, "a")).toDF("id", "x"))
+    io.commit("t", "f1")
+    assert(!io.discardUncommittedHead("t"), "committed head must not be discarded")
+    io.overwrite("t", Seq((9L, "PARTIAL")).toDF("id", "x")) // crashed writer
+    assert(io.discardUncommittedHead("t"))
+    assert(io.committedFingerprint("t").contains("f1"))
+    assert(io.read("t").collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+    assert(!io.discardUncommittedHead("t"))
+  }
+
   test("diff: update = delete+insert, pure add = insert, pure remove = delete") {
     val root = java.nio.file.Files.createTempDirectory("graft-diff").toString
     val io = new ParquetTableIO(spark, root)
