@@ -78,26 +78,15 @@ object UrlOps {
     else auth
   }
 
-  /** Second-level "suffix" labels that combine with a 2-letter cc-TLD into
-    * a public suffix (`co.uk`, `ac.jp`, ...) — the registrable domain then
-    * keeps three labels instead of two. A compact heuristic standing in
-    * for the full Mozilla Public Suffix List (a data file, not an
-    * algorithm; production swaps in the PSL snapshot here). */
-  val SecondLevelSuffixes: Set[String] = Set("co", "com", "net", "org", "gov", "edu", "ac")
-
   /** Registrable domain ("site-level" key for per-domain caps, domain
-    * mixing stats, robots grouping) of a hostname. */
-  def registrableDomain(hostname: String): String = {
-    val labels = hostname.split('.')
-    if (labels.length <= 2) hostname
-    else {
-      val tld = labels(labels.length - 1)
-      val second = labels(labels.length - 2)
-      val keep =
-        if (tld.length == 2 && SecondLevelSuffixes.contains(second)) 3 else 2
-      labels.takeRight(keep).mkString(".")
-    }
-  }
+    * mixing stats, robots grouping) of a hostname — eTLD+1 under the real
+    * Public Suffix List algorithm with an embedded PSL snapshot (wildcard
+    * and exception rules included); see [[PublicSuffixes]]. The r4 "keep
+    * 2/3 labels" heuristic mis-grouped every suffix outside its 7-entry
+    * table (`example.com.au` collapsed to `com.au`, all GitHub Pages sites
+    * collapsed to one key) and those keys feed domain-cap curation. */
+  def registrableDomain(hostname: String): String =
+    PublicSuffixes.registrableDomain(hostname)
 
   /** Registrable domain straight from a URL. */
   def domainOf(url: String): String = registrableDomain(host(url))

@@ -52,13 +52,38 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(host("not a url") == "")
   }
 
-  test("registrable domain: cc-TLD second-level suffixes keep three labels") {
+  test("registrable domain: multi-level public suffixes keep eTLD+1") {
     assert(registrableDomain("sub.example.co.uk") == "example.co.uk")
     assert(registrableDomain("a.b.example.com") == "example.com")
     assert(registrableDomain("example.com") == "example.com")
     assert(registrableDomain("deep.sub.site.ac.jp") == "site.ac.jp")
-    // 'co.com' is NOT a suffix pair (com is not 2 letters): two labels
+    // 'co.com' is not an embedded suffix rule: two labels
     assert(registrableDomain("x.foo.co.com") == "co.com")
     assert(domainOf("https://www.news.example.co.uk/art/1") == "example.co.uk")
+  }
+
+  test("PSL snapshot: suffixes beyond the old 7-entry heuristic") {
+    // multi-level ccTLD families the r4 heuristic mis-grouped
+    assert(registrableDomain("shop.example.com.au") == "example.com.au")
+    assert(registrableDomain("x.firma.waw.pl") == "firma.waw.pl")
+    assert(registrableDomain("a.b.example.gob.mx") == "example.gob.mx")
+    assert(registrableDomain("www.city.shibuya.tokyo.jp") == "shibuya.tokyo.jp")
+    // wildcard rule *.ck: any second level is a suffix...
+    assert(registrableDomain("x.acme.ck") == "x.acme.ck")
+    // ...EXCEPT the !www.ck exception (the government's own site)
+    assert(registrableDomain("foo.www.ck") == "www.ck")
+    // designated-city wildcard + exception pair in .jp
+    assert(registrableDomain("x.ward.kawasaki.jp") == "x.ward.kawasaki.jp")
+    assert(registrableDomain("sub.city.kawasaki.jp") == "city.kawasaki.jp")
+    // private-section hosting: two Pages sites are two registrants
+    assert(registrableDomain("alice.github.io") == "alice.github.io")
+    assert(registrableDomain("www.alice.github.io") == "alice.github.io")
+    assert(registrableDomain("blog.bob.blogspot.com") == "bob.blogspot.com")
+    // US state + k12 layering
+    assert(registrableDomain("www.jefferson.k12.oh.us") == "jefferson.k12.oh.us")
+    // a public suffix with no registrant label stays total (identity)
+    assert(registrableDomain("co.uk") == "co.uk")
+    // IPs never get label-sliced
+    assert(registrableDomain("192.168.0.1") == "192.168.0.1")
   }
 }

