@@ -327,4 +327,22 @@ class TrainingDataSpec extends AnyFunSuite with SparkSuiteBase {
     // budgets actually fill: more than one sequence per big stratum
     assert(a.values.toSet.size > 1)
   }
+
+  test("sequence packing refuses a high-cardinality strataCol loudly") {
+    // a per-document stratum would collect one offset row per doc to the
+    // driver — the guard must fire BEFORE that becomes an OOM at scale
+    val docs = (0 until 200).map(i => (i.toLong, s"domain$i", 100L))
+      .toDF("doc_id", "domain", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      SequencePacker.pack(docs, "doc_id", "domain", "n_tokens", 2048L,
+        scanPartitions = 4, maxDriverRows = 50)
+    }
+    assert(e.getMessage.contains("high-cardinality"), e.getMessage)
+    // the same data packs fine under a coarse stratum at the same bound
+    val ok = SequencePacker.pack(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      "doc_id", "lang", "n_tokens",
+      2048L, scanPartitions = 4, maxDriverRows = 50)
+    assert(ok.count() == 200)
+  }
 }
