@@ -39,6 +39,13 @@ object NearDupPipeline {
   case class Config(
       workDir: String,
       jaccardThreshold: Double = 0.9,
+      // negative disables the simhash lane entirely (its edges commit as
+      // an empty table): used by callers that need the cluster output to
+      // be a pure function of the three EXACT lane predicates — the
+      // oracle-checked q_pages_pipeline pins clusters against a DuckDB
+      // recomputation, and simhash (a custom 64-bit kernel) is the one
+      // lane SQL cannot express. The lane itself stays oracle-gated via
+      // q_simhash_neardup / q_simhash_complete.
       simhashMaxDist: Int = 3,
       minSubstringLen: Int = 200,
       // hot LSH buckets switch from all-pairs to star joins above this size
@@ -243,9 +250,12 @@ object NearDupPipeline {
           .select("id_a", "id_b")
       })),
       "edges_simhash" -> Future(inPool("graft-lanes")(m.stage("edges_simhash") {
-        SimHashDedup.pairsFromHashes(features.select("id", "sim"),
-            cfg.simhashMaxDist, cfg.maxBucketSize)
-          .select("id_a", "id_b")
+        if (cfg.simhashMaxDist < 0)
+          spark.range(0).select(col("id").as("id_a"), col("id").as("id_b"))
+        else
+          SimHashDedup.pairsFromHashes(features.select("id", "sim"),
+              cfg.simhashMaxDist, cfg.maxBucketSize)
+            .select("id_a", "id_b")
       })),
       "edges_substring" -> Future(inPool("graft-lanes")(m.stage("edges_substring") {
         SubstringDedup.pairsFromFingerprints(features.select("id", "fps"),
