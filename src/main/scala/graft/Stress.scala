@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress run (r4 judge item #8): the dedup pipeline plus the two
+  * heaviest standalone lanes (n-gram containment, semantic dedup) at ~10x
+  * the bench corpus, with peak heap / shuffle-spill / off-heap evidence
+  * recorded so the 100x story rests on a measurement, not an argument.
+  * Prints ONE JSON line; the numbers are committed to BASELINE.md.
+  *
+  *   SPARK_GRAFT_STRESS_DOCS   corpus size (default 6,400,000)
+  *   SPARK_GRAFT_STRESS_CPUS   local[] threads (default 16 — half the box,
+  *                             so the run models executor-sized memory,
+  *                             not the whole 128 GiB)
+  *
+  * What "passes": the run completes with bounded memory (no OOM), spill
+  * stays finite and is REPORTED (a spilling run at 10x is fine — silent
+  * state growth is what kills 100x), and per-stage wall is printed for
+  * the record.
+  */
+object Stress {
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docs = sys.env.getOrElse("SPARK_GRAFT_STRESS_DOCS", "6400000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_STRESS_CPUS", "16").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stress")
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.local.dir", graft.spark.Scratch.localDir)
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", graft.spark.Scratch.fairPoolsXml)
+      .config("spark.file.transferTo", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // spill + peak-memory evidence: task-metric sums via listener, heap
+    // peak via a 200 ms sampler (exact enough for a GiB-scale answer)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val peakExecMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          memSpill.addAndGet(e.taskMetrics.memoryBytesSpilled)
+          diskSpill.addAndGet(e.taskMetrics.diskBytesSpilled)
+          val p = e.taskMetrics.peakExecutionMemory
+          var cur = peakExecMem.get()
+          while (p > cur && !peakExecMem.compareAndSet(cur, p)) cur = peakExecMem.get()
+        }
+    })
+    val peakHeap = new java.util.concurrent.atomic.AtomicLong(0L)
+    val sampler = new Thread(() => {
+      val rt = Runtime.getRuntime
+      while (true) {
+        val used = rt.totalMemory() - rt.freeMemory()
+        var cur = peakHeap.get()
+        while (used > cur && !peakHeap.compareAndSet(cur, used)) cur = peakHeap.get()
+        Thread.sleep(200)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    // ---- 1. full near-dup pipeline at 10x bench scale
+    val work = java.nio.file.Files.createTempDirectory(
+      graft.spark.Scratch.workParent, "graft-stress").toString
+    val corpus = graft.core.WebPages.generateDistributed(spark, docs, 42L, cpus * 8)
+    val gc0 = gcMillis
+    val (pipeSec, nClusters) = timed {
+      graft.pipeline.NearDupPipeline.run(spark, corpus,
+        graft.pipeline.NearDupPipeline.Config(workDir = work,
+          inputSnapshotId = Some(s"stress-$docs-42"))).clusters.count()
+    }
+    val pipeGc = (gcMillis - gc0) / 1000.0
+
+    // ---- 2. containment lane (posting-heaviest dedup lane) on a slice:
+    // container side posts ALL grams, so its posting volume — not the doc
+    // count — is the stressor; docs/4 keeps total postings ~10x the bench
+    // corpus's containment query.
+    val textSlice = graft.core.WebPages
+      .generateDistributed(spark, docs / 4, 43L, cpus * 8)
+      // containment posting ids borrow the low bit for the in-prefix flag:
+      // mask the url hash into the required [0, 2^61) range
+      .select(xxhash64(col("url")).bitwiseAND(lit((1L << 61) - 1)).as("doc_id"),
+        col("text"))
+    val (contSec, nContPairs) = timed {
+      graft.operators.NgramJaccard.containmentPairs(
+        textSlice, "doc_id", "text", n = 3, tNum = 4, tDen = 5).count()
+    }
+
+    // ---- 3. semantic dedup over deterministic hash-derived embeddings
+    // (16-dim; k-means cells bound the pair work to O(sum cell^2))
+    val vecs = spark.range(docs / 4).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "cast(xxhash64(id, i) % 1000 as double) / 1000.0)").as("v"))
+    val (semSec, nSemPairs) = timed {
+      val cents = graft.operators.IvfIndex.fitCentroids(
+        vecs, "vec_id", "v", k = 64, iters = 3)
+      graft.operators.SemanticDedup.pairs(
+        vecs, "vec_id", "v", cents, threshold = 0.95).count()
+    }
+
+    val heapGb = peakHeap.get() / 1e9
+    val execGb = peakExecMem.get() / 1e9
+    println(
+      f"""{"stress_docs":$docs,"cpus":$cpus,"pipeline_sec":$pipeSec%.1f,""" +
+      f""""pipeline_docs_per_sec":${docs / pipeSec}%.0f,"clusters":$nClusters,""" +
+      f""""pipeline_gc_sec":$pipeGc%.1f,"containment_docs":${docs / 4},""" +
+      f""""containment_sec":$contSec%.1f,"containment_pairs":$nContPairs,""" +
+      f""""semantic_docs":${docs / 4},"semantic_sec":$semSec%.1f,""" +
+      f""""semantic_pairs":$nSemPairs,"peak_heap_gb":$heapGb%.2f,""" +
+      f""""peak_task_exec_mem_gb":$execGb%.2f,""" +
+      f""""shuffle_mem_spill_gb":${memSpill.get() / 1e9}%.2f,""" +
+      f""""shuffle_disk_spill_gb":${diskSpill.get() / 1e9}%.2f}""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+    spark.stop()
+  }
+}
