@@ -236,9 +236,9 @@ object Bench {
       // 0.8 gate by Amdahl construction (see benchDocs above), so it can
       // only ever dilute the fair median it exists to defend.
       val maxRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_RUNS", "8").toInt
-      // 2100 s default: a full 1.28M pair runs ~420 s — three base pairs
-      // plus a retry (full or half) must fit even when one pair inflates
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2100").toInt
+      // 2400 s default: a full 1.28M pair runs ~420-550 s — three base
+      // pairs plus retries (full or half) must fit even when pairs inflate
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "2400").toInt
       var pairDocs = benchDocs
       def pairFair(i: Int): Boolean = {
         val calOk = math.max(calN(i), cal4N(i)) / math.min(calN(i), cal4N(i)) <= CalibFairMaxRatio
@@ -329,6 +329,27 @@ object Bench {
       val cleanest = cleanIdx.map(i =>
         f""","cleanest_pair_cpu_ratio":${cpuRatio(i)}%.3f""" +
         f""","cleanest_pair_efficiency":${pairEffs(i)}%.3f""").getOrElse("")
+      // SUPPLEMENTARY statistic (never the headline): pressure-adjusted
+      // pair efficiency = pairEff * cpuRatio. External memory-bandwidth
+      // interference inflates the 4N wall AND its summed task CPU by the
+      // same stall factor (stall cycles count as CPU time), so the product
+      // cancels the inflation — it reads "efficiency if the 4N threads'
+      // cycles were as effective as the N side's", which is exactly the
+      // separate-executors extrapolation the in-sandbox substitute cannot
+      // measure directly. Empirically it is tightly clustered per corpus
+      // size across runs and windows (0.83-0.89 at 640k, 0.86-0.95 at
+      // 1.28M — BASELINE.md round-5) where the raw pair efficiency swings
+      // 0.59-0.86 with host pressure. Adjusted values are reported for
+      // FAIR pairs only; the conservative fair-median above remains the
+      // claimed number.
+      val adjEffs = pairEffs.zip(cpuRatio).map { case (e, r) => e * r }
+      val fairAdj = adjEffs.zip(fair).collect { case (a, true) => a }
+      val adjJson =
+        adjEffs.map(x => f"$x%.3f")
+          .mkString(""","pair_efficiency_pressure_adj":[""", ",", "]") +
+        (if (fairAdj.nonEmpty)
+          f""","scaling_efficiency_pressure_adj_fair_median":${median(fairAdj.toSeq)}%.3f"""
+        else "")
       val secN = median(secsN.toSeq)
       val sec4N = median(secs4N.toSeq)
       // throughput per run from THAT run's doc count (shrunken retry pairs
@@ -350,7 +371,7 @@ object Bench {
         s""""pair_cpu_ratio":${arr3(cpuRatio.toSeq)},""" +
         s""""pair_fair":${fair.map(_.toString).mkString("[", ",", "]")},""" +
         s""""fair_pair_count":${fair.count(identity)},""" +
-        f""""scaling_efficiency_of_medians":$effOfMedians%.3f""" + cleanest + fairMedian + "," +
+        f""""scaling_efficiency_of_medians":$effOfMedians%.3f""" + cleanest + fairMedian + adjJson + "," +
         f""""scaling_efficiency_n_to_4n":$eff%.3f}"""
     }
 
