@@ -155,6 +155,39 @@ object SparkEntry {
           filters, shards = 8)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_incremental_neardup" -> ((s, dir) => {
+      // NEAR-dup tier of the daily-crawl increment: the corpus is present
+      // only as its STORED band index (16 narrow posting rows/doc) plus a
+      // text table probed for verify candidates — no corpus×corpus work,
+      // no corpus text rescan. Pairs are decided by exact shingle Jaccard
+      // (>= 0.9), so the oracle brute-forces the same truth from literal
+      // 5-gram strings; LSH banding/capping must be result-invisible here
+      // (exact copies band-collide on every band; the corpus fits the cap).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      MinHashLSH.incrementalNearDupPairs(index, corpus, incoming,
+          "doc_id", "text", 0.9)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    }),
+    "q_incremental_neardup_novel" -> ((s, dir) => {
+      // admission face of the same increment: batch docs with NO near-dup
+      // in the corpus (same truth, complemented — the two queries together
+      // hash-pin both faces of the lane)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      MinHashLSH.incrementalNovel(index, corpus, incoming,
+          "doc_id", "text", 0.9)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -367,6 +400,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("missed_pairs"))
         .crossJoin(lane.join(brute, Seq("id_a", "id_b"), "left_anti")
           .agg(count(lit(1)).as("extra_pairs")))
+    }),
+    "q_simhash_incremental" -> ((s, dir) => {
+      // incremental tier of the SimHash lane: a new batch probed against
+      // the corpus's STORED probe index (which carries the 8-byte sims —
+      // no corpus text read at all). With the cap above the corpus size
+      // the pigeonhole argument makes the probe unconditionally exact, so
+      // the in-plan brute-force cross Hamming truth must match pair-for-
+      // pair (q_simhash_complete-style self-verification; the simhash
+      // kernel itself stays SQL-inexpressible, so the lane emits claims).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val simsC = corpus.select(col("doc_id").as("cid"), expr("simhash64(text)").as("sc"))
+      val simsI = incoming.select(col("doc_id").as("nid"), expr("simhash64(text)").as("sn"))
+      val brute = simsI.crossJoin(simsC)
+        .filter(bit_count(col("sn").bitwiseXOR(col("sc"))) <= 3)
+        .select(col("nid").as("new_id"), col("cid").as("corpus_id"))
+      val lane = SimHashDedup.incrementalPairs(
+          SimHashDedup.probeIndex(corpus, "doc_id", "text", maxDist = 3),
+          incoming, "doc_id", "text", maxDist = 3, maxPostings = 4096)
+        .select("new_id", "corpus_id")
+      brute.join(lane, Seq("new_id", "corpus_id"), "left_anti")
+        .agg(count(lit(1)).as("missed_pairs"))
+        .crossJoin(lane.join(brute, Seq("new_id", "corpus_id"), "left_anti")
+          .agg(count(lit(1)).as("extra_pairs")))
+        .crossJoin(lane.agg((count(lit(1)) > 0).as("pairs_nonzero")))
     }),
 
     // -------------------------------------------------- text analysis ops
@@ -1630,6 +1692,57 @@ object SparkEntry {
         |SELECT doc_id FROM fresh a
         |WHERE doc_id = (SELECT min(doc_id) FROM fresh b WHERE b.text = a.text)
         |ORDER BY doc_id""".stripMargin,
+    // incremental NEAR-dup truth: literal 5-gram Jaccard >= 0.9 brute-forced
+    // across corpus × incoming (same gram construction as the q_minhash
+    // oracle — short docs contribute their one full-sequence gram). The
+    // stored-index probe + capped buckets + verify must reproduce this
+    // exactly at this scale.
+    "q_incremental_neardup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |si AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM incoming)
+        |)
+        |SELECT i.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM si i CROSS JOIN sc c
+        |WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
+        |      (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    // complemented face: incoming docs with no corpus near-dup at the same
+    // literal-gram truth
+    "q_incremental_neardup_novel" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |si AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM incoming)
+        |)
+        |SELECT i.doc_id FROM si i
+        |WHERE NOT EXISTS (SELECT 1 FROM sc c
+        |  WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
+        |        (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9)
+        |ORDER BY doc_id""".stripMargin,
     // composed pipeline truth: lang CASE + token/stopword floors over the
     // dup-injected corpus, then keep-one-copy (min doc_id per exact text)
     "q_training_prep" ->
@@ -2510,6 +2623,12 @@ object SparkEntry {
     "q_simhash_neardup" ->
       ("SELECT CAST(0 AS BIGINT) AS extra_pairs, CAST(0 AS BIGINT) AS uncovered_pairs, " +
         "TRUE AS direct_pairs_nonzero"),
+    // incremental probe tier: unconditionally exact below the cap
+    // (pigeonhole), so both difference counts pin to zero and the
+    // non-vacuity bit to true
+    "q_simhash_incremental" ->
+      ("SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs, " +
+        "TRUE AS pairs_nonzero"),
     "q_pages_recall" ->
       "SELECT TRUE AS clusters_cover_corpus, TRUE AS truth_nonempty, TRUE AS recall_ge_99",
     // full-pipeline cluster truth (r4 judge item #7 — no more no_oracle

@@ -51,13 +51,18 @@ object BucketedPairs {
   private def cappedIdsMerge(c: Column, keep: Int): Column =
     GraftBridge.column(CappedIdsMergeAgg(GraftBridge.expression(c), keep).toAggregateExpression())
 
-  /** Candidate edges (id_a < id_b), NOT deduplicated across keys — callers
-    * `.distinct()` after unioning bands/probes. Eager (see object doc). */
-  def edges(members: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,
-            saltBuckets: Int = 16): DataFrame = {
+  /** The salted two-phase capped bucket aggregate shared by [[edges]] and
+    * the incremental probe lane (MinHashLSH.incrementalNearDupPairs): one
+    * row per key tuple with the bounded struct `s = (n, hub, ids)` —
+    * `n` the true bucket size, `hub` its minimum id, `ids` the kept member
+    * list (NULL exactly when the bucket overflowed `saltBuckets*(cap+1)`
+    * or n < 2; a singleton's lone id IS its hub). Null-keyed rows are
+    * dropped (they can't bucket). Every aggregation buffer in both phases
+    * holds at most cap+1 ids regardless of bucket size — the skew story
+    * from the object doc. */
+  def cappedBuckets(members: DataFrame, keyCols: Seq[String], idCol: String,
+                    cap: Int, saltBuckets: Int = 16): DataFrame = {
     require(cap >= 2, s"cap must be >= 2, got $cap")
-    val spark = members.sparkSession
-    PairGen.register(spark)
     val keys = keyCols.map(col)
     // ids are longs end-to-end (CappedIds buffers, PairGen); cast here so an
     // int/short id column from a caller widens once instead of crashing the
@@ -67,15 +72,27 @@ object BucketedPairs {
     // from being the only branch with an isnotnull pushdown
     val rows = members.where(keys.map(_.isNotNull).reduce(_ && _))
 
-    val slices =
-      if (saltBuckets <= 1)
-        rows.groupBy(keys: _*).agg(cappedIds(id, cap).as("s"))
-      else
-        rows
-          .groupBy(keys :+ pmod(xxhash64(id), lit(saltBuckets.toLong)).as("_salt"): _*)
-          .agg(cappedIds(id, cap).as("s"))
-          .groupBy(keys: _*)
-          .agg(cappedIdsMerge(col("s"), saltBuckets * (cap + 1)).as("s"))
+    if (saltBuckets <= 1)
+      rows.groupBy(keys: _*).agg(cappedIds(id, cap).as("s"))
+    else
+      rows
+        .groupBy(keys :+ pmod(xxhash64(id), lit(saltBuckets.toLong)).as("_salt"): _*)
+        .agg(cappedIds(id, cap).as("s"))
+        .groupBy(keys: _*)
+        .agg(cappedIdsMerge(col("s"), saltBuckets * (cap + 1)).as("s"))
+  }
+
+  /** Candidate edges (id_a < id_b), NOT deduplicated across keys — callers
+    * `.distinct()` after unioning bands/probes. Eager (see object doc). */
+  def edges(members: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,
+            saltBuckets: Int = 16): DataFrame = {
+    val spark = members.sparkSession
+    PairGen.register(spark)
+    val keys = keyCols.map(col)
+    val id = col(idCol).cast("long")
+    val rows = members.where(keys.map(_.isNotNull).reduce(_ && _))
+
+    val slices = cappedBuckets(members, keyCols, idCol, cap, saltBuckets)
 
     // one computation, three consumers (explode / gate / join build side);
     // the monster gate is an accumulator over the SAME pass: within rows

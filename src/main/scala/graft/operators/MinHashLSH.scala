@@ -38,7 +38,7 @@ object MinHashLSH {
     // id + 16 band keys per doc, signatures never materialized to a shuffle
     candidatePairsFromBands(
       docs.select(col(idCol).as("id"),
-        expr(s"band_hashes(minhash128($textCol))").as("bands")),
+        expr(s"minhash_bands($textCol)").as("bands")),
       maxBucketSize)
   }
 
@@ -75,6 +75,100 @@ object MinHashLSH {
                    threshold: Double, maxBucketSize: Int = 1000): DataFrame =
     verifyPairs(candidatePairs(docs, idCol, textCol, maxBucketSize),
       docs, idCol, textCol, threshold)
+
+  // ------------------------------------------------------------------
+  // Incremental probe lane: new batch vs a STORED corpus band index
+  // ------------------------------------------------------------------
+
+  /** Stored LSH band index: one posting row `(id, band, bh)` per document
+    * per band — 16 narrow rows/doc, the ONLY corpus-derived state the
+    * incremental lane ever touches. At 10^12 docs this is the table you
+    * persist once (TableIO snapshot, bucketed by (band, bh) so probe joins
+    * co-locate and untouched buckets prune) and append each admitted
+    * batch's postings to; corpus TEXT is only read for the docs that
+    * become verify candidates. */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"minhash_bands($textCol)").as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+  }
+
+  /** Candidate (new_id, corpus_id) pairs for an incoming batch against a
+    * stored [[bandIndex]] — the daily-crawl-increment shape: NO corpus
+    * rescan, no corpus×corpus work, cost proportional to the batch and the
+    * touched buckets only.
+    *
+    * Scale/skew structure:
+    *  1. the index is semi-joined to the batch's distinct band keys first,
+    *     so only touched buckets are ever aggregated (with a bucketed/
+    *     partitioned index table this is where partition pruning bites);
+    *  2. touched buckets collect corpus postings through the SAME salted
+    *     capped machinery as the batch lane ([[BucketedPairs.cappedBuckets]]
+    *     — every buffer bounded at maxPostings+1 ids);
+    *  3. a hot bucket (template page family with > maxPostings corpus
+    *     members) degrades to its hub (minimum corpus id) as the sole
+    *     candidate — same approximation class as the batch lane's star
+    *     edges: template members are near-identical, so the hub stands for
+    *     the bucket in the verify step, and the exact incremental lane
+    *     (`ExactDedup.incrementalSurvivors*`) catches byte-identical
+    *     template copies linearly. Past the cap, pair COMPLETENESS (every
+    *     matching corpus doc listed) is a lower bound; match DETECTION
+    *     (is the new doc a near-dup of the corpus at all) only fails if a
+    *     doc matches non-hub members of hot buckets exclusively — the
+    *     boilerplate regime by construction. */
+  def incrementalCandidates(index: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String,
+                            maxPostings: Int = 1000): DataFrame = {
+    val probes = bandIndex(incoming, idCol, textCol)
+      .withColumnRenamed("id", "new_id")
+    val touched = index.join(
+      probes.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
+    val buckets = BucketedPairs
+      .cappedBuckets(touched, Seq("band", "bh"), "id", maxPostings)
+      .select(col("band"), col("bh"),
+        // kept list when the bucket stayed under cap; hub alone for
+        // singletons (its lone id IS the hub) and over-cap buckets
+        coalesce(col("s.ids"), array(col("s.hub"))).as("cands"))
+    probes.join(buckets, Seq("band", "bh"))
+      .select(col("new_id"), explode(col("cands")).as("corpus_id"))
+      .distinct()
+  }
+
+  /** Verified incremental near-dup pairs `(new_id, corpus_id, jaccard)`:
+    * [[incrementalCandidates]] joined back to both texts and decided by
+    * exact shingle Jaccard >= threshold, so LSH banding can only lose
+    * recall, never create false positives. `corpusTexts` is only probed
+    * for candidate ids (an equi-join a bucketed corpus table serves
+    * without a shuffle of the corpus side). */
+  def incrementalNearDupPairs(index: DataFrame, corpusTexts: DataFrame,
+                              incoming: DataFrame, idCol: String,
+                              textCol: String, threshold: Double,
+                              maxPostings: Int = 1000): DataFrame = {
+    graft.spark.GraftFunctions.register(incoming.sparkSession)
+    incrementalCandidates(index, incoming, idCol, textCol, maxPostings)
+      .join(corpusTexts.select(col(idCol).cast("long").as("corpus_id"),
+        col(textCol).as("t_c")), "corpus_id")
+      .join(incoming.select(col(idCol).cast("long").as("new_id"),
+        col(textCol).as("t_n")), "new_id")
+      .withColumn("jaccard", expr("jaccard_shingles(t_n, t_c)"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
+  /** Batch docs that are NOT a near-dup of any corpus doc — the admission
+    * face of the incremental lane (within-batch near-dups are the batch
+    * lane's job; compose with `ExactDedup.incrementalSurvivors*` for the
+    * exact tier). */
+  def incrementalNovel(index: DataFrame, corpusTexts: DataFrame,
+                       incoming: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxPostings: Int = 1000): DataFrame =
+    incoming.join(
+      incrementalNearDupPairs(index, corpusTexts, incoming, idCol, textCol,
+          threshold, maxPostings)
+        .select(col("new_id").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** Brute-force oracle (tests only — O(n^2), small n). */
   def bruteForcePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {

@@ -33,6 +33,65 @@ object SimHashDedup {
     pairsFromHashes(hashed, maxDist, maxBucketSize)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental probe tier: new batch vs a STORED corpus probe index
+  // ------------------------------------------------------------------
+
+  /** Stored probe-key index for incremental probing: `(id, sim, probe)` —
+    * maxDist+1 narrow rows/doc. The index CARRIES the 8-byte simhash, so
+    * probing a new batch against a 10^12-doc corpus touches no corpus
+    * text at all: candidates verify against the sims already in the
+    * touched postings. Persist via TableIO partitioned/bucketed by
+    * `probe` for probe-join co-location; append each admitted batch's
+    * postings to keep the index current (see the MinHash twin —
+    * `MinHashLSH.bandIndex` — for the maintenance pattern). */
+  def probeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 maxDist: Int = 3): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("id"), expr(s"simhash64($textCol)").as("sim"))
+      .select(col("id"), col("sim"),
+        explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))
+  }
+
+  /** Incremental pairs `(new_id, corpus_id, hamming)` of a batch against a
+    * stored [[probeIndex]]: batch hashed once (materialized — probes and
+    * verify both read it), index semi-joined to the batch's probe keys so
+    * only touched buckets aggregate, postings collected through the shared
+    * salted capped machinery (`BucketedPairs.cappedBuckets`, every buffer
+    * bounded at maxPostings+1), hot buckets degrading to their hub exactly
+    * as in the batch lane. Below the cap the pigeonhole argument makes the
+    * probe EXACT: any cross pair within maxDist agrees on >= 1 of
+    * maxDist+1 blocks, so it shares a probe bucket. */
+  def incrementalPairs(index: DataFrame, incoming: DataFrame, idCol: String,
+                       textCol: String, maxDist: Int = 3,
+                       maxPostings: Int = 128): DataFrame = {
+    graft.spark.GraftFunctions.register(incoming.sparkSession)
+    val inc = org.apache.spark.sql.GraftBridge.materialize(
+      incoming.select(col(idCol).cast("long").as("new_id"),
+        expr(s"simhash64($textCol)").as("sim_n")))
+    val probes = inc.select(col("new_id"),
+      explode(expr(s"simhash_probes(sim_n, $maxDist)")).as("probe"))
+    // touched buckets are read twice (capped collection + the sim lookup
+    // for verify) — materialize so the index scan happens once
+    val touched = org.apache.spark.sql.GraftBridge.materialize(
+      index.join(probes.select("probe").distinct(), Seq("probe"), "left_semi"))
+    val buckets = BucketedPairs
+      .cappedBuckets(touched, Seq("probe"), "id", maxPostings)
+      .select(col("probe"),
+        coalesce(col("s.ids"), array(col("s.hub"))).as("cands"))
+    val cands = probes.join(buckets, Seq("probe"))
+      .select(col("new_id"), explode(col("cands")).as("corpus_id"))
+      .distinct()
+    cands
+      .join(touched.select(col("id").as("corpus_id"), col("sim")).distinct(),
+        "corpus_id")
+      .join(inc, "new_id")
+      .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("sim_n"))))
+      .filter(col("hamming") <= maxDist)
+      .select("new_id", "corpus_id", "hamming")
+  }
+
   /** Pairs from precomputed `(id, sim)` rows (the pipeline's one-pass
     * feature projection supplies these, already persisted — no text
     * rescan, no extra materialization). */

@@ -100,6 +100,10 @@ object GraftFunctions {
     "doc_features" -> {
       case Seq(t) => DocFeaturesExpr(t)
       case args => throw new IllegalArgumentException(s"doc_features expects 1 arg, got ${args.length}")
+    },
+    "minhash_bands" -> {
+      case Seq(t) => MinHashBands(t)
+      case args => throw new IllegalArgumentException(s"minhash_bands expects 1 arg, got ${args.length}")
     })
 
   /** Every aggregate, name -> SQL expression builder (shared by register()

@@ -23,6 +23,15 @@ object TextKernels {
   def extractText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(graft.core.HtmlText.extract(html))
 
+  /** `minhash_bands` kernel: 128-perm MinHash -> 16 band keys in one call,
+    * no 128-long signature array ever surfacing as a column. The probe
+    * side of the incremental near-dup lane (and any caller that wants
+    * band keys without simhash/winnow fingerprints) pays exactly the
+    * minhash kernel, where `doc_features` would also run the other two. */
+  def minHashBands(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      graft.core.TextOps.bandHashes(graft.core.TextOps.minHash(text.toString)))
+
   /** `doc_features` kernel straight to an InternalRow:
     * `UnsafeArrayData.fromPrimitiveArray` wraps the kernel's long[] without
     * boxing (the ScalaUDF path walked each array element through the
@@ -58,6 +67,31 @@ case class ExtractText(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.extractText($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ExtractText =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(text string) -> array<bigint>` as a NATIVE Catalyst
+  * expression: the banding projection for callers that need band keys
+  * only — value-identical to `band_hashes(minhash128(text))` (TextOpsSpec
+  * and the lane specs pin the shared kernels) with one static call per
+  * row and no intermediate 128-element signature column. */
+case class MinHashBands(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.minHashBands(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.TextKernels.minHashBands($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
 

@@ -1,0 +1,165 @@
+package graft.spark
+
+import graft.core.{TextOps, WebPages}
+import graft.operators.{MinHashLSH, SimHashDedup}
+import graft.pipeline.ParquetTableIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental near-dup lane: a new batch probed against a STORED corpus
+  * band index (the daily-crawl-increment shape at the near-dup tier).
+  * Truth here is local brute force over exactly the kernels the lane's
+  * verify step uses (hashed 5-gram shingles, exact Jaccard), so these
+  * tests pin row-level equality, not just recall; the driver's DuckDB
+  * oracle re-pins the same lane against literal gram strings. */
+class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
+
+  private val threshold = 0.8
+
+  // corpus = 200 generated pages; batch = 60 fresh pages + exact copies of
+  // 20 corpus docs + appended-token near-dups of 20 others (long docs so
+  // one extra token stays >= the threshold)
+  private lazy val corpusLocal: Seq[(Long, String)] =
+    WebPages.generate(200, 77L).zipWithIndex.map { case (p, i) => (i.toLong, p.text) }
+  private lazy val batchLocal: Seq[(Long, String)] = {
+    val fresh = WebPages.generate(60, 78L).zipWithIndex
+      .map { case (p, i) => (1000L + i, p.text) }
+    val copies = corpusLocal.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (2000L + id, t) }
+    val nearDups = corpusLocal.filter(_._1 % 10 == 3)
+      .filter(_._2.length >= 400)
+      .map { case (id, t) => (3000L + id, t + " zz" + id) }
+    fresh ++ copies ++ nearDups
+  }
+
+  private def bruteTruth: Set[(Long, Long)] = {
+    val cs = corpusLocal.map { case (id, t) => (id, TextOps.shingleHashes(t)) }
+    val bs = batchLocal.map { case (id, t) => (id, TextOps.shingleHashes(t)) }
+    (for {
+      (ib, sb) <- bs
+      (ic, sc) <- cs
+      if TextOps.sortedJaccard(sb, sc) >= threshold
+    } yield (ib, ic)).toSet
+  }
+
+  private lazy val corpusDf = {
+    import spark.implicits._
+    corpusLocal.toDF("doc_id", "text")
+  }
+  private lazy val batchDf = {
+    import spark.implicits._
+    batchLocal.toDF("doc_id", "text")
+  }
+
+  test("stored-index probe == brute-force cross truth (copies AND near-dups present)") {
+    val truth = bruteTruth
+    assert(truth.exists { case (b, _) => b >= 2000 && b < 3000 }, "no exact-copy pairs")
+    assert(truth.exists { case (b, _) => b >= 3000 }, "no appended-token near-dup pairs")
+    val index = MinHashLSH.bandIndex(corpusDf, "doc_id", "text")
+    val got = MinHashLSH
+      .incrementalNearDupPairs(index, corpusDf, batchDf, "doc_id", "text", threshold)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("novel == batch minus paired (the two faces complement exactly)") {
+    val pairedBatchIds = bruteTruth.map(_._1)
+    val expect = batchLocal.map(_._1).toSet -- pairedBatchIds
+    val index = MinHashLSH.bandIndex(corpusDf, "doc_id", "text")
+    val got = MinHashLSH
+      .incrementalNovel(index, corpusDf, batchDf, "doc_id", "text", threshold)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+  }
+
+  test("hot bucket past maxPostings degrades to its hub and still detects the template") {
+    import spark.implicits._
+    // 50 byte-identical template docs in the corpus; a capped probe can
+    // keep at most 8 postings per bucket, so the bucket overflows and the
+    // lane falls back to the hub (min corpus id) — the probe of one more
+    // copy must still report a verified pair to the hub
+    val template = WebPages.generate(1, 99L).head.text
+    val hot = (0L until 50L).map(i => (i, template)).toDF("doc_id", "text")
+    val probe = Seq((777L, template)).toDF("doc_id", "text")
+    val index = MinHashLSH.bandIndex(hot, "doc_id", "text")
+    val got = MinHashLSH
+      .incrementalNearDupPairs(index, hot, probe, "doc_id", "text", 0.9,
+        maxPostings = 8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((777L, 0L)), s"hub pair missing: $got")
+    // completeness past the cap is a documented lower bound — but the hub
+    // is always present, so detection (near-dup of corpus at all) holds
+    assert(got.forall(_._1 == 777L))
+  }
+
+  test("simhash incremental probe == brute-force cross Hamming truth (exact below cap)") {
+    val maxDist = 3
+    val simsC = corpusLocal.map { case (id, t) => (id, TextOps.simHash64(t)) }
+    val simsB = batchLocal.map { case (id, t) => (id, TextOps.simHash64(t)) }
+    val truth = (for {
+      (ib, sb) <- simsB
+      (ic, sc) <- simsC
+      if java.lang.Long.bitCount(sb ^ sc) <= maxDist
+    } yield (ib, ic)).toSet
+    assert(truth.nonEmpty, "degenerate: no cross Hamming pairs (copies should be dist 0)")
+    val index = SimHashDedup.probeIndex(corpusDf, "doc_id", "text", maxDist)
+    val got = SimHashDedup
+      .incrementalPairs(index, batchDf, "doc_id", "text", maxDist, maxPostings = 4096)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
+  test("simhash hot bucket past maxPostings degrades to hub and still detects") {
+    import spark.implicits._
+    val template = WebPages.generate(1, 99L).head.text
+    val hot = (0L until 50L).map(i => (i, template)).toDF("doc_id", "text")
+    val probe = Seq((777L, template)).toDF("doc_id", "text")
+    val index = SimHashDedup.probeIndex(hot, "doc_id", "text", 3)
+    val got = SimHashDedup
+      .incrementalPairs(index, probe, "doc_id", "text", 3, maxPostings = 8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((777L, 0L)), s"hub pair missing: $got")
+    assert(got.forall(_._1 == 777L))
+  }
+
+  test("index survives TableIO persistence and append maintenance catches the next batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incnd").toString
+    val io = new ParquetTableIO(spark, root)
+    // epoch 0: persist the corpus index (partitioned by band — the probe
+    // join's co-location/pruning key at scale)
+    io.overwrite("band_index", MinHashLSH.bandIndex(corpusDf, "doc_id", "text"),
+      partitionBy = Seq("band"))
+    io.commit("band_index", "epoch-0")
+    val reloaded = io.read("band_index")
+    val got = MinHashLSH
+      .incrementalNearDupPairs(reloaded, corpusDf, batchDf, "doc_id", "text", threshold)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteTruth, "reloaded index must be probe-identical")
+
+    // epoch 1: admit the batch — add its postings via the snapshot-native
+    // keyed upsert ((id, band) is posting-unique; all keys are new, so
+    // this IS the append face of upsert); a batch-2 copy of a BATCH-1 doc
+    // (not in the original corpus) must now be caught
+    io.upsert("band_index", MinHashLSH.bandIndex(batchDf, "doc_id", "text"),
+      Seq("id", "band"))
+    io.commit("band_index", "epoch-1")
+    val texts = corpusDf.unionByName(batchDf)
+    val batch2 = {
+      import spark.implicits._
+      Seq((9000L, batchLocal.head._2)).toDF("doc_id", "text")
+    }
+    val caught = MinHashLSH
+      .incrementalNearDupPairs(io.read("band_index"), texts, batch2,
+        "doc_id", "text", threshold)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(caught.contains((9000L, batchLocal.head._1)),
+      s"appended postings not probed: $caught")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+}

@@ -113,6 +113,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // truth (the IVF path itself joins hash-equi on the cell id)
     // q_simhash_complete's all-pairs Hamming truth and its 1x1 count
     // cross-join are likewise declared brute force (capped id range);
+    // q_simhash_incremental embeds the same capped cross Hamming truth
+    // for its self-verifying gate (the lane under test is hash-equi);
     // q_pages_recall is exempted like q_pages_pipeline — building it runs
     // the whole 800-page pipeline, and its result is a 1-row local
     // relation whose plan cannot contain a join anyway;
@@ -130,7 +132,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // a 1xN broadcast constant, not a data-sized cross product
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
       "q_theta_set_ops", "q_theta_jaccard", "q_pages_pipeline", "q_pages_recall",
-      "q_simhash_complete", "q_simhash_neardup", "q_semantic_dedup",
+      "q_simhash_complete", "q_simhash_neardup", "q_simhash_incremental",
+      "q_semantic_dedup",
       "q_search_ranked", "q_lm_score", "q_lm_trigram")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
