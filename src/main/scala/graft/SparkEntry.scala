@@ -188,6 +188,37 @@ object SparkEntry {
           "doc_id", "text", 0.9)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_incremental_admission" -> ((s, dir) => {
+      // the composed admission flow for a crawl increment: staged gates in
+      // ascending cost — (1) exact content-hash membership (linear, the
+      // Bloom-prefiltered path at scale), (2) stored-index near-dup probe
+      // for the exact-survivors ONLY (the expensive tier never sees docs a
+      // cheaper gate already rejected — q_admission's chained-gate shape),
+      // (3) admit the rest. One reason-coded verdict per batch doc,
+      // precedence exact_dup > near_dup > admitted, fully SQL-mirrorable.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // content-key equi-join, never a text-payload shuffle (ExactDedup's
+      // rationale; md5 here is the oracle-stable stand-in for its paranoid
+      // 128-bit key)
+      val ck = corpus.select(md5(col("text")).as("ck")).distinct()
+      val keyed = incoming.withColumn("ck", md5(col("text")))
+      val exactDup = keyed.join(ck, Seq("ck"), "left_semi")
+      val rest = keyed.join(ck, Seq("ck"), "left_anti").drop("ck")
+      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      val nearIds = MinHashLSH
+        .incrementalNearDupPairs(index, corpus, rest, "doc_id", "text", 0.9)
+        .select(col("new_id").as("doc_id")).distinct()
+      exactDup.select(col("doc_id"), lit("exact_dup").as("verdict"))
+        .unionByName(rest.join(nearIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), lit("near_dup").as("verdict")))
+        .unionByName(rest.join(nearIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit("admitted").as("verdict")))
+        .orderBy("doc_id")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -1742,6 +1773,38 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM sc c
         |  WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
         |        (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9)
+        |ORDER BY doc_id""".stripMargin,
+    // composed incremental-admission truth: exact text membership beats the
+    // literal-gram near-dup predicate, which beats admission — the staged
+    // Spark gates must collapse to this one CASE
+    "q_incremental_admission" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |si AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM incoming)
+        |)
+        |SELECT i.doc_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM corpus c WHERE c.text = i.text)
+        |      THEN 'exact_dup'
+        |    WHEN EXISTS (SELECT 1 FROM sc c JOIN si s2 ON s2.doc_id = i.doc_id
+        |      WHERE len(list_intersect(s2.sh, c.sh))::DOUBLE /
+        |            (len(s2.sh) + len(c.sh) - len(list_intersect(s2.sh, c.sh))) >= 0.9)
+        |      THEN 'near_dup'
+        |    ELSE 'admitted'
+        |  END AS verdict
+        |FROM incoming i
         |ORDER BY doc_id""".stripMargin,
     // composed pipeline truth: lang CASE + token/stopword floors over the
     // dup-injected corpus, then keep-one-copy (min doc_id per exact text)
