@@ -188,6 +188,24 @@ object SparkEntry {
           "doc_id", "text", 0.9)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_incremental_substring" -> ((s, dir) => {
+      // third incremental tier: exact long-substring matches of a batch
+      // against the corpus's STORED winnowed-fingerprint index (~n/64
+      // rows/doc, no corpus text scan). The winnowing guarantee makes the
+      // prefilter lossless for >= 200-char spans and the Rabin-Karp verify
+      // is exact, so DuckDB brute-forces the same truth from literal
+      // 200-char grams. Exact copies guarantee non-vacuity; natural cross
+      // substring pairs ride along.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val index = SubstringDedup.fpIndex(corpus, "doc_id", "text")
+      SubstringDedup.incrementalPairs(index, corpus, incoming,
+          "doc_id", "text", minLen = 200)
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_incremental_admission" -> ((s, dir) => {
       // the composed admission flow for a crawl increment: staged gates in
       // ascending cost — (1) exact content-hash membership (linear, the
@@ -1774,6 +1792,26 @@ object SparkEntry {
         |  WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
         |        (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9)
         |ORDER BY doc_id""".stripMargin,
+    // incremental substring truth: shared literal 200-char gram across
+    // corpus × incoming (a >= 200-char common substring exists iff some
+    // 200-char window matches — the q_substring_dedup construction)
+    "q_incremental_substring" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |mx AS (SELECT max(length(text)) m FROM (SELECT text FROM corpus
+        |       UNION ALL SELECT text FROM incoming)),
+        |idx AS (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) i),
+        |gc AS (SELECT doc_id, substring(text, i, 200) gram
+        |       FROM corpus JOIN idx ON i <= length(text) - 199),
+        |gi AS (SELECT doc_id, substring(text, i, 200) gram
+        |       FROM incoming JOIN idx ON i <= length(text) - 199)
+        |SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM gi i JOIN gc c ON i.gram = c.gram
+        |ORDER BY 1, 2""".stripMargin,
     // composed incremental-admission truth: exact text membership beats the
     // literal-gram near-dup predicate, which beats admission — the staged
     // Spark gates must collapse to this one CASE

@@ -82,6 +82,27 @@ object BucketedPairs {
         .agg(cappedIdsMerge(col("s"), saltBuckets * (cap + 1)).as("s"))
   }
 
+  /** Incremental-probe candidate generation shared by the stored-index
+    * dedup tiers (MinHashLSH.incrementalCandidates,
+    * SubstringDedup.incrementalPairs; SimHashDedup keeps an inline variant
+    * because its index also carries the simhash through the touched set):
+    * index postings `(keys..., idCol)` x probe rows `(keys..., probeIdCol)`
+    * → distinct `(probeIdCol, corpus_id)` candidates. The index is
+    * semi-joined to the batch's distinct keys first — only touched buckets
+    * ever aggregate (partition pruning's entry point on a bucketed index
+    * table) — then postings collect through [[cappedBuckets]] (every
+    * buffer bounded) with over-cap buckets degrading to their hub. */
+  def probeCandidates(index: DataFrame, probes: DataFrame, keyCols: Seq[String],
+                      idCol: String, probeIdCol: String, cap: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val touched = index.join(probes.select(keys: _*).distinct(), keyCols, "left_semi")
+    val buckets = cappedBuckets(touched, keyCols, idCol, cap)
+      .select(keys :+ coalesce(col("s.ids"), array(col("s.hub"))).as("cands"): _*)
+    probes.join(buckets, keyCols)
+      .select(col(probeIdCol), explode(col("cands")).as("corpus_id"))
+      .distinct()
+  }
+
   /** Candidate edges (id_a < id_b), NOT deduplicated across keys — callers
     * `.distinct()` after unioning bands/probes. Eager (see object doc). */
   def edges(members: DataFrame, keyCols: Seq[String], idCol: String, cap: Int,

@@ -120,21 +120,10 @@ object MinHashLSH {
     *     boilerplate regime by construction. */
   def incrementalCandidates(index: DataFrame, incoming: DataFrame,
                             idCol: String, textCol: String,
-                            maxPostings: Int = 1000): DataFrame = {
-    val probes = bandIndex(incoming, idCol, textCol)
-      .withColumnRenamed("id", "new_id")
-    val touched = index.join(
-      probes.select("band", "bh").distinct(), Seq("band", "bh"), "left_semi")
-    val buckets = BucketedPairs
-      .cappedBuckets(touched, Seq("band", "bh"), "id", maxPostings)
-      .select(col("band"), col("bh"),
-        // kept list when the bucket stayed under cap; hub alone for
-        // singletons (its lone id IS the hub) and over-cap buckets
-        coalesce(col("s.ids"), array(col("s.hub"))).as("cands"))
-    probes.join(buckets, Seq("band", "bh"))
-      .select(col("new_id"), explode(col("cands")).as("corpus_id"))
-      .distinct()
-  }
+                            maxPostings: Int = 1000): DataFrame =
+    BucketedPairs.probeCandidates(index,
+      bandIndex(incoming, idCol, textCol).withColumnRenamed("id", "new_id"),
+      Seq("band", "bh"), "id", "new_id", maxPostings)
 
   /** Verified incremental near-dup pairs `(new_id, corpus_id, jaccard)`:
     * [[incrementalCandidates]] joined back to both texts and decided by

@@ -37,6 +37,46 @@ object SubstringDedup {
       docs, idCol, textCol, minLen, maxBucketSize)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental probe tier: new batch vs a STORED fingerprint index
+  // ------------------------------------------------------------------
+
+  /** Stored winnowed-fingerprint index: `(id, fp)` — ~n/64 narrow rows per
+    * doc. The substring twin of `MinHashLSH.bandIndex` /
+    * `SimHashDedup.probeIndex`: persist once (TableIO, partitioned or
+    * bucketed by fp), probe each batch against it, append the admitted
+    * batch's rows — corpus text is only read for verify candidates. */
+  def fpIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("id"), expr(s"winnow_fps($textCol)").as("fps"))
+      .select(col("id"), explode(col("fps")).as("fp"))
+  }
+
+  /** Incremental pairs `(new_id, corpus_id)` of a batch against a stored
+    * [[fpIndex]]: batch docs sharing an exact substring of >= minLen chars
+    * with a corpus doc. Same touched-bucket semi-join pruning + shared
+    * salted capped collection + hub degradation as the other two
+    * incremental tiers; the winnowing guarantee (every common span >=
+    * [[LosslessMinLen]] shares a selected fingerprint) makes the prefilter
+    * lossless below the cap, and the Rabin-Karp verify is exact. */
+  def incrementalPairs(index: DataFrame, corpusTexts: DataFrame,
+                       incoming: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 200, maxPostings: Int = 1000): DataFrame = {
+    require(minLen >= LosslessMinLen,
+      s"minLen=$minLen below the winnowing guarantee ($LosslessMinLen)")
+    graft.spark.GraftFunctions.register(incoming.sparkSession)
+    BucketedPairs.probeCandidates(index,
+        fpIndex(incoming, idCol, textCol).withColumnRenamed("id", "new_id"),
+        Seq("fp"), "id", "new_id", maxPostings)
+      .join(corpusTexts.select(col(idCol).cast("long").as("corpus_id"),
+        col(textCol).as("t_c")), "corpus_id")
+      .join(incoming.select(col(idCol).cast("long").as("new_id"),
+        col(textCol).as("t_n")), "new_id")
+      .filter(expr(s"common_substring_atleast(t_n, t_c, $minLen)"))
+      .select("new_id", "corpus_id")
+  }
+
   /** Pairs from precomputed winnowed-fingerprint arrays `(id, fps)` plus a
     * texts frame for the exact verify join (the pipeline's one-pass
     * feature projection supplies the fingerprints). */

@@ -1,7 +1,7 @@
 package graft.spark
 
 import graft.core.{TextOps, WebPages}
-import graft.operators.{MinHashLSH, SimHashDedup}
+import graft.operators.{MinHashLSH, SimHashDedup, SubstringDedup}
 import graft.pipeline.ParquetTableIO
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -124,6 +124,21 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((777L, 0L)), s"hub pair missing: $got")
     assert(got.forall(_._1 == 777L))
+  }
+
+  test("substring incremental probe == brute-force common-substring truth") {
+    val minLen = 200
+    val truth = (for {
+      (ib, tb) <- batchLocal
+      (ic, tc) <- corpusLocal
+      if TextOps.commonSubstringAtLeast(tb, tc, minLen)
+    } yield (ib, ic)).toSet
+    assert(truth.nonEmpty, "degenerate: no cross substring pairs (copies qualify)")
+    val index = SubstringDedup.fpIndex(corpusDf, "doc_id", "text")
+    val got = SubstringDedup
+      .incrementalPairs(index, corpusDf, batchDf, "doc_id", "text", minLen)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
   test("index survives TableIO persistence and append maintenance catches the next batch") {
