@@ -206,6 +206,40 @@ object SparkEntry {
           "doc_id", "text", minLen = 200)
         .orderBy("new_id", "corpus_id")
     }),
+    "q_incremental_clusters" -> ((s, dir) => {
+      // incremental CLUSTERING: fold the admitted batch into the corpus's
+      // existing cluster assignment — corpus pairs are never re-read; the
+      // corpus contracts to its labels, CC runs over the batch-sized graph
+      // (batch ids + touched labels), and merge events (a batch doc
+      // bridging two corpus clusters) surface as a label map instead of a
+      // corpus rewrite. The emitted view (merge map applied to the old
+      // assignment ∪ batch assignments) must equal a full recompute over
+      // corpus ∪ batch — DuckDB re-derives that with gram-prefiltered
+      // Jaccard edges closed under a recursive reachability CTE.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val corpusPairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
+        .select("id_a", "id_b")
+      val clusters = ConnectedComponents
+        .clustersWithSingletons(corpus, "doc_id", corpusPairs)
+      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      val cross = MinHashLSH
+        .incrementalNearDupPairs(index, corpus, incoming, "doc_id", "text", 0.9)
+        .select("new_id", "corpus_id")
+      val batchPairs = MinHashLSH.nearDupPairs(incoming, "doc_id", "text", 0.9)
+        .select("id_a", "id_b")
+      val (assign, mergeMap) = ConnectedComponents.incrementalAssign(
+        clusters, incoming.select("doc_id"), cross, batchPairs, idCol = "doc_id")
+      clusters.join(mergeMap, Seq("component"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("new_component"), col("component")).as("cluster"))
+        .unionByName(assign.select(col("id").as("doc_id"),
+          col("component").as("cluster")))
+        .orderBy("doc_id")
+    }),
     "q_incremental_admission" -> ((s, dir) => {
       // the composed admission flow for a crawl increment: staged gates in
       // ascending cost — (1) exact content-hash membership (linear, the
@@ -1812,6 +1846,44 @@ object SparkEntry {
         |SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS corpus_id
         |FROM gi i JOIN gc c ON i.gram = c.gram
         |ORDER BY 1, 2""".stripMargin,
+    // incremental clustering truth: full-recompute CC over corpus ∪ batch
+    // with exact 5-gram Jaccard >= 0.9 edges (gram-prefiltered candidates,
+    // the q_minhash construction), closed under a recursive reachability
+    // CTE, canonical min-id labels — the incremental fold must reproduce
+    // it row-for-row
+    "q_incremental_clusters" ->
+      """WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+        |incoming AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |),
+        |all_docs AS (SELECT * FROM corpus UNION ALL SELECT * FROM incoming),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM all_docs),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM t
+        |),
+        |ex AS (SELECT doc_id, unnest(sh) g FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |),
+        |e0 AS (
+        |  SELECT da, db FROM cand
+        |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
+        |),
+        |e AS (SELECT da i, db j FROM e0 UNION ALL SELECT db, da FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM all_docs
+        |  UNION
+        |  SELECT r.src, e.j FROM reach r JOIN e ON e.i = r.dst
+        |)
+        |SELECT src AS doc_id, min(dst) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     // composed incremental-admission truth: exact text membership beats the
     // literal-gram near-dup predicate, which beats admission — the staged
     // Spark gates must collapse to this one CASE

@@ -92,27 +92,38 @@ object Stress {
 
     // ---- 2. containment lane (posting-heaviest dedup lane) on a slice:
     // container side posts ALL grams, so its posting volume — not the doc
-    // count — is the stressor; docs/4 keeps total postings ~10x the bench
-    // corpus's containment query.
+    // count — is the stressor. Slice sizing is deliberate: docs/16 at the
+    // default 6.4M = 400k docs ≈ 72M postings, ~70x the sf0.1 bench
+    // query's posting volume. The cap is the web-scale setting (1000, not
+    // the sf-exactness 10000): candidate volume from mid-df grams is
+    // inherently quadratic in the cap (a df=10000 gram under cap emits
+    // C(10000,2) ≈ 5*10^7 pairs from ONE bucket), so at corpus scale hot
+    // phrases must degrade to star edges early — that knob, not the doc
+    // count, is what keeps this lane linear at 10^12.
     val textSlice = graft.core.WebPages
-      .generateDistributed(spark, docs / 4, 43L, cpus * 8)
+      .generateDistributed(spark, docs / 16, 43L, cpus * 8)
       // containment posting ids borrow the low bit for the in-prefix flag:
       // mask the url hash into the required [0, 2^61) range
       .select(xxhash64(col("url")).bitwiseAND(lit((1L << 61) - 1)).as("doc_id"),
         col("text"))
     val (contSec, nContPairs) = timed {
       graft.operators.NgramJaccard.containmentPairs(
-        textSlice, "doc_id", "text", n = 3, tNum = 4, tDen = 5).count()
+        textSlice, "doc_id", "text", n = 3, tNum = 4, tDen = 5,
+        maxPostings = 1000).count()
     }
 
     // ---- 3. semantic dedup over deterministic hash-derived embeddings
-    // (16-dim; k-means cells bound the pair work to O(sum cell^2))
-    val vecs = spark.range(docs / 4).select(col("id").as("vec_id"),
+    // (16-dim). Cells bound the pair work to O(sum cell^2) ~ n^2/k, so k
+    // must SCALE with n (it is a resolution knob, not a constant): n/800
+    // cells keeps expected cell size ~800 and pair work ~800n — the same
+    // choice a 10^12-doc run would make (k ~ 10^9 cells there).
+    val semDocs = docs / 16
+    val vecs = spark.range(semDocs).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 15), i -> " +
         "cast(xxhash64(id, i) % 1000 as double) / 1000.0)").as("v"))
     val (semSec, nSemPairs) = timed {
       val cents = graft.operators.IvfIndex.fitCentroids(
-        vecs, "vec_id", "v", k = 64, iters = 3)
+        vecs, "vec_id", "v", k = math.max(64, semDocs / 800), iters = 3)
       graft.operators.SemanticDedup.pairs(
         vecs, "vec_id", "v", cents, threshold = 0.95).count()
     }
@@ -122,10 +133,11 @@ object Stress {
     println(
       f"""{"stress_docs":$docs,"cpus":$cpus,"pipeline_sec":$pipeSec%.1f,""" +
       f""""pipeline_docs_per_sec":${docs / pipeSec}%.0f,"clusters":$nClusters,""" +
-      f""""pipeline_gc_sec":$pipeGc%.1f,"containment_docs":${docs / 4},""" +
+      f""""pipeline_gc_sec":$pipeGc%.1f,"containment_docs":${docs / 16},""" +
       f""""containment_sec":$contSec%.1f,"containment_pairs":$nContPairs,""" +
-      f""""semantic_docs":${docs / 4},"semantic_sec":$semSec%.1f,""" +
-      f""""semantic_pairs":$nSemPairs,"peak_heap_gb":$heapGb%.2f,""" +
+      f""""semantic_docs":$semDocs,"semantic_sec":$semSec%.1f,""" +
+      f""""semantic_pairs":$nSemPairs,"semantic_cells":${math.max(64, semDocs / 800)},""" +
+      f""""peak_heap_gb":$heapGb%.2f,""" +
       f""""peak_task_exec_mem_gb":$execGb%.2f,""" +
       f""""shuffle_mem_spill_gb":${memSpill.get() / 1e9}%.2f,""" +
       f""""shuffle_disk_spill_gb":${diskSpill.get() / 1e9}%.2f}""")

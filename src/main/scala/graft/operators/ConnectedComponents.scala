@@ -241,4 +241,51 @@ object ConnectedComponents {
       .join(comps, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
+
+  /** Incremental clustering: fold an admitted batch into an EXISTING
+    * cluster assignment without touching corpus pairs or corpus rows.
+    *
+    * The corpus contracts to its component labels (connectivity-preserving:
+    * an edge to any member is an edge to the component), so CC runs over a
+    * BATCH-SIZED graph — nodes are the batch ids plus the touched labels
+    * only. Because each existing label is the min id of its corpus
+    * component, the merged component's min over (batch ids, touched
+    * labels) IS the global min-id label, and the result is row-identical
+    * to a full recompute over corpus ∪ batch (IncrementalNearDupSpec pins
+    * the property; the q_incremental_clusters oracle re-derives it in SQL).
+    *
+    * Returns:
+    *  - `assign`: (id, component) for every batch doc (novel isolated docs
+    *    label themselves);
+    *  - `mergeMap`: (component, new_component) for the EXISTING labels a
+    *    batch path relabeled — merge events (a batch doc bridging two
+    *    corpus clusters) land here instead of forcing a 10^12-row corpus
+    *    rewrite: readers compose this (tiny, batch-bounded) map lazily,
+    *    and compaction folds it in whenever the table is rewritten anyway.
+    *
+    * `clusters` is only probed for the labels of docs in `crossPairs` —
+    * an equi-join a bucketed/sorted cluster table serves with no corpus
+    * shuffle. */
+  def incrementalAssign(clusters: DataFrame, batchIds: DataFrame,
+                        crossPairs: DataFrame, batchPairs: DataFrame,
+                        idCol: String = "id"): (DataFrame, DataFrame) = {
+    val ids = batchIds.select(col(idCol).cast("long").as("id"))
+    // rewrite batch→corpus-member pairs to batch→label edges
+    val labelEdges = crossPairs
+      .select(col("new_id").cast("long").as("id_a"),
+        col("corpus_id").cast("long").as("id"))
+      .join(clusters.select(col("id"), col("component")), "id")
+      .select(col("id_a"), col("component").as("id_b"))
+    val touched = labelEdges.select(col("id_b").as("id")).distinct()
+    val nodes = ids.unionByName(touched).distinct()
+    val comp = clustersWithSingletons(nodes, "id",
+      batchPairs.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .unionByName(labelEdges))
+    val assign = comp.join(ids, Seq("id"), "left_semi")
+    val mergeMap = comp.join(touched, Seq("id"), "left_semi")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("component"), col("component").as("new_component"))
+    (assign, mergeMap)
+  }
 }

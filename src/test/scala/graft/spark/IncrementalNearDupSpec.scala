@@ -141,6 +141,62 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("incrementalAssign: engineered merge event — a batch doc bridging two corpus clusters") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val corpusIds = (0L to 9L).toDF("doc_id")
+    val corpusEdges = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = ConnectedComponents.clustersWithSingletons(corpusIds, "doc_id", corpusEdges)
+    // batch doc 100 matches members of BOTH cluster 0 (via doc 1) and
+    // cluster 2 (via doc 3): the clusters must merge under label 0 without
+    // any corpus pair being re-read — the merge arrives as a map entry
+    val cross = Seq((100L, 1L), (100L, 3L)).toDF("new_id", "corpus_id")
+    val batchPairs = Seq((100L, 101L)).toDF("id_a", "id_b")
+    val batchIds = Seq(100L, 101L, 102L).toDF("doc_id")
+    val (assign, mergeMap) = ConnectedComponents.incrementalAssign(
+      clusters, batchIds, cross, batchPairs, idCol = "doc_id")
+    val a = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == Map(100L -> 0L, 101L -> 0L, 102L -> 102L), s"assign: $a")
+    val m = mergeMap.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(2L -> 0L), s"mergeMap: $m")
+  }
+
+  test("incrementalAssign ≡ full recompute over corpus ∪ batch (random graphs)") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 0 until 3) {
+      val nCorpus = 60; val nBatch = 25
+      val corpusIds = (0L until nCorpus.toLong).toDF("doc_id")
+      val corpusEdges = Seq.fill(40)((rnd.nextInt(nCorpus).toLong, rnd.nextInt(nCorpus).toLong))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val batchIdSeq = (0 until nBatch).map(i => 1000L + i)
+      val batchIds = batchIdSeq.toDF("doc_id")
+      val cross = Seq.fill(20)((batchIdSeq(rnd.nextInt(nBatch)), rnd.nextInt(nCorpus).toLong))
+        .distinct.toDF("new_id", "corpus_id")
+      val batchPairs = Seq.fill(15)(
+          (batchIdSeq(rnd.nextInt(nBatch)), batchIdSeq(rnd.nextInt(nBatch))))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+
+      val clusters = ConnectedComponents.clustersWithSingletons(corpusIds, "doc_id", corpusEdges)
+      val (assign, mergeMap) = ConnectedComponents.incrementalAssign(
+        clusters, batchIds, cross, batchPairs, idCol = "doc_id")
+      val incremental = clusters
+        .join(mergeMap, Seq("component"), "left")
+        .select(col("id"), coalesce(col("new_component"), col("component")).as("component"))
+        .unionByName(assign)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val allIds = corpusIds.unionByName(batchIds)
+      val allEdges = corpusEdges
+        .unionByName(cross.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")))
+        .unionByName(batchPairs)
+      val full = ConnectedComponents.clustersWithSingletons(allIds, "doc_id", allEdges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incremental == full, s"trial $trial: ${incremental.toSet -- full.toSet}")
+    }
+  }
+
   test("index survives TableIO persistence and append maintenance catches the next batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-incnd").toString
     val io = new ParquetTableIO(spark, root)
