@@ -271,6 +271,148 @@ object SparkEntry {
           .select(col("doc_id"), lit("admitted").as("verdict")))
         .orderBy("doc_id")
     }),
+    "q_index_retire" -> ((s, dir) => {
+      // index LIFECYCLE for the stored band index: a replayed append
+      // (at-least-once delivery) is compacted away, then cluster LOSERS
+      // are retired after survivor selection — probing the maintained
+      // index must behave exactly like one built fresh over the survivor
+      // corpus. The oracle recomputes corpus clusters (recursive
+      // reachability over exact shingle Jaccard >= 0.9), keeps min-id
+      // survivors, and brute-forces the batch-vs-survivor pairs.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 300).unionByName(
+        docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 300)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val incoming = docs.filter(col("doc_id") >= 300).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
+        .select("id_a", "id_b")
+      val clusters = ConnectedComponents
+        .clustersWithSingletons(corpus, "doc_id", pairs)
+      val survivors = clusters.select(col("component").as("doc_id")).distinct()
+      val built = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      val index = MinHashLSH.retainPostings(
+        MinHashLSH.compactPostings(built.unionByName(built)),
+        survivors, "doc_id")
+      MinHashLSH.incrementalNearDupPairs(index, corpus, incoming,
+          "doc_id", "text", 0.9)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    }),
+    "q_cluster_stability" -> ((s, dir) => {
+      // cluster-drift monitor: the same corpus clustered at a coarse (0.5)
+      // and a fine (0.9) n-gram Jaccard threshold; the transition report
+      // labels refinement as splits and the reverse direction as grown/
+      // stable — best-match argmax, overlaps, sizes and statuses all
+      // SQL-recomputed. Pairs come from the EXACT (complete) n-gram lane,
+      // so mid-band pairs carry no LSH recall risk; mid-band near-dups are
+      // injected by appending ~tokens/6 fresh filler tokens (Jaccard lands
+      // around 6/7 — inside [0.5, 0.9)). The verify pass runs ONCE at the
+      // loose threshold with its overlap stats persisted; the fine edge
+      // set is a filter over the same stats (both CC runs materialize
+      // their edge input, so without the persist the expensive verify
+      // would run twice).
+      val base = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") < 300)
+      val toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+      val m = s"greatest(size($toks) div 6, 4)"
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr(s"concat(text, ' ', array_join(transform(" +
+              s"sequence(0, cast($m as int) - 1), " +
+              "x -> concat('f', cast(x as string))), ' '))").as("text")))
+      val stats = NgramJaccard.pairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5).persist()
+      val fine = stats.filter(col("common_grams").cast("double") /
+        (col("grams_a") + col("grams_b") - col("common_grams")) >= 0.9)
+      // each assignment feeds SIX consumers inside bidirectional (member
+      // join + size aggregates, both directions) — persist the two narrow
+      // (id, label) tables once instead of re-deriving the CC compose join
+      // per consumer
+      def clusterOf(pairs: org.apache.spark.sql.DataFrame) =
+        ConnectedComponents
+          .clustersWithSingletons(corpus, "doc_id",
+            pairs.select("id_a", "id_b"))
+          .select(col("id"), col("component").as("cluster"))
+          .persist()
+      ClusterStability.bidirectional(clusterOf(stats), clusterOf(fine))
+        .orderBy("direction", "cluster_from")
+    }),
+    "q_norm_dedup" -> ((s, dir) => {
+      // normalization-tier exact dedup (CCNet/MassiveText shape): case,
+      // punctuation and whitespace variants collapse to one content key
+      // the byte-exact lane misses; keeper = min doc_id per normalized
+      // key. Injected variants are uppercased with added punctuation —
+      // byte-distinct, norm-identical. Grouping is by md5 of the norm (a
+      // content KEY, so the shuffle never carries text payloads); the
+      // oracle groups by the normalized text itself — same partition.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = base.unionByName(base.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text")))
+      val normed = corpus.withColumn("nk", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      val keeper = normed.groupBy("nk").agg(min("doc_id").as("keeper_id"))
+      normed.join(keeper, "nk")
+        .select(col("doc_id"), col("keeper_id"),
+          (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+    "q_lsh_calibration" -> ((s, _) =>
+      // analytic banding-design S-curve: collision probability per
+      // (bands, rows, similarity) — the table a 10^12-doc deployment reads
+      // to pick its banding config; all arithmetic is explicit IEEE square
+      // chains mirrored CTE-for-CTE by the oracle, so the fixed-point
+      // outputs are bit-identical (LshCalibration scaladoc)
+      LshCalibration.curve(s).orderBy("bands", "rows_per_band", "pct")),
+    "q_dedup_impact" -> ((s, dir) => {
+      // curation datasheet: what each dedup tier costs the corpus — docs
+      // and tokens removed by the exact lane (byte-identical copies) and
+      // by the near-dup lane (verified Jaccard >= 0.9 cluster losers),
+      // each doc counted once under exact > near precedence. Exact copies
+      // of every 10th doc and single-appended-token near-dups of long
+      // %10==3 docs populate both lanes deterministically.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(base
+          .filter(col("doc_id") % 10 === 3 && length(col("text")) >= 400)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zz"),
+              col("doc_id").cast("string")).as("text")))
+      val withTok = corpus.withColumn("n_tok",
+        when(trim(col("text")) === "", 0L)
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
+      val keeper = withTok.groupBy(md5(col("text")).as("ck"))
+        .agg(min("doc_id").as("k"))
+      val exactLosers = withTok.withColumn("ck", md5(col("text")))
+        .join(keeper, "ck").filter(col("doc_id") =!= col("k"))
+        .select("doc_id", "n_tok")
+      val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
+        .select("id_a", "id_b")
+      val nearLosers = ConnectedComponents
+        .clustersWithSingletons(corpus, "doc_id", pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+        .join(exactLosers.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(withTok.select("doc_id", "n_tok"), "doc_id")
+      exactLosers
+        .agg(count(lit(1)).as("docs_removed"),
+          sum("n_tok").as("tokens_removed"))
+        .select(lit("exact").as("lane"), col("docs_removed"),
+          col("tokens_removed"))
+        .unionByName(nearLosers
+          .agg(count(lit(1)).as("docs_removed"),
+            sum("n_tok").as("tokens_removed"))
+          .select(lit("near_dup").as("lane"), col("docs_removed"),
+            col("tokens_removed")))
+        .orderBy("lane")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -1916,6 +2058,246 @@ object SparkEntry {
         |  END AS verdict
         |FROM incoming i
         |ORDER BY doc_id""".stripMargin,
+    // index-lifecycle truth: corpus clusters from exact-Jaccard
+    // reachability, min-id survivors, batch pairs brute-forced against the
+    // survivor set only (retired postings must be probe-invisible)
+    "q_index_retire" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base
+        |  WHERE doc_id % 10 = 0 AND doc_id < 300
+        |),
+        |incoming AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM base WHERE doc_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |ex AS (SELECT doc_id, unnest(sh) g FROM sc),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |),
+        |e0 AS (
+        |  SELECT da, db FROM cand
+        |  JOIN sc sa ON sa.doc_id = da JOIN sc sb ON sb.doc_id = db
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
+        |),
+        |e AS (SELECT da i, db j FROM e0 UNION ALL SELECT db, da FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+        |  UNION
+        |  SELECT r.src, e.j FROM reach r JOIN e ON e.i = r.dst
+        |),
+        |cl AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY src),
+        |surv AS (SELECT DISTINCT c AS doc_id FROM cl),
+        |ss AS (SELECT s2.doc_id, s2.sh FROM sc s2 JOIN surv USING (doc_id)),
+        |si AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM incoming)
+        |)
+        |SELECT i.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM si i CROSS JOIN ss c
+        |WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
+        |      (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    // cluster-drift truth: two reachability closures (thresholds 0.5/0.9
+    // over 3-gram Jaccard on the filler-extended corpus), then transition
+    // rows via the textbook row_number argmax the engine expresses as a
+    // min(struct) aggregate
+    "q_cluster_stability" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+        |                        WHERE doc_id < 300),
+        |mbase AS (
+        |  SELECT doc_id, text,
+        |    greatest(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '')) // 6, 4) AS m
+        |  FROM base
+        |),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    text || ' ' || array_to_string(
+        |      [('f' || x::VARCHAR) for x in range(0, m)], ' ')
+        |  FROM mbase WHERE doc_id % 10 = 3
+        |),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |      FROM corpus WHERE trim(text) <> ''),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                  for i in range(1, greatest(len(toks) - 1, 2))]) sh
+        |  FROM t
+        |),
+        |ex AS (SELECT doc_id, unnest(sh) g FROM s),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |),
+        |jac AS (
+        |  SELECT da, db, len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |    (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) jv
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |),
+        |ec AS (SELECT da i, db j FROM jac WHERE jv >= 0.5
+        |       UNION ALL SELECT db, da FROM jac WHERE jv >= 0.5),
+        |ef AS (SELECT da i, db j FROM jac WHERE jv >= 0.9
+        |       UNION ALL SELECT db, da FROM jac WHERE jv >= 0.9),
+        |rc AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+        |  UNION
+        |  SELECT r.src, ec.j FROM rc r JOIN ec ON ec.i = r.dst
+        |),
+        |rf AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+        |  UNION
+        |  SELECT r.src, ef.j FROM rf r JOIN ef ON ef.i = r.dst
+        |),
+        |cc AS (SELECT src AS doc_id, min(dst) AS c FROM rc GROUP BY src),
+        |cf AS (SELECT src AS doc_id, min(dst) AS c FROM rf GROUP BY src),
+        |szc AS (SELECT c AS cl, count(*)::BIGINT AS n FROM cc GROUP BY 1),
+        |szf AS (SELECT c AS cl, count(*)::BIGINT AS n FROM cf GROUP BY 1),
+        |ov1 AS (SELECT cc.c cfrom, cf.c cto, count(*)::BIGINT ov
+        |        FROM cc JOIN cf USING (doc_id) GROUP BY 1, 2),
+        |b1 AS (SELECT cfrom, cto, ov, row_number() OVER
+        |         (PARTITION BY cfrom ORDER BY ov DESC, cto ASC) rn FROM ov1),
+        |d1 AS (
+        |  SELECT 'refine' AS direction, b.cfrom AS cluster_from,
+        |    szc.n AS size_from, b.cto AS best_to, b.ov AS overlap,
+        |    szf.n AS size_to,
+        |    CASE WHEN b.ov = szc.n AND szf.n = szc.n THEN 'stable'
+        |         WHEN b.ov = szc.n THEN 'grown' ELSE 'split' END AS status
+        |  FROM b1 b JOIN szc ON szc.cl = b.cfrom JOIN szf ON szf.cl = b.cto
+        |  WHERE rn = 1
+        |),
+        |ov2 AS (SELECT cf.c cfrom, cc.c cto, count(*)::BIGINT ov
+        |        FROM cf JOIN cc USING (doc_id) GROUP BY 1, 2),
+        |b2 AS (SELECT cfrom, cto, ov, row_number() OVER
+        |         (PARTITION BY cfrom ORDER BY ov DESC, cto ASC) rn FROM ov2),
+        |d2 AS (
+        |  SELECT 'coarsen' AS direction, b.cfrom AS cluster_from,
+        |    szf.n AS size_from, b.cto AS best_to, b.ov AS overlap,
+        |    szc.n AS size_to,
+        |    CASE WHEN b.ov = szf.n AND szc.n = szf.n THEN 'stable'
+        |         WHEN b.ov = szf.n THEN 'grown' ELSE 'split' END AS status
+        |  FROM b2 b JOIN szf ON szf.cl = b.cfrom JOIN szc ON szc.cl = b.cto
+        |  WHERE rn = 1
+        |)
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        |ORDER BY direction, cluster_from""".stripMargin,
+    // normalization-tier truth: the same two RE2-safe rewrites over the
+    // lowercased text, keeper = min doc_id per normalized string
+    "q_norm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, upper(text) || ' !!' FROM documents
+        |  WHERE doc_id % 6 = 0
+        |),
+        |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM corpus),
+        |k AS (SELECT norm, min(doc_id) AS keeper_id FROM n GROUP BY 1)
+        |SELECT doc_id, keeper_id, doc_id <> keeper_id AS is_dup
+        |FROM n JOIN k USING (norm) ORDER BY doc_id""".stripMargin,
+    // S-curve truth: the identical IEEE square chains, CTE per squaring,
+    // fixed-pointed by the same floor(p*1e9 + 0.5)
+    "q_lsh_calibration" ->
+      """WITH ks AS (SELECT unnest(range(1, 100))::INT AS pct),
+        |g AS (SELECT pct, pct::DOUBLE / 100.0 AS t FROM ks),
+        |p1 AS (SELECT pct, t, t*t AS t2 FROM g),
+        |p2 AS (SELECT pct, t, t2, t2*t2 AS t4 FROM p1),
+        |p3 AS (SELECT pct, t, t2, t4, t4*t4 AS t8 FROM p2),
+        |p4 AS (SELECT pct, t2, t4, t8, t8*t8 AS t16 FROM p3),
+        |u0 AS (SELECT pct, 1.0::DOUBLE - t8 AS ua, 1.0::DOUBLE - t4 AS ub,
+        |              1.0::DOUBLE - t16 AS uc FROM p4),
+        |u1 AS (SELECT pct, ua*ua AS ua2, ub*ub AS ub2, uc*uc AS uc2 FROM u0),
+        |u2 AS (SELECT pct, ua2*ua2 AS ua4, ub2*ub2 AS ub4, uc2*uc2 AS uc4 FROM u1),
+        |u3 AS (SELECT pct, ua4*ua4 AS ua8, ub4*ub4 AS ub8, uc4*uc4 AS uc8 FROM u2),
+        |u4 AS (SELECT pct, ua8*ua8 AS ua16, ub8*ub8 AS ub16, uc8 FROM u3),
+        |u5 AS (SELECT pct, ua16, ub16*ub16 AS ub32, uc8 FROM u4)
+        |SELECT 16 AS bands, 8 AS rows_per_band, pct,
+        |  CAST(floor((1.0::DOUBLE - ua16) * 1000000000.0::DOUBLE + 0.5::DOUBLE)
+        |       AS BIGINT) AS p_collide_ppb
+        |FROM u5
+        |UNION ALL
+        |SELECT 32, 4, pct,
+        |  CAST(floor((1.0::DOUBLE - ub32) * 1000000000.0::DOUBLE + 0.5::DOUBLE)
+        |       AS BIGINT)
+        |FROM u5
+        |UNION ALL
+        |SELECT 8, 16, pct,
+        |  CAST(floor((1.0::DOUBLE - uc8) * 1000000000.0::DOUBLE + 0.5::DOUBLE)
+        |       AS BIGINT)
+        |FROM u5
+        |ORDER BY bands, rows_per_band, pct""".stripMargin,
+    // impact-report truth: exact losers from text-equality groups,
+    // near-dup losers from 0.9-reachability cluster labels minus the exact
+    // set, both lanes aggregated to (docs, tokens) rows
+    "q_dedup_impact" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zz' || doc_id::VARCHAR FROM base
+        |  WHERE doc_id % 10 = 3 AND length(text) >= 400
+        |),
+        |tok AS (SELECT doc_id, text,
+        |    (CASE WHEN trim(text) = '' THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT n_tok
+        |  FROM corpus),
+        |ek AS (SELECT text, min(doc_id) AS k FROM corpus GROUP BY 1),
+        |exact_losers AS (SELECT doc_id, n_tok FROM tok JOIN ek USING (text)
+        |                 WHERE doc_id <> k),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |        FROM corpus WHERE trim(text) <> '')
+        |),
+        |ex AS (SELECT doc_id, unnest(sh) g FROM sc),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |),
+        |e0 AS (
+        |  SELECT da, db FROM cand
+        |  JOIN sc sa ON sa.doc_id = da JOIN sc sb ON sb.doc_id = db
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
+        |),
+        |e AS (SELECT da i, db j FROM e0 UNION ALL SELECT db, da FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+        |  UNION
+        |  SELECT r.src, e.j FROM reach r JOIN e ON e.i = r.dst
+        |),
+        |cl AS (SELECT src AS doc_id, min(dst) AS c FROM reach GROUP BY src),
+        |near_losers AS (
+        |  SELECT tok.doc_id, tok.n_tok FROM cl JOIN tok USING (doc_id)
+        |  WHERE cl.doc_id <> cl.c
+        |    AND cl.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+        |)
+        |SELECT 'exact' AS lane, count(*)::BIGINT AS docs_removed,
+        |  coalesce(sum(n_tok), 0)::BIGINT AS tokens_removed
+        |FROM exact_losers
+        |UNION ALL
+        |SELECT 'near_dup', count(*)::BIGINT, coalesce(sum(n_tok), 0)::BIGINT
+        |FROM near_losers
+        |ORDER BY lane""".stripMargin,
     // composed pipeline truth: lang CASE + token/stopword floors over the
     // dup-injected corpus, then keep-one-copy (min doc_id per exact text)
     "q_training_prep" ->

@@ -157,6 +157,11 @@ object Verify {
             task.cancel(true)
           case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally {
+          // queries may persist() intermediates consumed by several plan
+          // branches (q_cluster_stability); drop them between queries so
+          // cache never accumulates across the 95-query sweep
+          spark.catalog.clearCache()
         }
       }
     }

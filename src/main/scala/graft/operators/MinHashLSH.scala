@@ -159,6 +159,37 @@ object MinHashLSH {
         .select(col("new_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  // ------------------------------------------------------------------
+  // Index lifecycle: the maintenance jobs a long-lived stored band index
+  // needs between probe batches
+  // ------------------------------------------------------------------
+
+  /** Posting-level compaction: collapse duplicate `(id, band, bh)` rows.
+    * Appends are at-least-once in practice (a replayed increment re-adds
+    * its postings); duplicates never change PROBE results (candidates are
+    * `.distinct()`ed) but they inflate the index and push capped buckets
+    * toward hub degradation early, so a periodic rewrite keeps the cap
+    * budget spent on real members. Run it as the same job that re-buckets
+    * the index table by (band, bh) — one shuffle serves both. */
+  def compactPostings(index: DataFrame): DataFrame =
+    index.select("id", "band", "bh").distinct()
+
+  /** Shrink the index to surviving documents — the companion job to
+    * cluster-survivor selection (`q_cluster_survivors` shape): after a
+    * dedup pass retires cluster losers from the corpus, their postings
+    * must leave the index too, or every future probe keeps paying verify
+    * joins against text that is no longer served. Left-semi on the
+    * (usually much smaller) survivor set rather than anti-join on the
+    * loser set: survivors is the list you already materialized, and a
+    * semi-join build side of ids broadcasts far below Bloom scale. This is
+    * an index REWRITE job (amortized, offline) — the shuffle back to
+    * (band, bh) bucketing rides the write. */
+  def retainPostings(index: DataFrame, survivors: DataFrame,
+                     idCol: String): DataFrame =
+    index.join(
+      survivors.select(col(idCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_semi")
+
   /** Brute-force oracle (tests only — O(n^2), small n). */
   def bruteForcePairs(docs: Seq[(Long, String)], threshold: Double): Set[(Long, Long)] = {
     val shingled = docs.map { case (id, t) => (id, TextOps.shingleHashes(t)) }

@@ -233,4 +233,39 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
       s"appended postings not probed: $caught")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("compactPostings collapses a replayed append to the original index") {
+    val index = MinHashLSH.bandIndex(corpusDf, "doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    val original = index.collect().map(key).toSet
+    val replayed = index.unionByName(index) // at-least-once redelivery
+    assert(replayed.count() == 2L * original.size)
+    val compacted = MinHashLSH.compactPostings(replayed).collect().map(key)
+    assert(compacted.length == original.size, "duplicates must collapse")
+    assert(compacted.toSet == original, "compaction must not invent postings")
+  }
+
+  test("retainPostings drops losers' postings; probes then pair with survivors only") {
+    import spark.implicits._
+    // corpus with exact-copy clusters: ids 0..19 plus copies 100..119;
+    // survivor of each cluster is the min id (0..19)
+    val base = WebPages.generate(20, 55L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val corpus = (base ++ base.map { case (id, t) => (100L + id, t) })
+      .toDF("doc_id", "text")
+    val survivors = base.map(_._1).toDF("doc_id")
+    val retained = MinHashLSH.retainPostings(
+      MinHashLSH.bandIndex(corpus, "doc_id", "text"), survivors, "doc_id")
+    assert(retained.select("id").distinct().collect().map(_.getLong(0)).toSet
+      == base.map(_._1).toSet)
+    // a probe that is a copy of a LOSER must still pair — with the survivor
+    val probe = Seq((900L, base(3)._2)).toDF("doc_id", "text")
+    val got = MinHashLSH
+      .incrementalNearDupPairs(retained, corpus, probe, "doc_id", "text", 0.9)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((900L, 3L)), s"survivor pair missing: $got")
+    assert(got.forall(_._2 < 100L), s"retired posting leaked into probe: $got")
+  }
 }

@@ -1,0 +1,51 @@
+package graft.spark
+
+import graft.operators.LshCalibration
+import org.scalatest.funsuite.AnyFunSuite
+
+class LshCalibrationSpec extends AnyFunSuite with SparkSuiteBase {
+
+  test("square-chain probability agrees with library pow") {
+    for {
+      (b, r) <- LshCalibration.DefaultConfigs
+      k <- 1 until 100
+    } {
+      val t = k / 100.0
+      val chain = LshCalibration.collisionProbability(t, b, r)
+      val lib = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      assert(math.abs(chain - lib) < 1e-12, s"(b=$b,r=$r,t=$t)")
+    }
+  }
+
+  test("curve DataFrame matches the scalar chain exactly and is monotone") {
+    val rows = LshCalibration.curve(spark).collect()
+    assert(rows.length == 3 * 99)
+    rows.foreach { row =>
+      val (b, r, pct, ppb) =
+        (row.getInt(0), row.getInt(1), row.getInt(2), row.getLong(3))
+      val p = LshCalibration.collisionProbability(pct / 100.0, b, r)
+      assert(ppb == math.floor(p * 1.0e9 + 0.5).toLong, s"(b=$b,r=$r,pct=$pct)")
+    }
+    LshCalibration.DefaultConfigs.foreach { case (b, r) =>
+      val ps = rows.filter(x => x.getInt(0) == b && x.getInt(1) == r)
+        .sortBy(_.getInt(2)).map(_.getLong(3))
+      assert(ps.zip(ps.tail).forall { case (a, c) => a <= c },
+        s"S-curve must be monotone for (b=$b,r=$r)")
+    }
+  }
+
+  test("the pipeline's 16x8 config backs the recall >= 0.99 target at t=0.9") {
+    val p = LshCalibration.collisionProbability(0.9, 16, 8)
+    assert(p > 0.9998)
+    // midpoint sits near (1/16)^(1/8): below 0.65 the curve is quiet,
+    // above 0.76 it is committed
+    assert(LshCalibration.collisionProbability(0.65, 16, 8) < 0.5)
+    assert(LshCalibration.collisionProbability(0.76, 16, 8) > 0.5)
+  }
+
+  test("non-power-of-two configs are refused loudly") {
+    intercept[IllegalArgumentException] {
+      LshCalibration.collisionProbability(0.5, 20, 5)
+    }
+  }
+}
