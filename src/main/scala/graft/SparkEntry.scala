@@ -413,6 +413,121 @@ object SparkEntry {
             col("tokens_removed")))
         .orderBy("lane")
     }),
+    "q_url_refresh" -> ((s, dir) => {
+      // crawl-REFRESH dedup (the same-url tier below content dedup): each
+      // url re-crawled across three synthetic crawls; keep the LATEST
+      // snapshot (max warc_ts — unique per url by construction) and report
+      // refresh stats: snapshots seen, distinct content versions, whether
+      // the page ever changed. The aggregate shuffles only
+      // (url, ts, md5 content key) — never text payloads — so at 10^12
+      // snapshot rows the group-by carries ~50 bytes/row; the winning
+      // snapshot body is recovered afterwards by a narrow semi-join on
+      // (url, kept_ts) against the bucketed-by-url crawl table.
+      val base = t(s, dir, "documents").select("doc_id", "text", "source")
+      def url = concat(lit("https://"), col("source"), lit("/p"),
+        col("doc_id").cast("string"))
+      val snaps = base
+        .select(url.as("url"), col("doc_id").as("warc_ts"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 2 === 0)
+          .select(url.as("url"), (col("doc_id") + 1000000L).as("warc_ts"),
+            col("text")))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select(url.as("url"), (col("doc_id") + 2000000L).as("warc_ts"),
+            concat(col("text"), lit(" updated")).as("text")))
+        .select(col("url"), col("warc_ts"), md5(col("text")).as("ck"))
+      snaps.groupBy("url")
+        .agg(max("warc_ts").as("kept_ts"),
+          count(lit(1)).as("n_snapshots"),
+          countDistinct("ck").as("n_versions"))
+        .withColumn("changed", col("n_versions") > 1)
+        .orderBy("url")
+    }),
+    "q_crawl_delta" -> ((s, dir) => {
+      // crawl-over-crawl DELTA: classify every url across two synthetic
+      // crawls as added / removed / changed / unchanged by content key.
+      // Both sides project to narrow (url, ck) BEFORE the full-outer
+      // join, so the join never carries text; at scale both crawls
+      // sort-merge (or co-bucket) on url and the verdict is a map over
+      // the joined row — the incremental-ingest planner reads this to
+      // size the batch it feeds the admission flow.
+      val base = t(s, dir, "documents").select("doc_id", "text", "source")
+      def url = concat(lit("https://"), col("source"), lit("/p"),
+        col("doc_id").cast("string"))
+      val a = base.select(url.as("url"), md5(col("text")).as("ck_a"))
+      val b = base.filter(col("doc_id") % 7 =!= 0)
+        .select(url.as("url"),
+          md5(when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("ck_b"))
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select(concat(lit("https://"), col("source"), lit("/q"),
+            col("doc_id").cast("string")).as("url"),
+            md5(col("text")).as("ck_b")))
+      a.join(b, Seq("url"), "full_outer")
+        .select(col("url"),
+          when(col("ck_a").isNull, "added")
+            .when(col("ck_b").isNull, "removed")
+            .when(col("ck_a") === col("ck_b"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy("url")
+    }),
+    "q_dup_host_topology" -> ((s, dir) => {
+      // exact-dup PROVENANCE datasheet: each byte-identical loser
+      // classified by whether it lives on the keeper's host (within-site
+      // template duplication) or a different one (cross-site syndication)
+      // — the split that decides whether dedup policy should scope by
+      // host. Same-source copies of every 10th doc and rotated-source
+      // copies of every 6th are injected. Keeper resolution is the
+      // ExactDedup shape: min doc_id per md5 content key, joined back
+      // narrow (the shuffle carries keys and source labels, never text).
+      val base = t(s, dir, "documents").select("doc_id", "text", "source")
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            col("source")))
+        .unionByName(base.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            concat(lit("src"), ((col("doc_id") + 7) % 20).cast("string"))
+              .as("source")))
+      val keyed = corpus.select(col("doc_id"), col("source"),
+        md5(col("text")).as("ck"))
+      val keeper = keyed.groupBy("ck").agg(min("doc_id").as("keeper_id"))
+      val keeperSrc = keyed.select(col("doc_id").as("keeper_id"),
+        col("source").as("keeper_source"))
+      keyed.join(keeper, "ck").filter(col("doc_id") =!= col("keeper_id"))
+        .join(keeperSrc, "keeper_id")
+        .select(col("doc_id").as("loser_id"), col("keeper_id"),
+          when(col("source") === col("keeper_source"), "same_host")
+            .otherwise("cross_host").as("scope"))
+        .orderBy("loser_id")
+    }),
+    "q_posting_skew" -> ((s, dir) => {
+      // capacity planning for the capped-bucket machinery: the document-
+      // frequency histogram of distinct 5-gram shingles in log2 buckets
+      // (bucket = bit length, integer-exact in both engines — no FP log)
+      // plus how many postings a df cap of 64 would shed per bucket (the
+      // documented lower-bound regime of BucketedPairs past maxPostings).
+      // Pure Catalyst HOFs end-to-end — no UDF, whole-stage codegen'd —
+      // and the wide gram explode collapses through a partial aggregate
+      // before the shuffle, so the exchange carries (gram, partial df).
+      // A 7-token boilerplate footer on every even doc injects the hot
+      // (template) gram regime the cap exists for.
+      val toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+      val grams = docsWithDups(s, dir)
+        .withColumn("text", when(col("doc_id") % 2 === 0,
+          concat(col("text"), lit(" share this page on social media now")))
+          .otherwise(col("text")))
+        .filter(trim(col("text")) =!= "")
+        .select(explode(expr(
+          s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
+          s"i -> array_join(slice($toks, i, 5), ' ')))")).as("g"))
+      grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
+        .agg(count(lit(1)).as("n_grams"), sum("df").as("n_postings"),
+          sum(when(col("df") > 64, col("df") - 64).otherwise(0L))
+            .as("postings_over_cap"))
+        .orderBy("log2_df")
+    }),
     "q_training_prep" -> ((s, dir) => {
       // end-to-end training-set preparation: language filter + quality
       // floor (token count, stopword ratio) -> exact keep-one-copy dedup
@@ -2298,6 +2413,96 @@ object SparkEntry {
         |SELECT 'near_dup', count(*)::BIGINT, coalesce(sum(n_tok), 0)::BIGINT
         |FROM near_losers
         |ORDER BY lane""".stripMargin,
+    // refresh truth: three crawls unioned, latest ts wins, versions =
+    // distinct content keys per url
+    "q_url_refresh" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+        |snaps AS (
+        |  SELECT 'https://' || source || '/p' || doc_id::VARCHAR AS url,
+        |         doc_id AS warc_ts, md5(text) AS ck FROM base
+        |  UNION ALL
+        |  SELECT 'https://' || source || '/p' || doc_id::VARCHAR,
+        |         doc_id + 1000000, md5(text) FROM base WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'https://' || source || '/p' || doc_id::VARCHAR,
+        |         doc_id + 2000000, md5(text || ' updated')
+        |  FROM base WHERE doc_id % 3 = 0
+        |)
+        |SELECT url, max(warc_ts) AS kept_ts, count(*)::BIGINT AS n_snapshots,
+        |       count(DISTINCT ck)::BIGINT AS n_versions,
+        |       count(DISTINCT ck) > 1 AS changed
+        |FROM snaps GROUP BY url ORDER BY url""".stripMargin,
+    // delta truth: full outer join of the two crawls' (url, content key)
+    // projections, one CASE per verdict
+    "q_crawl_delta" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+        |a AS (SELECT 'https://' || source || '/p' || doc_id::VARCHAR AS url,
+        |             md5(text) AS ck_a FROM base),
+        |b AS (
+        |  SELECT 'https://' || source || '/p' || doc_id::VARCHAR AS url,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS ck_b
+        |  FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'https://' || source || '/q' || doc_id::VARCHAR, md5(text)
+        |  FROM base WHERE doc_id % 9 = 0
+        |)
+        |SELECT coalesce(a.url, b.url) AS url,
+        |  CASE WHEN a.url IS NULL THEN 'added'
+        |       WHEN b.url IS NULL THEN 'removed'
+        |       WHEN ck_a = ck_b THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.url = b.url
+        |ORDER BY url""".stripMargin,
+    // provenance truth: min-id keeper per text group, loser classified by
+    // source equality against the keeper's source
+    "q_dup_host_topology" ->
+      """WITH base AS (SELECT doc_id, text, source FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text, source FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, 'src' || ((doc_id + 7) % 20)::VARCHAR
+        |  FROM base WHERE doc_id % 6 = 0
+        |),
+        |keyed AS (SELECT doc_id, source, md5(text) AS ck FROM corpus),
+        |k AS (SELECT ck, min(doc_id) AS keeper_id FROM keyed GROUP BY ck)
+        |SELECT x.doc_id AS loser_id, k.keeper_id,
+        |  CASE WHEN x.source = ks.source THEN 'same_host'
+        |       ELSE 'cross_host' END AS scope
+        |FROM keyed x JOIN k USING (ck)
+        |JOIN keyed ks ON ks.doc_id = k.keeper_id
+        |WHERE x.doc_id <> k.keeper_id
+        |ORDER BY loser_id""".stripMargin,
+    // skew truth: the same 5-gram construction as the Jaccard-lane
+    // oracles, df per distinct gram, integer-exact bit-length buckets
+    "q_posting_skew" ->
+      """WITH raw_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |),
+        |all_docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN text || ' share this page on social media now'
+        |      ELSE text END AS text
+        |  FROM raw_docs
+        |),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |      FROM all_docs WHERE trim(text) <> ''),
+        |s AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM t
+        |),
+        |dfs AS (SELECT g, count(*)::BIGINT AS df
+        |        FROM (SELECT doc_id, unnest(sh) g FROM s) GROUP BY g)
+        |SELECT (length(bin(df)) - 1)::BIGINT AS log2_df,
+        |  count(*)::BIGINT AS n_grams, sum(df)::BIGINT AS n_postings,
+        |  sum(CASE WHEN df > 64 THEN df - 64 ELSE 0 END)::BIGINT
+        |    AS postings_over_cap
+        |FROM dfs GROUP BY 1 ORDER BY log2_df""".stripMargin,
     // composed pipeline truth: lang CASE + token/stopword floors over the
     // dup-injected corpus, then keep-one-copy (min doc_id per exact text)
     "q_training_prep" ->
