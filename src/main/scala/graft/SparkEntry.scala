@@ -1127,6 +1127,70 @@ object SparkEntry {
         .filter(col("dst") =!= "")
       HostRank.run(edges, "src", "dst", iters = 4).orderBy("host")
     }),
+    "q_hits" -> ((s, dir) => {
+      // hubs/authorities over the same host graph — the complement signal
+      // to q_host_rank (a link directory is a strong hub but a weak
+      // authority; a content site the reverse). Unnormalized int64 HITS,
+      // 2 rounds, so like PageRank the iterate is order-free and the
+      // oracle unrolls the identical recurrence as chained CTEs.
+      GraftFunctions.register(s)
+      val edges = t(s, dir, "documents")
+        .select(col("doc_id"), anchorHtml.as("html"))
+        .select(
+          concat(lit("src"), (col("doc_id") % 13).cast("string"),
+            lit(".example.com")).as("src"),
+          explode(expr("outlinks(html)")).as("link"))
+        .select(col("src"), expr("url_host(link)").as("dst"))
+        .filter(col("dst") =!= "")
+      HostRank.hits(edges, "src", "dst", iters = 2).orderBy("host")
+    }),
+    "q_minhash_accuracy" -> ((s, dir) => {
+      // estimator-contract gate for the 128-perm MinHash kernel — the
+      // statistical assumption every LSH design decision upstream
+      // (q_lsh_calibration's S-curve, the banding operating point) rests
+      // on: over pairs spanning the whole Jaccard range, the signature
+      // estimate must track exact shingle Jaccard unbiasedly within
+      // binomial-width bounds (sigma = sqrt(J(1-J)/128) <= 0.045).
+      // Pair corpus: every 5th doc paired with itself plus
+      // 1 + doc_id % 50 unique junk tokens — junk dilutes the union, so
+      // exact J spreads smoothly across buckets. Exact J is computed
+      // IN-PLAN from the same literal 5-gram construction the oracle
+      // uses (pure Catalyst HOFs — integer set sizes + one IEEE division,
+      // so bucket boundaries are engine-identical by construction); only
+      // the signature estimate comes from the kernel under test. The
+      // oracle recomputes buckets + pair counts and pins the error
+      // booleans TRUE: an estimator drift flips a boolean and the hash
+      // compare goes red.
+      GraftFunctions.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
+      val junk = expr("array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
+        "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')")
+      def grams(c: String) = {
+        val toks = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
+        s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
+          s"i -> array_join(slice($toks, i, 5), ' ')))"
+      }
+      val scored = base
+        .select(col("doc_id"), col("text").as("text_a"),
+          concat(col("text"), lit(" "), junk).as("text_b"))
+        .select(col("doc_id"),
+          expr(s"${grams("text_a")}").as("ga"), expr(s"${grams("text_b")}").as("gb"),
+          expr("est_jaccard(minhash128(text_a), minhash128(text_b))").as("j_est"))
+        .select(col("doc_id"), col("j_est"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            (size(col("ga")) + size(col("gb"))
+              - size(array_intersect(col("ga"), col("gb"))))).as("j_exact"))
+      scored
+        .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
+        .withColumn("err", col("j_est") - col("j_exact"))
+        .groupBy("j_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          (max(abs(col("err"))) <= 0.15).as("max_err_ok"),
+          (avg(abs(col("err"))) <= 0.06).as("mean_err_ok"),
+          (abs(avg(col("err"))) <= 0.05).as("bias_ok"))
+        .orderBy("j_bucket")
+    }),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3018,6 +3082,43 @@ object SparkEntry {
         |    (CASE WHEN doc_id % 3 = 2 THEN ['out' || ((doc_id*7+2) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END)) AS dst
         |FROM documents),
         |edges AS (SELECT DISTINCT src, dst FROM raw)""".stripMargin, iters = 4),
+    // the HITS recurrence unrolled over the identical edge set — integer
+    // hubs/authorities, strict hash compare
+    "q_hits" -> HostRank.hitsOracleSql(
+      """WITH raw AS (SELECT
+        |  'src' || (doc_id % 13)::VARCHAR || '.example.com' AS src,
+        |  unnest(
+        |    ['out' || ((doc_id*7) % 20)::VARCHAR || '.example.com'] ||
+        |    (CASE WHEN doc_id % 3 >= 1 THEN ['out' || ((doc_id*7+1) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END) ||
+        |    (CASE WHEN doc_id % 3 = 2 THEN ['out' || ((doc_id*7+2) % 20)::VARCHAR || '.example.com'] ELSE []::VARCHAR[] END)) AS dst
+        |FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw)""".stripMargin, iters = 2),
+    // estimator-contract truth: the pair corpus, literal 5-gram exact
+    // Jaccard, and bucket counts rebuilt in SQL; the error booleans are
+    // pinned TRUE — only the MinHash kernel can flip them
+    "q_minhash_accuracy" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |p AS (SELECT doc_id, text AS text_a,
+        |  text || ' ' || array_to_string(
+        |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
+        |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
+        |  FROM base),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
+        |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p),
+        |g AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ta[i:i+4], ' ')
+        |                 for i in range(1, greatest(len(ta) - 3, 2))]) AS ga,
+        |  list_distinct([array_to_string(tb[i:i+4], ' ')
+        |                 for i in range(1, greatest(len(tb) - 3, 2))]) AS gb
+        |  FROM tk),
+        |j AS (SELECT doc_id, len(list_intersect(ga, gb))::DOUBLE /
+        |        (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS j_exact
+        |      FROM g)
+        |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
+        |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
+        |       true AS mean_err_ok, true AS bias_ok
+        |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin,
     // textbook definition: postings from regexp-split tokens, ALL-terms
     // coverage via distinct-term count, rank window top-10 — the engine's
     // bounded MinNPair top-k must reproduce the window's row set exactly

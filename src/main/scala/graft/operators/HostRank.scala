@@ -71,6 +71,79 @@ object HostRank {
     ranks
   }
 
+  /** HITS (Kleinberg hubs/authorities) over the same host graph, the
+    * complement signal to PageRank: a host can be a poor authority but a
+    * good hub (link directory) and vice versa — curation pipelines use the
+    * pair to separate content sites from link farms.
+    *
+    * UNNORMALIZED INTEGER iterate (no per-round L2 normalization): after k
+    * rounds auth_k(v) counts alternating-direction paths of length 2k-1
+    * into v and hub_k(u) paths of length 2k out of u — pure int64 sums, so
+    * like `run` the fixpoint is byte-identical under any partitioning and
+    * exactly SQL-oracle-checkable as chained CTEs. Normalization is a
+    * presentation-time division the caller applies to the final row set
+    * (rank order is already normalization-invariant). Values grow like
+    * (d_out*d_in)^k, so keep iters small (2-3) or pre-scale: with int64
+    * headroom ~9.2e18 a 10^8-host graph with mean degree 100 overflows
+    * around k=4 — the iterate `require`s iters <= 3.
+    *
+    * Scale shape: identical to `run` — distinct narrow edges computed
+    * once, each half-round is one shuffle-on-key join + one sum; the
+    * small score side alone shuffles per round when edges are bucketed.
+    *
+    * Rounds: hub_0 = 1 on every node; round k is
+    *   auth_k(v) = sum_{u->v} hub_{k-1}(u)
+    *   hub_k(u)  = sum_{u->v} auth_k(v)
+    * Returns (host, auth, hub) after `iters` rounds; nodes with no
+    * in-edges carry auth 0, no out-edges hub 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 3, "iters must be in [1, 3] (int64 headroom)")
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = materialize(
+      e.select(col("src").as("host")).union(e.select(col("dst").as("host"))).distinct())
+    var hub = nodes.withColumn("hub", lit(1L))
+    var auth = nodes.withColumn("auth", lit(0L))
+    for (_ <- 1 to iters) {
+      val a = e.join(hub.withColumnRenamed("host", "src"), "src")
+        .groupBy("dst").agg(sum("hub").as("s"))
+        .withColumnRenamed("dst", "host")
+      auth = materialize(nodes.join(a, Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("auth")))
+      val h = e.join(auth.withColumnRenamed("host", "dst"), "dst")
+        .groupBy("src").agg(sum("auth").as("s"))
+        .withColumnRenamed("src", "host")
+      hub = materialize(nodes.join(h, Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("hub")))
+    }
+    auth.join(hub, Seq("host"))
+  }
+
+  /** The HITS iterate unrolled as chained DuckDB CTEs (same `edgesCte`
+    * contract as `oracleSql`); every sum cast back to BIGINT. */
+  def hitsOracleSql(edgesCte: String, iters: Int): String = {
+    val pre =
+      s"""$edgesCte,
+         |nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""a$k AS (
+         |  SELECT n.host, CAST(coalesce(s.s, 0) AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS host, CAST(sum(h.hub) AS BIGINT) AS s
+         |    FROM edges e JOIN h${k - 1} h ON h.host = e.src
+         |    GROUP BY e.dst) s ON s.host = n.host),
+         |h$k AS (
+         |  SELECT n.host, CAST(coalesce(s.s, 0) AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src AS host, CAST(sum(a.auth) AS BIGINT) AS s
+         |    FROM edges e JOIN a$k a ON a.host = e.dst
+         |    GROUP BY e.src) s ON s.host = n.host)""".stripMargin
+    }
+    (pre +: rounds).mkString(",\n") +
+      s"\nSELECT a.host, a.auth, h.hub FROM a$iters a JOIN h$iters h USING (host) ORDER BY host"
+  }
+
   /** The same iterate as DuckDB SQL: `edgesCte` must OPEN the WITH block
     * and define `edges(src, dst)` already distinct — e.g.
     * `WITH edges AS (SELECT DISTINCT ...)`. Chained CTEs r1..rK unroll the
