@@ -657,6 +657,35 @@ object SparkEntry {
       NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5, dfOrdered = true)
         .orderBy("id_a", "id_b")),
+    "q_dedup_sweep" -> ((s, dir) => {
+      // threshold-sweep datasheet: dup-pair and affected-doc counts at
+      // five Jaccard thresholds from ONE candidate+verify pass at the
+      // loosest (prefix-filter completeness at t=0.5 implies completeness
+      // for every t >= 0.5) — the empirical companion to the analytic
+      // S-curve (q_lsh_calibration) a deployment reads to pick its
+      // operating threshold. The per-threshold filter is ALL-INTEGER
+      // (c*10 >= t10*u), so the sweep is drift-free across engines; at
+      // corpus scale this is 1 shingle scan + 1 bucket join for the whole
+      // sweep instead of one lane run per threshold.
+      val scored = NgramJaccard.pairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          col("common_grams").cast("long").as("c"),
+          (col("grams_a").cast("long") + col("grams_b") - col("common_grams")).as("u"))
+      val hits = scored
+        .select(col("id_a"), col("id_b"), col("c"), col("u"),
+          explode(expr("array(5, 6, 7, 8, 9)")).as("t10"))
+        .filter(col("c") * 10 >= col("t10") * col("u"))
+      val nPairs = hits.groupBy("t10").agg(count(lit(1)).as("n_pairs"))
+      val nDocs = hits.select(col("t10"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy("t10").agg(countDistinct("d").as("n_docs"))
+      s.range(5, 10).select(col("id").cast("int").as("t10"))
+        .join(nPairs, Seq("t10"), "left").join(nDocs, Seq("t10"), "left")
+        .select(col("t10"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy("t10")
+    }),
     "q_containment" -> ((s, dir) => {
       // asymmetric near-dup (quote/boilerplate-wrap shape): every 10th doc
       // re-appears truncated to its first 60% of tokens plus one novel
@@ -2758,6 +2787,36 @@ object SparkEntry {
         |   OR (grams_b > 0 AND 5 * common_grams >= 4 * grams_b)
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ngram_jaccard" -> ngramJaccardOracleSql,
+    // sweep truth: brute-force ALL gram-sharing pairs, integer threshold
+    // filter per t10, explicit threshold spine so empty levels emit 0
+    "q_dedup_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, greatest(len(toks) - 1, 2))]) sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) g FROM s
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |), sc AS (
+        |  SELECT da, db,
+        |         len(list_intersect(sa.sh, sb.sh))::BIGINT c,
+        |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::BIGINT u
+        |  FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |), th AS (SELECT unnest([5, 6, 7, 8, 9]) AS t10),
+        |hits AS (SELECT t10, da, db FROM sc JOIN th ON c * 10 >= t10 * u),
+        |p AS (SELECT t10, count(*)::BIGINT n_pairs FROM hits GROUP BY 1),
+        |d AS (SELECT t10, count(DISTINCT doc)::BIGINT n_docs
+        |      FROM (SELECT t10, unnest([da, db]) AS doc FROM hits) GROUP BY 1)
+        |SELECT th.t10::INT AS t10, coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+        |       coalesce(n_docs, 0)::BIGINT AS n_docs
+        |FROM th LEFT JOIN p USING (t10) LEFT JOIN d USING (t10)
+        |ORDER BY t10""".stripMargin,
     // the df-ordered variant answers the SAME truth — order must be
     // result-invisible while no gram caps
     "q_ngram_jaccard_df" -> ngramJaccardOracleSql,

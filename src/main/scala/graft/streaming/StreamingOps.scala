@@ -227,6 +227,66 @@ object StreamingOps {
     dedup.drop("_h")
   }
 
+  /** One crawl snapshot of a url: event time + 64-bit content key (the
+    * xxhash64(text) key the exact-dedup lanes use; text itself never
+    * enters state). */
+  case class UrlSnap(url: String, ts: Long, ck: Long)
+  case class UrlRefreshState(keptTs: Long, keptCk: Long, nSnapshots: Long,
+                             versions: Array[Long])
+  case class UrlRefresh(url: String, kept_ts: Long, kept_ck: Long,
+                        n_snapshots: Long, n_versions: Int, changed: Boolean)
+
+  /** Streaming twin of the batch crawl-refresh query (`q_url_refresh`):
+    * latest-snapshot-wins per url with change tracking. Every micro-batch
+    * in which a url sees arrivals emits the url's CURRENT refresh row
+    * (update mode) — a changelog a downstream sink upserts keyed on url
+    * (the `sinkToTable` seam). Out-of-order arrivals fold correctly: an
+    * older-ts snapshot updates counts and the version set but never the
+    * kept snapshot. `n_snapshots` counts ARRIVALS (at-least-once delivery
+    * counts replays — the count is operational telemetry, not a dedup
+    * key); the kept snapshot and version set are replay-idempotent.
+    *
+    * State per url is O(1) plus the sorted distinct content-key set,
+    * capped at `maxVersions` (real pages have few versions; past the cap
+    * `n_versions` degrades to a lower bound, same documented trade as the
+    * capped-bucket lanes). Keyed state shards by url across executors —
+    * the same partitioning the batch group-by shuffles on, so the
+    * operator holds at crawl scale; for infinite streams compose with a
+    * watermark upstream and swap NoTimeout for an event-time TTL exactly
+    * like [[streamingCandidatePairsExpiring]]. */
+  def streamingUrlRefresh(snaps: Dataset[UrlSnap],
+                          maxVersions: Int = 64): Dataset[UrlRefresh] = {
+    import snaps.sparkSession.implicits._
+    snaps.groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (url: String, rows: Iterator[UrlSnap], state: GroupState[UrlRefreshState]) => {
+          var st = state.getOption.getOrElse(
+            UrlRefreshState(Long.MinValue, 0L, 0L, Array.emptyLongArray))
+          rows.foreach { r =>
+            var vs = st.versions
+            if (vs.length < maxVersions) {
+              val idx = java.util.Arrays.binarySearch(vs, r.ck)
+              if (idx < 0) {
+                val ins = -idx - 1
+                val next = new Array[Long](vs.length + 1)
+                System.arraycopy(vs, 0, next, 0, ins)
+                next(ins) = r.ck
+                System.arraycopy(vs, ins, next, ins + 1, vs.length - ins)
+                vs = next
+              }
+            }
+            val newer = r.ts > st.keptTs
+            st = UrlRefreshState(
+              if (newer) r.ts else st.keptTs,
+              if (newer) r.ck else st.keptCk,
+              st.nSnapshots + 1, vs)
+          }
+          state.update(st)
+          Iterator.single(UrlRefresh(url, st.keptTs, st.keptCk,
+            st.nSnapshots, st.versions.length, st.versions.length > 1))
+        })
+  }
+
   /** Per-bucket streaming state for LSH candidate generation: the SORTED
     * array of ids already seen in this bucket (capped, like the batch
     * hot-bucket cap — membership is a binary search, not a list walk).

@@ -187,6 +187,53 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming url refresh: latest-wins final state == batch recompute, out-of-order + replay folded") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+
+    // 40 urls x up to 4 snapshots, delivered out of order across 3 batches,
+    // with one exact replay batch in the middle
+    val snaps = (0L until 40L).flatMap { u =>
+      val url = s"https://h${u % 5}.example.com/p$u"
+      val v0 = StreamingOps.UrlSnap(url, ts = 100 + u, ck = u * 7)
+      val v1 = StreamingOps.UrlSnap(url, ts = 200 + u, ck = if (u % 3 == 0) u * 7 + 1 else u * 7)
+      val v2 = StreamingOps.UrlSnap(url, ts = 300 + u, ck = if (u % 4 == 0) u * 7 + 2 else v1.ck)
+      if (u % 2 == 0) Seq(v2, v0, v1) else Seq(v1, v0, v2) // out of order
+    }
+    val (b1, rest) = snaps.splitAt(50)
+    val (b2, b3) = rest.splitAt(40)
+
+    val input = MemoryStream[StreamingOps.UrlSnap]
+    val q = StreamingOps.streamingUrlRefresh(input.toDS())
+      .writeStream.format("memory").queryName("srefresh").outputMode("update").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable() // replayed below
+      input.addData(b2: _*); q.processAllAvailable() // exact replay batch
+      input.addData(b3: _*); q.processAllAvailable()
+
+      // final state per url = the last update-mode emission (max n_snapshots)
+      val fin = sq.sql(
+        """SELECT url, kept_ts, kept_ck, n_versions, changed FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY url ORDER BY n_snapshots DESC) rn
+          |  FROM srefresh) WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+
+      // batch truth over the delivered multiset (replays change nothing
+      // here: kept snapshot is max-ts, versions are a set)
+      val truth = snaps.groupBy(_.url).map { case (url, ss) =>
+        val kept = ss.maxBy(_.ts)
+        val vs = ss.map(_.ck).distinct
+        url -> ((kept.ts, kept.ck, vs.length, vs.length > 1))
+      }
+      assert(fin === truth)
+      // the changed flag fires exactly for urls whose content ever moved
+      assert(fin.count(_._2._4) === (0L until 40L).count(u => u % 3 == 0 || u % 4 == 0))
+    } finally q.stop()
+  }
+
   test("stateful streaming embedding LSH candidates cover cross-batch near-dup pairs") {
     val sq = spark
     import sq.implicits._
