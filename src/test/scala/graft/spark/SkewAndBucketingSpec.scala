@@ -63,6 +63,72 @@ class SkewAndBucketingSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
+  test("stored band index bucketed by (band, bh): probe never reshuffles the index side") {
+    // The incremental lanes' 100-TB contract in plan form: a 10^12-row
+    // stored band index is written ONCE bucketed on its probe keys; every
+    // daily increment then probes it with zero index-side exchanges — the
+    // semi-join, the salted capped collection, and the final candidate
+    // join all consume the scan's (band, bh) partitioning (grouping keys
+    // are supersets of the bucket keys), so only batch-sized data ever
+    // moves. Asserted by executing the SAME probe against the bucketed
+    // table and the in-plan unbucketed index: identical candidates,
+    // strictly fewer hash exchanges, bucketed scan visible in the plan.
+    val wh = java.nio.file.Files.createTempDirectory("graft-idx-bucket").toString
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val corpus = (0 until 2000).map(i =>
+        (i.toLong, s"corpus body number ${i / 3} copied words " + ("tok " * (3 + i % 7)).trim))
+        .toDF("doc_id", "text")
+      val idx = graft.operators.MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      idx.write.mode("overwrite").option("path", s"$wh/band_idx_b")
+        .bucketBy(8, "band", "bh").saveAsTable("graft_band_idx_b")
+      val batch = (0 until 120).map(i =>
+        (100000L + i, s"corpus body number ${(i * 5) / 3} copied words " + ("tok " * (3 + (i * 5) % 7)).trim))
+        .toDF("doc_id", "text")
+      try {
+        val stored = spark.table("graft_band_idx_b")
+        val onPlain = graft.operators.MinHashLSH.incrementalCandidates(
+          idx, batch, "doc_id", "text")
+        val b = onPlain.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // AQE off for this one query: the executed plan is then a plain
+        // tree the structural assertion can walk (AQE wraps subtrees in
+        // query stages; the bucketing behavior itself is AQE-independent)
+        withConf("spark.sql.adaptive.enabled" -> "false") {
+          val onStored = graft.operators.MinHashLSH.incrementalCandidates(
+            stored, batch, "doc_id", "text")
+          val a = onStored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(a === b, "bucketed and in-plan probes must agree")
+          assert(a.nonEmpty, "probe found no candidates — vacuous plan assertion")
+          val plan = onStored.queryExecution.executedPlan
+          import org.apache.spark.sql.execution.FileSourceScanExec
+          import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          val bucketedScans = plan.collect {
+            case f: FileSourceScanExec if f.bucketedScan => f }
+          assert(bucketedScans.nonEmpty,
+            s"expected a bucketed index scan (plan:\n$plan)")
+          // the one legitimate exchange above the scan is the final
+          // candidate `.distinct()` — batch-proportional output rows,
+          // partitioned on (new_id, corpus_id). What must NEVER appear is
+          // a re-partition of index rows on their own bucket keys: the
+          // semi-join, the salted capped collection, and the probe join
+          // all have to consume the scan's (band, bh) bucketing as-is.
+          val indexKeyShuffles = plan.collect {
+            case e: ShuffleExchangeExec if e.exists {
+              case f: FileSourceScanExec => f.bucketedScan
+              case _ => false
+            } && (e.outputPartitioning match {
+              case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+                h.expressions.flatMap(_.references.map(_.name))
+                  .toSet.intersect(Set("band", "bh")).nonEmpty
+              case _ => false
+            }) => e }
+          assert(indexKeyShuffles.isEmpty,
+            s"index rows re-partitioned on bucket keys (plan:\n$plan)")
+        }
+      } finally spark.sql("DROP TABLE IF EXISTS graft_band_idx_b")
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     val wh = java.nio.file.Files.createTempDirectory("graft-bucketing").toString
     withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
