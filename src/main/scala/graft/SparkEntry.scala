@@ -587,6 +587,28 @@ object SparkEntry {
           minShared = 2)
         .orderBy("id_a", "id_b")
     }),
+    "q_incremental_cdc" -> ((s, dir) => {
+      // the CDC lane's incremental face — with this, ALL FOUR near-dup
+      // lanes (minhash, simhash, substring, cdc) have batch + incremental
+      // forms. Corpus chunk index stored once; the batch (head-edited
+      // copies of corpus docs + novel docs) probes it through the shared
+      // capped helper and shared_chunks is recounted exactly from index
+      // postings — probe AND verify never read corpus text. The oracle
+      // brute-forces cross-side shared distinct chunks from the boundary
+      // rule.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+      val batch = corpus.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("ins"), col("doc_id").cast("string"), lit(" x y "),
+            col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+      val index = DocChunker.cdcChunkIndex(corpus, "doc_id", "text")
+      DocChunker.cdcIncrementalPairs(index, batch, "doc_id", "text",
+          minShared = 2)
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_cluster_survivors" -> ((s, dir) =>
       // score-based keep-one-copy: the survivor of each duplicate group is
       // the highest-priority copy (deterministic prio = doc_id % 3 so the
@@ -2654,6 +2676,38 @@ object SparkEntry {
         |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_chunks FROM p WHERE shared_chunks >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // incremental cdc truth: corpus/batch sides rebuilt by arithmetic,
+    // the same boundary rule chunks both, cross-side distinct-chunk
+    // intersection counted per pair
+    "q_incremental_cdc" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 5000000 AS doc_id,
+        |         'ins' || doc_id || ' x y ' || text AS text
+        |  FROM corpus WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 4 = 0
+        |),
+        |allr AS (SELECT 0 AS side, doc_id, text FROM corpus
+        |         UNION ALL SELECT 1, doc_id, text FROM batch),
+        |t AS (SELECT side, doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+        |    FROM allr),
+        |n AS (SELECT side, doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |b AS (SELECT side, doc_id, toks, list_sort(list_distinct(list_append(
+        |    list_filter(range(4, n + 1), i ->
+        |      (('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 8))::BIGINT
+        |        % 16) = 0), n))) AS ends FROM n),
+        |c AS (SELECT side, doc_id, toks, ends, unnest(range(1, len(ends) + 1)) AS j FROM b),
+        |hs AS (SELECT DISTINCT side, doc_id, md5(array_to_string(
+        |    toks[(CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END):ends[j]], ' ')) AS h
+        |  FROM c),
+        |p AS (SELECT nb.doc_id AS new_id, cs.doc_id AS corpus_id,
+        |        count(*)::BIGINT AS shared_chunks
+        |  FROM hs cs JOIN hs nb ON cs.h = nb.h AND cs.side = 0 AND nb.side = 1
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, shared_chunks FROM p WHERE shared_chunks >= 2
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // cdc truth: the identical window-hash boundary rule, evaluated as a
     // list computation (no sequential state — the checked config has no
     // min/max bounds, deliberately)

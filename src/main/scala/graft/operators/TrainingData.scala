@@ -351,6 +351,46 @@ object DocChunker {
       .filter(col("shared_chunks") >= minShared)
   }
 
+  /** Stored CDC chunk index: distinct `(h = md5(chunk_text), id)` postings
+    * — the persisted face of the CDC lane (write once, probe every
+    * increment; bucket by `h` on disk and the probe path never reshuffles
+    * it, see SkewAndBucketingSpec's band-index plan proof for the shared
+    * machinery). ~1 row per `divisor` tokens per doc. */
+  def cdcChunkIndex(docs: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 4, divisor: Int = 16): DataFrame =
+    cdcChunks(docs, idCol, textCol, windowTokens, divisor)
+      .select(md5(col("chunk_text")).as("h"), col("id"))
+      .distinct()
+
+  /** Incremental CDC near-dup pairs — the daily-increment face of
+    * [[cdcSharedChunkPairs]], completing the batch+incremental symmetry
+    * the minhash/simhash/substring lanes already have: an incoming batch
+    * is chunked, candidates come from the stored [[cdcChunkIndex]] through
+    * the SAME probe helper as every other tier (touched-bucket semi-join →
+    * salted capped collection → hub degradation past `maxPostings`), and
+    * `shared_chunks` is then recounted EXACTLY from the index postings of
+    * the candidate pairs — no corpus text is ever read; probe AND verify
+    * run entirely against the stored index. Candidate completeness is a
+    * lower bound past the cap (hot template chunks degrade to their hub),
+    * identical to the batch lane's documented approximation; the recount
+    * itself is exact for every listed candidate. */
+  def cdcIncrementalPairs(chunkIndex: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          windowTokens: Int = 4, divisor: Int = 16,
+                          minShared: Int = 2, maxPostings: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"bad minShared $minShared")
+    val probe = cdcChunkIndex(incoming, idCol, textCol, windowTokens, divisor)
+      .withColumnRenamed("id", "new_id")
+    val cands = BucketedPairs.probeCandidates(chunkIndex, probe,
+      Seq("h"), "id", "new_id", maxPostings)
+    cands
+      .join(chunkIndex.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .join(probe, Seq("h", "new_id"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Content-defined chunking (FastCDC/rolling-hash shape, token
     * granularity): a boundary closes the chunk after 0-based token `i`
     * (i >= w-1) iff the hash of the w-token window ending at `i` is
