@@ -141,6 +141,36 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
   }
 
+  test("incremental CDC == batch lane's cross-side pairs (below cap), from the stored index alone") {
+    val sq = spark
+    import sq.implicits._
+    val corpusDf = sq.createDataFrame(corpusLocal).toDF("doc_id", "text")
+    val batchDf = sq.createDataFrame(batchLocal).toDF("doc_id", "text")
+    // batch face over corpus ∪ batch, restricted to cross (corpus, batch)
+    // pairs — exactly what the incremental face must reproduce (uncapped
+    // on this corpus, so equality is strict)
+    val batchPairs = graft.operators.DocChunker.cdcSharedChunkPairs(
+        corpusDf.unionByName(batchDf), "doc_id", "text", minShared = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, n) =>
+        // normalize to (new_id, corpus_id): ids < 1000 are corpus
+        if (a < 1000 && b >= 1000) Some((b, a, n))
+        else if (b < 1000 && a >= 1000) Some((a, b, n))
+        else None
+      }.toSet
+    val index = graft.operators.DocChunker.cdcChunkIndex(corpusDf, "doc_id", "text")
+    val inc = graft.operators.DocChunker.cdcIncrementalPairs(
+        index, batchDf, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === batchPairs)
+    assert(inc.nonEmpty, "no cross pairs — vacuous equality")
+    // the exact copies MUST pair with their originals (all chunks shared)
+    val copies = batchLocal.collect { case (id, _) if id >= 2000 && id < 3000 => id }
+    assert(copies.forall(id => inc.exists(p => p._1 == id && p._2 == id - 2000)),
+      "an exact copy failed to match its corpus original")
+  }
+
   test("incrementalAssign: engineered merge event — a batch doc bridging two corpus clusters") {
     import spark.implicits._
     import graft.operators.ConnectedComponents
