@@ -416,6 +416,28 @@ object StreamingOps {
       }
   }
 
+  /** CDC-lane streaming twin: docs -> (chunk-hash bucket, id) rows feeding
+    * [[streamingCandidatePairs]] — a bucket here is one content-defined
+    * chunk, so two docs become candidates the moment they share a chunk,
+    * across micro-batches, with the same capped per-bucket state as every
+    * other streaming lane. Chunking is map-side (no aggregation), which is
+    * what makes this streaming-legal in append mode; the batch lane's
+    * within-doc `.distinct()` is deliberately skipped — repeated
+    * (bucket, id) arrivals are absorbed idempotently by the sorted bucket
+    * state, and candidate consumers `.distinct()` downstream. `shared >=
+    * minShared` filtering stays a downstream verify concern (exactly like
+    * Jaccard verification in the MinHash lane): candidates over-approximate
+    * by design, the stored-index recount (`cdcIncrementalPairs`) or a
+    * batch recount decides. */
+  def cdcBandDocs(docs: DataFrame, idCol: String, textCol: String,
+                  windowTokens: Int = 4, divisor: Int = 16): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    graft.operators.DocChunker.cdcChunks(docs, idCol, textCol, windowTokens, divisor)
+      .select(xxhash64(md5(col("chunk_text"))).as("bucket"),
+        col("id").cast("long").as("id"))
+      .as[BandedDoc]
+  }
+
   /** Embedding near-dup streaming twin: vectors -> auto-tuned sign-LSH band
     * keys (same `AnnSearch.tune` math as the batch lane), feeding
     * `streamingCandidatePairs`; candidates are verified downstream with the

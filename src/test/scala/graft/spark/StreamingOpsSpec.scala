@@ -274,6 +274,42 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming CDC candidates cover the batch lane's pairs across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // corpus with head-edited copies (the edit CDC chunking exists for):
+    // every 5th doc re-appears with a 3-token head insertion
+    val base = graft.core.WebPages.generate(150, 33L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val edited = base.collect { case (id, t) if id % 5 == 0 =>
+      (5000L + id, s"ins$id x y " + t) }
+    val docs = base ++ edited
+
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingOps.cdcBandDocs(input.toDF().toDF("id", "text"), "id", "text")
+    val q = StreamingOps.streamingCandidatePairs(banded)
+      .writeStream.format("memory").queryName("scdc").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2) // copies land cross-batch
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamPairs = sq.sql("SELECT DISTINCT id_a, id_b FROM scdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val batchPairs = graft.operators.DocChunker.cdcSharedChunkPairs(
+          sq.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text",
+          minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.nonEmpty, "no batch CDC pairs — vacuous coverage")
+      assert(batchPairs.subsetOf(streamPairs),
+        s"missing from stream: ${(batchPairs -- streamPairs).take(5)}")
+      // every injected copy is a candidate with its original
+      assert(edited.forall { case (eid, _) =>
+        streamPairs.contains((eid - 5000L, eid)) })
+    } finally q.stop()
+  }
+
   test("over-cap bucket arrivals emit star edges to the hub (batch hot-bucket parity)") {
     val sq = spark
     import sq.implicits._
