@@ -1780,6 +1780,33 @@ object SparkEntry {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")),
 
+    "q_incremental_embed" -> ((s, dir) => {
+      // the embedding lane's stored-index incremental face — with this,
+      // every near-dup lane (minhash, simhash, substring, cdc, embedding)
+      // has an incremental form. Batch = perturbed near-copies of every
+      // 10th corpus vector (cos ~0.993, embWithDups arithmetic) + negated
+      // copies of every (10k+5)th (cos -1 to their original, below
+      // threshold vs everything — the novelty arm). At the injected
+      // margin the tuned banding's per-pair miss probability is ~1e-12,
+      // so the probabilistic candidate step is exact in practice and the
+      // oracle brute-forces the full cross cosine truth.
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val near = corpus.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("v"),
+            (x, i) => x + lit(0.02) * sin(col("vec_id") * 131 + i * 7)).as("v"))
+      val novel = corpus.filter(col("vec_id") % 10 === 5)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("v"), x => -x).as("v"))
+      val batch = near.unionByName(novel)
+      val index = AnnSearch.lshIndex(corpus, "vec_id", "v", 0.85,
+        targetRecall = 0.98, maxTables = 32)
+      AnnSearch.incrementalPairs(index, corpus, batch, "vec_id", "v", 0.85,
+          targetRecall = 0.98, maxTables = 32)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style semantic dedup, self-verified the q_simhash way:
       // cosine similarity over learned embeddings is not SQL-expressible,
@@ -3571,6 +3598,23 @@ object SparkEntry {
          |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.85
          |ORDER BY 1, 2""".stripMargin,
+    // incremental embed truth: batch sides rebuilt by the same arithmetic
+    // (perturbation mirrors embWithDups' CTE; novelty arm is negation),
+    // full cross cosine brute force at the lane threshold
+    "q_incremental_embed" ->
+      """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |batch AS (
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |         list_transform(v, (x, i) -> x + 0.02 * sin(vec_id * 131 + (i-1) * 7)) AS v
+        |  FROM corpus WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000, list_transform(v, x -> -x)
+        |  FROM corpus WHERE vec_id % 10 = 5
+        |)
+        |SELECT b.vec_id AS new_id, c.vec_id AS corpus_id
+        |FROM batch b JOIN corpus c
+        |  ON list_cosine_similarity(b.v, c.v) >= 0.85
+        |ORDER BY 1, 2""".stripMargin,
     // "shares an exact substring >= 200 chars" <=> "shares a 200-gram":
     // brute-force L-gram self-join (the idx table avoids DuckDB's
     // no-lateral-range limitation)

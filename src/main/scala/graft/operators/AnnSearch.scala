@@ -210,6 +210,54 @@ object AnnSearch {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Stored sign-LSH band index for the embedding lane: `(bk, id)` narrow
+    * postings, `tables` rows per vector. The banding config is derived
+    * deterministically from (threshold, targetRecall, maxTables, seed) —
+    * a probe MUST pass the same four values or its band keys live in a
+    * different key space and match nothing. Persist with TableIO and
+    * bucket by `bk`: the probe path below then never reshuffles it (the
+    * plan contract SkewAndBucketingSpec proves for the text band index —
+    * same probe machinery). */
+  def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, targetRecall: Double = 0.95,
+               maxTables: Int = 128, seed: Long = 0x9E377L): DataFrame = {
+    val (rowsPerBand, tables) = tune(threshold, targetRecall, maxTables)
+    val bandsUdf = udf((v: Array[Double]) => bandKeys(v, tables, rowsPerBand, seed))
+    corpus.select(col(idCol).cast("long").as("id"),
+      explode(bandsUdf(col(vecCol).cast("array<double>"))).as("bk"))
+  }
+
+  /** Incremental embedding near-dup pairs `(new_id, corpus_id, cos)` —
+    * the daily-increment face of [[nearDupPairs]], completing the
+    * batch + incremental + streaming triple for the embedding lane (the
+    * streaming face is `StreamingOps.bandVecs`). Candidates come from the
+    * stored [[lshIndex]] through the shared capped probe helper
+    * (touched-bucket semi-join → capped collection → hub degradation);
+    * the verify step joins candidate ids back to `corpusVecs` — unlike
+    * the CDC tier, cosine cannot be recomputed from the index, so the
+    * corpus VECTOR table is probed for candidate ids only (an equi-join
+    * a bucketed corpus table serves without shuffling the corpus side),
+    * exactly the MinHash lane's corpus-text contract. LSH can only lose
+    * recall, never invent a pair. */
+  def incrementalPairs(index: DataFrame, corpusVecs: DataFrame,
+                       incoming: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, targetRecall: Double = 0.95,
+                       maxTables: Int = 128, maxBucketSize: Int = 4096,
+                       seed: Long = 0x9E377L): DataFrame = {
+    val probe = lshIndex(incoming, idCol, vecCol, threshold, targetRecall,
+      maxTables, seed).withColumnRenamed("id", "new_id")
+    val cands = BucketedPairs.probeCandidates(index, probe,
+      Seq("bk"), "id", "new_id", maxBucketSize)
+    cands
+      .join(corpusVecs.select(col(idCol).cast("long").as("corpus_id"),
+        col(vecCol).cast("array<double>").as("vc")), "corpus_id")
+      .join(incoming.select(col(idCol).cast("long").as("new_id"),
+        col(vecCol).cast("array<double>").as("vn")), "new_id")
+      .withColumn("cos", cosine(col("vn"), col("vc")))
+      .filter(col("cos") >= threshold)
+      .select("new_id", "corpus_id", "cos")
+  }
+
   /** Brute-force truth for specs (local, O(n^2) — small n only). */
   def bruteForcePairs(vecs: Seq[(Long, Array[Double])], threshold: Double): Set[(Long, Long)] =
     (for {
