@@ -128,6 +128,52 @@ object Stress {
         vecs, "vec_id", "v", cents, threshold = 0.95).count()
     }
 
+    // ---- 4. incremental tier at scale (this round's headline shape):
+    // a stored MinHash band index over half the corpus, probed by a
+    // batch of docs/100. The claim under test is the 100x story itself —
+    // probe cost scales with the BATCH and its touched buckets, not the
+    // corpus: the index is built once (its cost amortizes over every
+    // future increment), and the probe's wall must sit orders below a
+    // corpus re-pairing. Batch = half fresh pages, half appended-token
+    // near-dups of corpus docs, so the verify join does real work.
+    // Both the corpus text and the incoming increment are STORED tables in
+    // production (the corpus is the Iceberg pages table; the batch is the
+    // crawl increment you just landed) — materialize them to parquet before
+    // timing so the planner sees real file stats. Probing straight off the
+    // generator is also WRONG at this scale: the typed-flatMap generator
+    // propagates its tiny LocalRelation size estimate, so Catalyst
+    // "broadcasts" a 3.2M-doc full-text table and the build-side collect
+    // kills the driver at maxResultSize (measured, 2026-08-19).
+    val incrCorpusN = docs / 2
+    val batchN = docs / 100
+    graft.core.WebPages
+      .generateDistributed(spark, incrCorpusN, 44L, cpus * 8)
+      .select(xxhash64(col("url")).bitwiseAND(lit((1L << 61) - 1)).as("doc_id"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$work/incr_corpus")
+    val incrCorpus = spark.read.parquet(s"$work/incr_corpus")
+    val (indexSec, indexPostings) = timed {
+      val idx = graft.operators.MinHashLSH.bandIndex(incrCorpus, "doc_id", "text")
+      idx.write.mode("overwrite").parquet(s"$work/band_index")
+      spark.read.parquet(s"$work/band_index").count()
+    }
+    val storedIdx = spark.read.parquet(s"$work/band_index")
+    graft.core.WebPages
+      .generateDistributed(spark, batchN / 2, 45L, cpus * 4)
+      .select((xxhash64(col("url")).bitwiseAND(lit((1L << 61) - 1))).as("doc_id"),
+        col("text"))
+      .unionByName(incrCorpus
+        .filter(pmod(xxhash64(col("doc_id")), lit(incrCorpusN.toLong / (batchN / 2))) === 0)
+        .select((col("doc_id") + 1L).as("doc_id"),
+          concat(col("text"), lit(" zz"), col("doc_id").cast("string")).as("text")))
+      .write.mode("overwrite").parquet(s"$work/incr_batch")
+    val batch = spark.read.parquet(s"$work/incr_batch")
+    val (probeSec, nIncrPairs) = timed {
+      graft.operators.MinHashLSH.incrementalNearDupPairs(
+        storedIdx, incrCorpus, batch, "doc_id", "text", threshold = 0.8).count()
+    }
+    val batchActual = batch.count()
+
     val heapGb = peakHeap.get() / 1e9
     val execGb = peakExecMem.get() / 1e9
     println(
@@ -137,6 +183,11 @@ object Stress {
       f""""containment_sec":$contSec%.1f,"containment_pairs":$nContPairs,""" +
       f""""semantic_docs":$semDocs,"semantic_sec":$semSec%.1f,""" +
       f""""semantic_pairs":$nSemPairs,"semantic_cells":${math.max(64, semDocs / 800)},""" +
+      f""""incr_corpus_docs":$incrCorpusN,"incr_index_sec":$indexSec%.1f,""" +
+      f""""incr_index_postings":$indexPostings,"incr_batch_docs":$batchActual,""" +
+      f""""incr_probe_sec":$probeSec%.1f,""" +
+      f""""incr_probe_docs_per_sec":${batchActual / probeSec}%.0f,""" +
+      f""""incr_pairs":$nIncrPairs,""" +
       f""""peak_heap_gb":$heapGb%.2f,""" +
       f""""peak_task_exec_mem_gb":$execGb%.2f,""" +
       f""""shuffle_mem_spill_gb":${memSpill.get() / 1e9}%.2f,""" +
