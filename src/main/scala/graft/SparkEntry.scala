@@ -1879,6 +1879,16 @@ object SparkEntry {
       // inside q_pages_pipeline and SubstringDedupSpec)
       SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
+    "q_span_excise" -> ((s, dir) =>
+      // the REWRITE tier of substring dedup (Lee et al., ACL'22): every char
+      // covered by an exact 200-char span occurring in another doc is
+      // excised and the survivors concatenated. The oracle recomputes the
+      // partition character-by-character (dup gram starts -> 199-preceding
+      // window max -> ordered string_agg), so clean_text and removed_chars
+      // are hash-exact per doc — within-doc repeats stay, spans union
+      // before cutting, sub-200-char docs pass through unchanged.
+      SpanExcision.excise(t(s, dir, "documents"), "doc_id", "text", spanLen = 200)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
     "q_pages_pipeline" -> ((s, dir) => {
       // Full north-rule pipeline, ORACLE-CHECKED (r4 judge item #7): the
       // pages corpus is DERIVED FROM THE DOCUMENTS TABLE by arithmetic
@@ -3628,6 +3638,44 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    // span excision, char-exact: dup gram starts (cross-doc 200-gram
+    // self-join) -> a position is covered iff a dup start lies in its
+    // 199-preceding window -> ordered string_agg of the survivors; docs
+    // the idx join drops (shorter than one gram) pass through via the
+    // LEFT JOIN anchor
+    "q_span_excise" ->
+      """WITH mx AS (SELECT max(length(text)) m FROM documents),
+        |idx AS (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) i),
+        |g AS (
+        |  SELECT doc_id, i, substring(text, i, 200) gram
+        |  FROM documents JOIN idx ON i <= length(text) - 199
+        |),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id, a.i
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |),
+        |ch AS (
+        |  SELECT d.doc_id, idx.i AS j, substring(d.text, idx.i, 1) AS c,
+        |         CASE WHEN dup.i IS NULL THEN 0 ELSE 1 END AS s
+        |  FROM documents d JOIN idx ON idx.i <= length(d.text)
+        |  LEFT JOIN dup ON dup.doc_id = d.doc_id AND dup.i = idx.i
+        |),
+        |cov AS (
+        |  SELECT doc_id, j, c,
+        |         max(s) OVER (PARTITION BY doc_id ORDER BY j
+        |                      ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM ch
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN covered = 0 THEN c ELSE '' END, '' ORDER BY j) AS clean_text,
+        |         CAST(sum(covered) AS BIGINT) AS removed_chars
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(a.clean_text, d.text) AS clean_text,
+        |       CAST(coalesce(a.removed_chars, 0) AS BIGINT) AS removed_chars
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_simhash_complete" ->
       "SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs",
     "q_semantic_dedup" ->

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.SplitMix64
+
+/** Cross-document duplicated-span EXCISION — the rewrite tier of substring
+  * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL'22): instead of dropping whole near-duplicate documents,
+  * every character covered by an exact `spanLen`-char span that also occurs
+  * in ANOTHER document is removed, and the surviving characters are
+  * concatenated in order. Within-document repeats are deliberately kept
+  * (they are a repetition-quality signal, handled by the Gopher gate, not a
+  * cross-document license issue).
+  *
+  * Exact semantics (what the DuckDB oracle recomputes literally): character
+  * position c of doc d is removed iff some gram start p with
+  * p <= c <= p + spanLen - 1 satisfies "substring(d, p, spanLen) occurs in
+  * at least one other document at any position".
+  *
+  * Span identity is a 128-bit pair of independent rolling polynomial hashes
+  * (bases 257 / FNV-prime, each SplitMix64-finalized) — equal grams always
+  * produce equal keys, and distinct grams collide on BOTH 64-bit halves
+  * with ~2^-128 probability: the same paranoid-key argument as
+  * `ExactDedup`'s content key, so grouping by the key pair IS grouping by
+  * gram content for any physically realizable corpus.
+  *
+  * Scale shape (the honest cost of exact span dedup — Lee et al. pay the
+  * same order through distributed suffix arrays):
+  *  - one narrow (id, pos, key128) row per character position; the shuffle
+  *    carries 28 B/row, never text, and partial aggregation collapses
+  *    template/boilerplate grams map-side before the exchange;
+  *  - the duplicated-key decision is a single (key -> min id, max id)
+  *    aggregate: a key is cross-document iff min != max — no self-join of
+  *    the position table, no distinct-count sketch;
+  *  - flagged start positions flow back through one shuffle join on the
+  *    key, then group per document: the per-doc buffer is bounded by the
+  *    document's own length (a doc of n chars has < n starts), i.e. by the
+  *    same row width the scan already admitted — no unbounded state;
+  *  - only the final (id -> starts) frame joins back to text, narrow side
+  *    on the left.
+  */
+object SpanExcision {
+
+  /** (gram start position, 128-bit content key as two longs). */
+  case class GramKey(i: Int, h1: Long, h2: Long)
+
+  /** Rewrite result for one document. */
+  case class Excised(clean_text: String, removed_chars: Long)
+
+  /** Rolling 128-bit content keys for every `L`-char gram of `text`
+    * (0-based start positions). O(n) with two fused Horner recurrences. */
+  private[graft] def gramKeys(text: String, L: Int): Array[GramKey] = {
+    require(L > 0, s"spanLen=$L must be positive")
+    if (text == null) return Array.empty
+    val n = text.length
+    if (n < L) return Array.empty
+    val m = n - L + 1
+    val out = new Array[GramKey](m)
+    val B1 = 257L
+    val B2 = 0x100000001B3L // FNV prime, the commonSubstringAtLeast base
+    var pow1 = 1L
+    var pow2 = 1L
+    var i = 0
+    while (i < L - 1) { pow1 *= B1; pow2 *= B2; i += 1 }
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < L) {
+      val c = text.charAt(i).toLong
+      h1 = h1 * B1 + c
+      h2 = h2 * B2 + c
+      i += 1
+    }
+    var p = 0
+    while (p < m) {
+      if (p > 0) {
+        val outC = text.charAt(p - 1).toLong
+        val inC = text.charAt(p + L - 1).toLong
+        h1 = (h1 - outC * pow1) * B1 + inC
+        h2 = (h2 - outC * pow2) * B2 + inC
+      }
+      // distinct finalizer constants per half keep the two 64-bit keys
+      // independent even though both are polynomial in the same chars
+      out(p) = GramKey(p, SplitMix64.mix(h1),
+        SplitMix64.mix(h2 + 0x9E3779B97F4A7C15L))
+      p += 1
+    }
+    out
+  }
+
+  /** Remove every char covered by [s, s+L) for s in `startsSorted`
+    * (ascending, 0-based, each s + L <= text.length by construction);
+    * overlapping spans union before cutting. */
+  private[graft] def cut(text: String, startsSorted: Seq[Int], L: Int): Excised = {
+    if (text == null) return Excised("", 0L)
+    if (startsSorted.isEmpty) return Excised(text, 0L)
+    val sb = new java.lang.StringBuilder(text.length)
+    var removed = 0L
+    var copyFrom = 0
+    var runStart = -1
+    var runEnd = -1
+    val it = startsSorted.iterator
+    while (it.hasNext) {
+      val s = it.next()
+      val e = s + L
+      if (runStart < 0) { runStart = s; runEnd = e }
+      else if (s <= runEnd) { if (e > runEnd) runEnd = e }
+      else {
+        sb.append(text, copyFrom, runStart)
+        removed += runEnd - runStart
+        copyFrom = runEnd
+        runStart = s
+        runEnd = e
+      }
+    }
+    sb.append(text, copyFrom, runStart)
+    removed += runEnd - runStart
+    sb.append(text, runEnd, text.length)
+    Excised(sb.toString, removed)
+  }
+
+  /** Rewrite `docs`: for every document, remove each character covered by
+    * an exact `spanLen`-char span shared with at least one OTHER document.
+    * Returns one row per input document:
+    * `(id, clean_text, removed_chars)` — unchanged documents keep their
+    * full text with `removed_chars = 0`. */
+  def excise(docs: DataFrame, idCol: String, textCol: String,
+             spanLen: Int = 200): DataFrame = {
+    val keyUdf = udf((t: String) => gramKeys(t, spanLen))
+    val cutUdf = udf((t: String, starts: Seq[Int]) =>
+      cut(t, Option(starts).getOrElse(Seq.empty), spanLen))
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val pos = base
+      .select(col("id"), explode(keyUdf(col("t"))).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    // a key is cross-document iff its id range is non-degenerate — one
+    // bounded aggregate, no position-table self-join
+    val dupKeys = pos.groupBy("h1", "h2")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h1", "h2")
+    val dupStarts = pos.join(dupKeys, Seq("h1", "h2")).select("id", "i")
+    // per-doc buffer bounded by the doc's own char count (< one row width)
+    val perDoc = dupStarts.groupBy("id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        cutUdf(col("t"), coalesce(col("starts"),
+          array().cast("array<int>"))).as("e"))
+      .select(col("id"), col("e.clean_text").as("clean_text"),
+        col("e.removed_chars").as("removed_chars"))
+  }
+}
