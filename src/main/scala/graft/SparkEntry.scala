@@ -1242,6 +1242,46 @@ object SparkEntry {
           (abs(avg(col("err"))) <= 0.05).as("bias_ok"))
         .orderBy("j_bucket")
     }),
+    "q_minhash_oph" -> ((s, dir) => {
+      // contract gate for the ONE-PERMUTATION MinHash kernel (minhash_oph:
+      // one mix per shingle vs 128 multiply-add lanes — the kernel-side
+      // scale lever, ~10x less signature arithmetic at bench doc lengths;
+      // BASELINE.md). Same pair construction and in-plan exact-J spine as
+      // q_minhash_accuracy; bounds are wider than the classic gate's
+      // (0.18/0.12/0.12 vs 0.15/0.06/0.05) because densified slots carry
+      // copies, not independent permutations, when docs have fewer
+      // shingles than bins — measured headroom: max 0.14 across deciles
+      // on this corpus.
+      GraftFunctions.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
+      val junk = expr("array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
+        "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')")
+      def grams(c: String) = {
+        val toks = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
+        s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
+          s"i -> array_join(slice($toks, i, 5), ' ')))"
+      }
+      val scored = base
+        .select(col("doc_id"), col("text").as("text_a"),
+          concat(col("text"), lit(" "), junk).as("text_b"))
+        .select(col("doc_id"),
+          expr(s"${grams("text_a")}").as("ga"), expr(s"${grams("text_b")}").as("gb"),
+          expr("est_jaccard(minhash_oph(text_a), minhash_oph(text_b))").as("j_est"))
+        .select(col("doc_id"), col("j_est"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            (size(col("ga")) + size(col("gb"))
+              - size(array_intersect(col("ga"), col("gb"))))).as("j_exact"))
+      scored
+        .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
+        .withColumn("err", col("j_est") - col("j_exact"))
+        .groupBy("j_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          (max(abs(col("err"))) <= 0.18).as("max_err_ok"),
+          (avg(abs(col("err"))) <= 0.12).as("mean_err_ok"),
+          (abs(avg(col("err"))) <= 0.12).as("bias_ok"))
+        .orderBy("j_bucket")
+    }),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3247,6 +3287,33 @@ object SparkEntry {
     // Jaccard, and bucket counts rebuilt in SQL; the error booleans are
     // pinned TRUE — only the MinHash kernel can flip them
     "q_minhash_accuracy" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |p AS (SELECT doc_id, text AS text_a,
+        |  text || ' ' || array_to_string(
+        |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
+        |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
+        |  FROM base),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
+        |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p),
+        |g AS (SELECT doc_id,
+        |  list_distinct([array_to_string(ta[i:i+4], ' ')
+        |                 for i in range(1, greatest(len(ta) - 3, 2))]) AS ga,
+        |  list_distinct([array_to_string(tb[i:i+4], ' ')
+        |                 for i in range(1, greatest(len(tb) - 3, 2))]) AS gb
+        |  FROM tk),
+        |j AS (SELECT doc_id, len(list_intersect(ga, gb))::DOUBLE /
+        |        (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS j_exact
+        |      FROM g)
+        |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
+        |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
+        |       true AS mean_err_ok, true AS bias_ok
+        |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin,
+    // OPH twin of q_minhash_accuracy: identical bucket spine (buckets are a
+    // function of exact J only), error booleans pinned TRUE at the OPH
+    // gate's wider bounds — an estimator drift flips a boolean and the
+    // hash compare goes red
+    "q_minhash_oph" ->
       """WITH base AS (SELECT doc_id, text FROM documents
         |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
         |p AS (SELECT doc_id, text AS text_a,

@@ -243,6 +243,68 @@ object TextOps {
     minHashSignatureRange(scratch.get().shingles, w, NumPerms)
   }
 
+  /** One-permutation MinHash (Li/Owen/Zhang, NIPS'12) with OPTIMAL
+    * densification (Shrivastava, ICML'17): each distinct shingle hash is
+    * remixed ONCE; the top 7 bits of the remix pick one of k=128 bins and
+    * the full value competes for that bin's minimum. Empty bins borrow
+    * from a (bin, attempt)-keyed universal probe sequence — a pure
+    * function of the bin index, so two documents' empty bins walk the SAME
+    * probe order and matched borrowed slots stay meaningful. Estimator:
+    * matched-slot fraction, the same [[estimatedJaccard]] comparator as
+    * the 128-perm signature.
+    *
+    * This is the kernel-side scale lever: ONE mix per shingle instead of
+    * [[NumPerms]] multiply-add-min lanes (~128x less signature arithmetic
+    * per document — measured numbers in BASELINE.md). The price is higher
+    * estimator variance when a document has fewer shingles than bins
+    * (densified slots carry copies, not independent permutations); the
+    * q_minhash_oph contract gate bounds that error empirically per
+    * Jaccard decile on the driver corpus. The north-rule pipeline keeps
+    * classic 128-perm MinHash (recall parity at the pinned config); OPH is
+    * the documented alternative for corpora whose doc length amortizes it.
+    * Empty documents get Long.MaxValue lanes (never collide), mirroring
+    * [[minHashSignature]]. */
+  def minHashOphSignature(shingles: Array[Long], k: Int = NumPerms): Array[Long] =
+    minHashOphSignatureRange(shingles, shingles.length, k)
+
+  private def minHashOphSignatureRange(shingles: Array[Long], n: Int, k: Int): Array[Long] = {
+    require(k > 0 && (k & (k - 1)) == 0, s"bin count $k must be a power of two")
+    val shift = 64 - java.lang.Integer.numberOfTrailingZeros(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val filled = new Array[Boolean](k)
+    var s = 0
+    while (s < n) {
+      // decorrelate from every other consumer of the shingle hashes
+      val v = SplitMix64.mix(shingles(s) ^ 0x6F1D8A5E9C3B7A11L)
+      val bin = (v >>> shift).toInt
+      if (v < sig(bin) || !filled(bin)) { sig(bin) = v; filled(bin) = true }
+      s += 1
+    }
+    if (n == 0) return sig
+    var j = 0
+    while (j < k) {
+      if (!filled(j)) {
+        // optimal densification: universal probes keyed by (bin, attempt)
+        // only — identical across documents. Terminates: some bin is
+        // filled (n > 0) and the mixed probe sequence visits all bins.
+        var t = 1L
+        var done = false
+        while (!done) {
+          val p = (SplitMix64.mix(j.toLong * 0x9E3779B97F4A7C15L + t) >>> shift).toInt
+          if (filled(p)) { sig(j) = sig(p); done = true }
+          t += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
+  def minHashOph(text: String): Array[Long] = {
+    val w = shingleHashesScratch(text, ShingleSize)
+    minHashOphSignatureRange(scratch.get().shingles, w, NumPerms)
+  }
+
   /** LSH band keys: hash of each contiguous `RowsPerBand` slice of the
     * signature. Pairs that agree on any band are candidates. */
   def bandHashes(sig: Array[Long], bands: Int = NumBands, rows: Int = RowsPerBand): Array[Long] = {

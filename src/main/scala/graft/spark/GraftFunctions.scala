@@ -249,6 +249,7 @@ object GraftFunctions {
     "rep_stats" -> udf((t: String) => Option(t).map(TextOps.repetitionStats)),
     "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),
     "minhash128" -> udf((t: String) => Option(t).map(TextOps.minHash)),
+    "minhash_oph" -> udf((t: String) => Option(t).map(TextOps.minHashOph)),
     "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),
     "simhash64" -> udf((t: String) => Option(t).map(TextOps.simHash64)),
     "simhash_probes" -> udf((sim: Long, maxDist: Int) => TextOps.simHashProbeKeys(sim, maxDist)),

@@ -190,4 +190,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(TextOps.langId("xyzzy plugh qwerty 12345") == "und")
     assert(TextOps.langId("") == "und")
   }
+
+  test("minHashOph: deterministic, set-identical, fully densified, empty-doc lanes") {
+    val sig = TextOps.minHashOph("the quick brown fox jumps over the lazy dog again and again")
+    assert(sig.length == TextOps.NumPerms)
+    assert(sig.sameElements(TextOps.minHashOph(
+      "the quick brown fox jumps over the lazy dog again and again")))
+    // densification fills every bin from the first non-empty probe — no
+    // Long.MaxValue placeholder survives a non-empty document
+    assert(!sig.contains(Long.MaxValue))
+    // empty docs keep MaxValue lanes, never colliding with non-empty docs
+    assert(TextOps.minHashOph("").forall(_ == Long.MaxValue))
+    assert(TextOps.estimatedJaccard(sig, TextOps.minHashOph("")) == 0.0)
+  }
+
+  test("minHashOph estimator tracks exact Jaccard on large synthetic sets") {
+    // large sets (every bin multiply occupied, little densification) and
+    // small sets (most bins borrowed): both must track exact J
+    def setOf(seed: Long, n: Int): Array[Long] = {
+      var st = seed
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { st = SplitMix64.next(st); a(i) = SplitMix64.mix(st); i += 1 }
+      java.util.Arrays.sort(a); a
+    }
+    for ((n, overlap, tol) <- Seq((4000, 2000, 0.10), (4000, 3600, 0.08),
+                                  (60, 40, 0.18))) {
+      val shared = setOf(1L, overlap)
+      val a = (shared ++ setOf(2L, n - overlap)).sorted
+      val b = (shared ++ setOf(3L, n - overlap)).sorted
+      val jExact = TextOps.sortedJaccard(a, b)
+      val jEst = TextOps.estimatedJaccard(
+        TextOps.minHashOphSignature(a), TextOps.minHashOphSignature(b))
+      assert(math.abs(jEst - jExact) <= tol,
+        s"n=$n overlap=$overlap exact=$jExact est=$jEst")
+    }
+  }
 }
