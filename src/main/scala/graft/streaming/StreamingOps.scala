@@ -438,6 +438,28 @@ object StreamingOps {
       .as[BandedDoc]
   }
 
+  /** Substring-lane streaming twin: docs -> (winnowed-fingerprint bucket,
+    * id) rows feeding [[streamingCandidatePairs]] — a bucket is one
+    * selected Karp-Rabin fingerprint, so two docs become candidates the
+    * moment they share a winnowed span fingerprint, across micro-batches.
+    * The winnowing guarantee (every common span >=
+    * `SubstringDedup.LosslessMinLen` shares a selected fingerprint)
+    * carries over verbatim because fingerprints are a pure per-doc
+    * function of the text; the exact Rabin-Karp verify
+    * (`common_substring_atleast`) stays a downstream concern against a
+    * static/stored text table, exactly like the batch and incremental
+    * faces. With this, all five near-dup lanes (minhash, simhash via
+    * probe-keys upstream, substring, cdc, embedding) run on the one shared
+    * capped bucket-state operator. */
+  def fpDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.winnowedFingerprints(t).map(fp => BandedDoc(fp, id))
+      }
+  }
+
   /** Embedding near-dup streaming twin: vectors -> auto-tuned sign-LSH band
     * keys (same `AnnSearch.tune` math as the batch lane), feeding
     * `streamingCandidatePairs`; candidates are verified downstream with the

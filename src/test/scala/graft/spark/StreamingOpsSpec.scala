@@ -310,6 +310,47 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming substring candidates cover the batch lane's verified pairs across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // corpus with long-span splices: every 7th doc (if long enough)
+    // re-appears with its first 250 chars glued into fresh text — an exact
+    // >= 200-char common substring the winnowing prefilter must catch
+    val base = graft.core.WebPages.generate(120, 44L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val spliced = base.collect { case (id, t) if id % 7 == 0 && t.length >= 250 =>
+      (7000L + id, s"fresh head $id " + t.substring(0, 250) + s" fresh tail $id") }
+    assert(spliced.nonEmpty)
+    val docs = base ++ spliced
+
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingOps.fpDocs(input.toDF().toDF("id", "text"), "id", "text")
+    val q = StreamingOps.streamingCandidatePairs(banded)
+      .writeStream.format("memory").queryName("ssub").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2) // splices land cross-batch
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamPairs = sq.sql("SELECT DISTINCT id_a, id_b FROM ssub").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // batch truth = the lane's VERIFIED pairs (shared exact >=200-char
+      // span); the streamed candidates must cover them — the winnowing
+      // completeness guarantee, now across micro-batch boundaries
+      val batchPairs = graft.operators.SubstringDedup.pairs(
+          sq.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text",
+          minLen = 200)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.nonEmpty, "no batch substring pairs — vacuous coverage")
+      assert(batchPairs.subsetOf(streamPairs),
+        s"missing from stream: ${(batchPairs -- streamPairs).take(5)}")
+      // every injected splice is a candidate with its original
+      assert(spliced.forall { case (sid, _) =>
+        streamPairs.contains((sid - 7000L, sid)) })
+    } finally q.stop()
+  }
+
   test("over-cap bucket arrivals emit star edges to the hub (batch hot-bucket parity)") {
     val sq = spark
     import sq.implicits._
