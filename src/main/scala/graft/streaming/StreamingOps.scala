@@ -460,6 +460,24 @@ object StreamingOps {
       }
   }
 
+  /** SimHash-lane streaming twin: docs -> (Hamming probe key, id) rows
+    * feeding [[streamingCandidatePairs]]. Probe keys split the 64-bit
+    * SimHash into maxDist+1 blocks; the pigeonhole argument makes the
+    * candidate set COMPLETE for pairs within Hamming maxDist (two hashes
+    * differing in <= maxDist bits agree on at least one whole block), so
+    * the streamed candidates over-approximate exactly like the batch
+    * probe join and the exact Hamming verify stays downstream. */
+  def simhashProbeDocs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDist: Int = 3): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.simHashProbeKeys(TextOps.simHash64(t), maxDist)
+          .map(k => BandedDoc(k, id))
+      }
+  }
+
   /** Embedding near-dup streaming twin: vectors -> auto-tuned sign-LSH band
     * keys (same `AnnSearch.tune` math as the batch lane), feeding
     * `streamingCandidatePairs`; candidates are verified downstream with the

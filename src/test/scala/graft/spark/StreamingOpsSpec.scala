@@ -351,6 +351,44 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming simhash probe candidates cover all cross-Hamming pairs across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val maxDist = 3
+    // near-dups: every 6th long-enough doc re-appears with one appended
+    // token (small Hamming perturbation of the 64-bit simhash)
+    val base = graft.core.WebPages.generate(120, 55L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val tweaked = base.collect { case (id, t) if id % 6 == 0 && t.length >= 400 =>
+      (6000L + id, t + s" tail$id") }
+    assert(tweaked.nonEmpty)
+    val docs = base ++ tweaked
+
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingOps.simhashProbeDocs(
+      input.toDF().toDF("id", "text"), "id", "text", maxDist)
+    val q = StreamingOps.streamingCandidatePairs(banded)
+      .writeStream.format("memory").queryName("ssim").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamPairs = sq.sql("SELECT DISTINCT id_a, id_b FROM ssim").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // pigeonhole completeness, now across micro-batch boundaries: every
+      // pair within Hamming maxDist must be a streamed candidate
+      val sims = docs.map { case (id, t) => (id, graft.core.TextOps.simHash64(t)) }
+      val truth = (for {
+        (ia, sa) <- sims; (ib, sb) <- sims
+        if ia < ib && graft.core.TextOps.hammingDistance(sa, sb) <= maxDist
+      } yield (ia, ib)).toSet
+      assert(truth.nonEmpty, "no cross-Hamming pairs — vacuous coverage")
+      assert(truth.subsetOf(streamPairs),
+        s"missing from stream: ${(truth -- streamPairs).take(5)}")
+    } finally q.stop()
+  }
+
   test("over-cap bucket arrivals emit star edges to the hub (batch hot-bucket parity)") {
     val sq = spark
     import sq.implicits._
