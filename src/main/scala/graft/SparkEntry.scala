@@ -1919,6 +1919,13 @@ object SparkEntry {
       // inside q_pages_pipeline and SubstringDedupSpec)
       SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
+    "q_top_spans" -> ((s, dir) =>
+      // curation datasheet: the 20 exact 200-char spans occurring in the
+      // most distinct docs, each with its lexicographically-minimal
+      // (doc, 1-based pos) example — integer-only unique ordering, so the
+      // oracle's literal-gram recompute hash-matches row for row
+      SpanExcision.topSpans(t(s, dir, "documents"), "doc_id", "text",
+        spanLen = 200, k = 20)),
     "q_span_excise" -> ((s, dir) =>
       // the REWRITE tier of substring dedup (Lee et al., ACL'22): every char
       // covered by an exact 200-char span occurring in another doc is
@@ -3705,6 +3712,24 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    // top duplicated spans: literal-gram distinct-doc counts, canonical
+    // min-(doc,pos) example, integer-only unique ordering
+    "q_top_spans" ->
+      """WITH mx AS (SELECT max(length(text)) m FROM documents),
+        |idx AS (SELECT unnest(range(1, (SELECT m FROM mx) + 1)) i),
+        |g AS (
+        |  SELECT doc_id, i, substring(text, i, 200) gram
+        |  FROM documents JOIN idx ON i <= length(text) - 199
+        |),
+        |a1 AS (SELECT gram, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |              min(doc_id) AS ed
+        |       FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |a2 AS (SELECT a1.gram, a1.n_docs, a1.ed, min(g.i) AS ep
+        |       FROM g JOIN a1 ON g.gram = a1.gram AND g.doc_id = a1.ed
+        |       GROUP BY 1, 2, 3)
+        |SELECT gram AS span, n_docs, ed AS example_doc,
+        |       CAST(ep AS BIGINT) AS example_pos
+        |FROM a2 ORDER BY n_docs DESC, ed, ep LIMIT 20""".stripMargin,
     // span excision, char-exact: dup gram starts (cross-doc 200-gram
     // self-join) -> a position is covered iff a dup start lies in its
     // 199-preceding window -> ordered string_agg of the survivors; docs

@@ -121,6 +121,42 @@ object SpanExcision {
     Excised(sb.toString, removed)
   }
 
+  /** Top-k most-duplicated exact spans — the curation datasheet companion
+    * of [[excise]]: which `spanLen`-char spans occur in the most DISTINCT
+    * documents, with a canonical example location (the lexicographically
+    * minimal (doc, position) holding the span, so the report is engine-
+    * independent). Shifted positions inside one long duplicated run each
+    * report as their own gram — the honest literal form; readers wanting
+    * maximal runs feed the example locations to [[excise]]'s interval
+    * union. Scale: the same narrow position rows as excise; the per-key
+    * aggregate carries (distinct-id count, min rep) — countDistinct is
+    * exact over the ids already co-located by the key shuffle; the top-k
+    * is a TakeOrdered (partial per-partition top-k, never a global sort
+    * materialization); only k rows join back to text. */
+  def topSpans(docs: DataFrame, idCol: String, textCol: String,
+               spanLen: Int = 200, k: Int = 20): DataFrame = {
+    val keyUdf = udf((t: String) => gramKeys(t, spanLen))
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val pos = base
+      .select(col("id"), explode(keyUdf(col("t"))).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val agg = pos.groupBy("h1", "h2")
+      .agg(countDistinct(col("id")).as("n_docs"),
+        min(struct(col("id"), col("i"))).as("rep"))
+      .filter(col("n_docs") >= 2)
+      // integer-only, unique tie-break: each (doc, pos) holds exactly one
+      // gram, so reps never collide across keys
+      .orderBy(col("n_docs").desc, col("rep.id"), col("rep.i"))
+      .limit(k)
+    agg
+      .join(base, agg("rep.id") === base("id"))
+      .select(expr(s"substring(t, rep.i + 1, $spanLen)").as("span"),
+        col("n_docs"),
+        col("rep.id").as("example_doc"),
+        (col("rep.i") + 1).cast("long").as("example_pos"))
+      .orderBy(col("n_docs").desc, col("example_doc"), col("example_pos"))
+  }
+
   /** Rewrite `docs`: for every document, remove each character covered by
     * an exact `spanLen`-char span shared with at least one OTHER document.
     * Returns one row per input document:

@@ -85,6 +85,33 @@ class SpanExcisionSpec extends AnyFunSuite with SparkSuiteBase {
     assert(run(docs, 12) === brute(docs, 12))
   }
 
+  test("topSpans ranks by distinct-doc count with canonical example locations") {
+    import spark.implicits._
+    val tri = "TRIPLICATE" // in docs 1,2,3
+    val duo = "0123456789" // in docs 4,5
+    val docs = Seq(
+      (1L, s"aa${tri}bb"), (2L, s"$tri zz"), (3L, s"cc dd $tri"),
+      (4L, s"xx${duo}"), (5L, s"${duo}yy"),
+      (6L, "nothing shared here"))
+    val got = SpanExcision.topSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+        spanLen = 10, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head === ((tri, 3L, 1L, 3L))) // min (doc,pos): doc 1, 0-based 2 -> 1-based 3
+    assert(got.contains((duo, 2L, 4L, 3L)))
+    // only duplicated grams appear
+    assert(got.forall(_._2 >= 2))
+    // brute-force full equality: per literal gram, distinct docs + min rep
+    val all = for { (id, t) <- docs; p <- 0 to t.length - 10 }
+      yield (t.substring(p, p + 10), id, p)
+    val truth = all.groupBy(_._1).toSeq
+      .map { case (g, occ) =>
+        val rep = occ.map(o => (o._2, o._3)).min
+        (g, occ.map(_._2).distinct.size.toLong, rep._1, rep._2 + 1L) }
+      .filter(_._2 >= 2)
+      .sortBy { case (_, n, d, p) => (-n, d, p) }
+    assert(got.toSeq === truth)
+  }
+
   test("cut unions intervals and counts removed chars") {
     assert(SpanExcision.cut("0123456789", Seq(2, 4), 3) ===
       SpanExcision.Excised("01789", 5L))
