@@ -1919,6 +1919,29 @@ object SparkEntry {
       // inside q_pages_pipeline and SubstringDedupSpec)
       SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
+    "q_incremental_excise" -> ((s, dir) => {
+      // incremental excision face: corpus = even docs' stored gram-key
+      // index; batch = exact copies of long even docs (fully excised) +
+      // head-spliced 250-char donors (span excised, fresh head/tail kept)
+      // + novel odd docs — all by arithmetic so the oracle rebuilds the
+      // batch identically and recomputes the rewrite char-by-char. No
+      // corpus text is read by the probe; batch-internal duplication is
+      // deliberately kept (the batch face owns it).
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id"), col("text")).filter(col("doc_id") % 2 === 0)
+      val copies = corpus.filter(length(col("text")) >= 250)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val spliced = corpus.filter(length(col("text")) >= 300)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("fresh head "), col("doc_id").cast("string"), lit(" "),
+            substring(col("text"), 1, 250), lit(" fresh tail")).as("text"))
+      val novel = d.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+      val batch = copies.unionByName(spliced).unionByName(novel)
+      val idx = SpanExcision.keyIndex(corpus, "doc_id", "text", spanLen = 200)
+      SpanExcision.exciseAgainstIndex(idx, batch, "doc_id", "text", spanLen = 200)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
     "q_top_spans" -> ((s, dir) =>
       // curation datasheet: the 20 exact 200-char spans occurring in the
       // most distinct docs, each with its lexicographically-minimal
@@ -3712,6 +3735,51 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    // incremental excision: rebuild the batch by the same arithmetic,
+    // dup = batch gram occurs in ANY corpus (even-doc) gram, then the
+    // same char-level window + ordered string_agg as q_span_excise
+    "q_incremental_excise" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM corpus WHERE length(text) >= 250
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'fresh head ' || doc_id::VARCHAR || ' ' ||
+        |         substring(text, 1, 250) || ' fresh tail'
+        |  FROM corpus WHERE length(text) >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 2 = 1
+        |),
+        |mxb AS (SELECT max(length(text)) m FROM batch),
+        |idx AS (SELECT unnest(range(1, (SELECT m FROM mxb) + 1)) i),
+        |mxc AS (SELECT max(length(text)) m FROM corpus),
+        |idxc AS (SELECT unnest(range(1, (SELECT m FROM mxc) + 1)) i),
+        |gc AS (SELECT DISTINCT substring(text, i, 200) gram
+        |       FROM corpus JOIN idxc ON i <= length(text) - 199),
+        |gb AS (SELECT doc_id, i, substring(text, i, 200) gram
+        |       FROM batch JOIN idx ON i <= length(text) - 199),
+        |dup AS (SELECT DISTINCT b.doc_id, b.i FROM gb b JOIN gc c ON b.gram = c.gram),
+        |ch AS (
+        |  SELECT d.doc_id, idx.i AS j, substring(d.text, idx.i, 1) AS c,
+        |         CASE WHEN dup.i IS NULL THEN 0 ELSE 1 END AS s
+        |  FROM batch d JOIN idx ON idx.i <= length(d.text)
+        |  LEFT JOIN dup ON dup.doc_id = d.doc_id AND dup.i = idx.i
+        |),
+        |cov AS (
+        |  SELECT doc_id, j, c,
+        |         max(s) OVER (PARTITION BY doc_id ORDER BY j
+        |                      ROWS BETWEEN 199 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM ch
+        |),
+        |agg AS (
+        |  SELECT doc_id,
+        |         string_agg(CASE WHEN covered = 0 THEN c ELSE '' END, '' ORDER BY j) AS clean_text,
+        |         CAST(sum(covered) AS BIGINT) AS removed_chars
+        |  FROM cov GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, coalesce(a.clean_text, b.text) AS clean_text,
+        |       CAST(coalesce(a.removed_chars, 0) AS BIGINT) AS removed_chars
+        |FROM batch b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // top duplicated spans: literal-gram distinct-doc counts, canonical
     // min-(doc,pos) example, integer-only unique ordering
     "q_top_spans" ->

@@ -58,4 +58,37 @@ object LshCalibration {
     (1 to log2(b)).foreach(_ => u = u * u)
     1.0 - u
   }
+
+  /** Collision probability in the curve's parts-per-billion fixed point —
+    * the exactly-specified form every engine reproduces bit-for-bit
+    * (square chains + one floor), used for DESIGN decisions so a recall
+    * comparison can never flip on cross-engine float noise. */
+  def collisionPpb(t: Double, b: Int, r: Int): Long =
+    math.floor(collisionProbability(t, b, r) * 1.0e9 + 0.5).toLong
+
+  /** All power-of-two factorizations (bands, rows) of a power-of-two
+    * signature length, bands descending. */
+  def configsFor(sigLen: Int): Seq[(Int, Int)] = {
+    val k = log2(sigLen)
+    (0 to k).map(i => (sigLen >> i, 1 << i))
+  }
+
+  /** Pick the banding config for a `sigLen`-lane signature: among all
+    * power-of-two (b, r) with b·r = sigLen whose per-pair recall at
+    * `threshold` meets `targetRecallPpb` (ppb fixed point, e.g.
+    * 990_000_000 = 0.99), choose the FEWEST bands — recall constraints
+    * admit a set of configs, and within it fewer bands means a steeper,
+    * further-right S-curve (larger midpoint (1/b)^(1/r)) and therefore the
+    * least candidate volume from sub-threshold boilerplate, which is what
+    * a 10^12-doc deployment pays for. Falls back to the highest-recall
+    * config when nothing meets the target (the signature is too short for
+    * the ask — the caller should grow sigLen, not silently under-recall).
+    * The pipeline's pinned 16×8 is exactly
+    * `design(128, 0.9, 990000000L)`. */
+  def design(sigLen: Int, threshold: Double, targetRecallPpb: Long): (Int, Int) = {
+    val cs = configsFor(sigLen)
+    val meeting = cs.filter { case (b, r) => collisionPpb(threshold, b, r) >= targetRecallPpb }
+    if (meeting.nonEmpty) meeting.minBy(_._1)
+    else cs.maxBy { case (b, r) => collisionPpb(threshold, b, r) }
+  }
 }

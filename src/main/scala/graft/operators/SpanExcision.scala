@@ -121,6 +121,55 @@ object SpanExcision {
     Excised(sb.toString, removed)
   }
 
+  /** Stored gram-key index for INCREMENTAL excision: the distinct 128-bit
+    * content keys of every `spanLen`-char gram the corpus contains —
+    * narrow (h1, h2) rows, no ids, no positions, no text. This is the
+    * excision twin of the other lanes' stored indexes: persist once
+    * (TableIO, partitioned/bucketed by h1 so probes co-locate), probe each
+    * increment against it, append the admitted increment's keys (appends
+    * are idempotent under the same distinct-compaction as the band
+    * index). Size is O(distinct gram contents) — the honest footprint of
+    * exact substring matching, the same order a suffix array stores. */
+  def keyIndex(docs: DataFrame, idCol: String, textCol: String,
+               spanLen: Int = 200): DataFrame = {
+    val keyUdf = udf((t: String) => gramKeys(t, spanLen))
+    docs.select(explode(keyUdf(col(textCol))).as("g"))
+      .select(col("g.h1").as("h1"), col("g.h2").as("h2"))
+      .distinct()
+  }
+
+  /** Incremental excision: rewrite each document of an incoming batch
+    * removing every char covered by a `spanLen`-char span the CORPUS
+    * already contains (per its stored [[keyIndex]]) — decontamination-by-
+    * rewrite of a crawl increment against the training corpus, reading no
+    * corpus text at all. Batch-internal duplication is deliberately out of
+    * scope here (the batch face [[excise]] owns it; run it on the admitted
+    * batch before appending). Probe shape: batch positions semi-join the
+    * index on the key columns — only batch-sized data moves when the index
+    * is bucketed by h1, the same structural contract as the other
+    * incremental tiers. */
+  def exciseAgainstIndex(index: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         spanLen: Int = 200): DataFrame = {
+    val keyUdf = udf((t: String) => gramKeys(t, spanLen))
+    val cutUdf = udf((t: String, starts: Seq[Int]) =>
+      cut(t, Option(starts).getOrElse(Seq.empty), spanLen))
+    val base = incoming.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val pos = base
+      .select(col("id"), explode(keyUdf(col("t"))).as("g"))
+      .select(col("id"), col("g.i").as("i"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val dupStarts = pos.join(index.select("h1", "h2"), Seq("h1", "h2"), "left_semi")
+      .select("id", "i")
+    val perDoc = dupStarts.groupBy("id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        cutUdf(col("t"), coalesce(col("starts"),
+          array().cast("array<int>"))).as("e"))
+      .select(col("id"), col("e.clean_text").as("clean_text"),
+        col("e.removed_chars").as("removed_chars"))
+  }
+
   /** Top-k most-duplicated exact spans — the curation datasheet companion
     * of [[excise]]: which `spanLen`-char spans occur in the most DISTINCT
     * documents, with a canonical example location (the lexicographically

@@ -48,4 +48,32 @@ class LshCalibrationSpec extends AnyFunSuite with SparkSuiteBase {
       LshCalibration.collisionProbability(0.5, 20, 5)
     }
   }
+
+  test("design picks fewest bands meeting the recall target") {
+    // the pipeline's pinned operating point is exactly the designed one
+    assert(LshCalibration.design(128, 0.9, 990000000L) === ((16, 8)))
+    // lower thresholds need wider bands (more, shorter) to keep recall...
+    assert(LshCalibration.design(128, 0.7, 990000000L) === ((32, 4)))
+    // ...but never more than recall demands: at t=0.5, 64x2 already
+    // clears 0.99 while 32x4 reads only ~0.873
+    assert(LshCalibration.design(128, 0.5, 990000000L) === ((64, 2)))
+    // chosen band count is monotone non-increasing in the threshold
+    val picks = Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)
+      .map(t => LshCalibration.design(128, t, 990000000L)._1)
+    assert(picks.zip(picks.tail).forall { case (a, b) => a >= b }, picks.toString)
+    // every pick actually meets the target it was selected for
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      val (b, r) = LshCalibration.design(128, t, 990000000L)
+      assert(LshCalibration.collisionPpb(t, b, r) >= 990000000L)
+    }
+    // infeasible ask: fall back to the highest-recall config, loudly NOT
+    // meeting the target (caller must grow the signature)
+    val (fb, fr) = LshCalibration.design(4, 0.2, 999000000L)
+    assert((fb, fr) === ((4, 1)))
+    assert(LshCalibration.collisionPpb(0.2, fb, fr) < 999000000L)
+    // configsFor spans the full factorization lattice, bands descending
+    assert(LshCalibration.configsFor(128).head === ((128, 1)))
+    assert(LshCalibration.configsFor(128).last === ((1, 128)))
+    assert(LshCalibration.configsFor(128).length === 8)
+  }
 }

@@ -112,6 +112,41 @@ class SpanExcisionSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got.toSeq === truth)
   }
 
+  test("exciseAgainstIndex: batch chars covered by corpus-held spans removed, batch-internal dups kept") {
+    import spark.implicits._
+    val L = 10
+    val corpus = Seq((1L, "the corpus holds ABCDEFGHIJ and 0123456789 spans"),
+                     (2L, "another corpus document entirely"))
+    // batch: b1 carries a corpus span; b2 and b3 share a span ONLY with
+    // each other (batch-internal — must survive); b4 is novel
+    val batch = Seq(
+      (10L, "xxABCDEFGHIJyy"),
+      (11L, "front BATCHSHARED! end"),
+      (12L, "BATCHSHARED! elsewhere"),
+      (13L, "completely novel text"))
+    val idx = SpanExcision.keyIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+    val got = SpanExcision.exciseAgainstIndex(idx, batch.toDF("doc_id", "text"),
+        "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // brute force: batch char covered iff an L-gram over it occurs in ANY corpus doc
+    val want = batch.map { case (id, t) =>
+      val covered = new Array[Boolean](t.length)
+      var p = 0
+      while (p + L <= t.length) {
+        val g = t.substring(p, p + L)
+        if (corpus.exists(_._2.contains(g))) (p until p + L).foreach(covered(_) = true)
+        p += 1
+      }
+      id -> ((t.zipWithIndex.collect { case (c, i) if !covered(i) => c }.mkString,
+        covered.count(identity).toLong))
+    }.toMap
+    assert(got === want)
+    assert(got(10L) === (("xxyy", 10L)))
+    assert(got(11L)._2 === 0L) // batch-internal share: kept by this face
+    assert(got(12L)._2 === 0L)
+    assert(got(13L)._2 === 0L)
+  }
+
   test("cut unions intervals and counts removed chars") {
     assert(SpanExcision.cut("0123456789", Seq(2, 4), 3) ===
       SpanExcision.Excised("01789", 5L))
