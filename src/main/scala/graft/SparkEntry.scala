@@ -20,6 +20,78 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared estimator-contract gate body for the MinHash kernels
+    * (q_minhash_accuracy / q_minhash_oph — one definition so the pair
+    * construction, gram builder, and exact-J spine can never diverge):
+    * every 5th doc paired with itself plus 1 + doc_id % 50 unique junk
+    * tokens (junk dilutes the union, spreading exact J across deciles);
+    * exact J is computed IN-PLAN from the same literal 5-gram construction
+    * the oracle uses (pure Catalyst HOFs — integer set sizes + one IEEE
+    * division, so bucket boundaries are engine-identical by construction);
+    * only `estSql` — the signature estimate — comes from the kernel under
+    * test. Emits per-J-decile error booleans at the given bounds. */
+  private def minhashContractGate(s: SparkSession, dir: String, estSql: String,
+                                  maxErr: Double, meanErr: Double,
+                                  biasErr: Double): DataFrame = {
+    GraftFunctions.register(s)
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
+    val junk = expr("array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
+      "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')")
+    def grams(c: String) = {
+      val toks = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
+      s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
+        s"i -> array_join(slice($toks, i, 5), ' ')))"
+    }
+    base
+      .select(col("doc_id"), col("text").as("text_a"),
+        concat(col("text"), lit(" "), junk).as("text_b"))
+      .select(col("doc_id"),
+        expr(s"${grams("text_a")}").as("ga"), expr(s"${grams("text_b")}").as("gb"),
+        expr(estSql).as("j_est"))
+      .select(col("doc_id"), col("j_est"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          (size(col("ga")) + size(col("gb"))
+            - size(array_intersect(col("ga"), col("gb"))))).as("j_exact"))
+      .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
+      .withColumn("err", col("j_est") - col("j_exact"))
+      .groupBy("j_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        (max(abs(col("err"))) <= maxErr).as("max_err_ok"),
+        (avg(abs(col("err"))) <= meanErr).as("mean_err_ok"),
+        (abs(avg(col("err"))) <= biasErr).as("bias_ok"))
+      .orderBy("j_bucket")
+  }
+
+  /** One oracle for BOTH MinHash contract gates: the SQL only rebuilds the
+    * pair corpus and the exact-J bucket spine (the error booleans are
+    * pinned TRUE whatever the kernel), so q_minhash_accuracy and
+    * q_minhash_oph share it verbatim — a single definition, like the gate
+    * body above. */
+  private val minhashGateOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents
+      |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
+      |p AS (SELECT doc_id, text AS text_a,
+      |  text || ' ' || array_to_string(
+      |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
+      |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
+      |  FROM base),
+      |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
+      |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p),
+      |g AS (SELECT doc_id,
+      |  list_distinct([array_to_string(ta[i:i+4], ' ')
+      |                 for i in range(1, greatest(len(ta) - 3, 2))]) AS ga,
+      |  list_distinct([array_to_string(tb[i:i+4], ' ')
+      |                 for i in range(1, greatest(len(tb) - 3, 2))]) AS gb
+      |  FROM tk),
+      |j AS (SELECT doc_id, len(list_intersect(ga, gb))::DOUBLE /
+      |        (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS j_exact
+      |      FROM g)
+      |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
+      |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
+      |       true AS mean_err_ok, true AS bias_ok
+      |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin
+
   /** documents with injected exact-duplicate structure (the raw corpus has
     * near-dups but no exact dups): every 10th doc re-appears under
     * doc_id + 1000000. Mirrored verbatim in the oracle CTE `all_docs`. */
@@ -1195,93 +1267,32 @@ object SparkEntry {
         .filter(col("dst") =!= "")
       HostRank.hits(edges, "src", "dst", iters = 2).orderBy("host")
     }),
-    "q_minhash_accuracy" -> ((s, dir) => {
+    "q_minhash_accuracy" -> ((s, dir) =>
       // estimator-contract gate for the 128-perm MinHash kernel — the
       // statistical assumption every LSH design decision upstream
       // (q_lsh_calibration's S-curve, the banding operating point) rests
       // on: over pairs spanning the whole Jaccard range, the signature
       // estimate must track exact shingle Jaccard unbiasedly within
       // binomial-width bounds (sigma = sqrt(J(1-J)/128) <= 0.045).
-      // Pair corpus: every 5th doc paired with itself plus
-      // 1 + doc_id % 50 unique junk tokens — junk dilutes the union, so
-      // exact J spreads smoothly across buckets. Exact J is computed
-      // IN-PLAN from the same literal 5-gram construction the oracle
-      // uses (pure Catalyst HOFs — integer set sizes + one IEEE division,
-      // so bucket boundaries are engine-identical by construction); only
-      // the signature estimate comes from the kernel under test. The
-      // oracle recomputes buckets + pair counts and pins the error
-      // booleans TRUE: an estimator drift flips a boolean and the hash
-      // compare goes red.
-      GraftFunctions.register(s)
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
-      val junk = expr("array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
-        "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')")
-      def grams(c: String) = {
-        val toks = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
-        s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
-          s"i -> array_join(slice($toks, i, 5), ' ')))"
-      }
-      val scored = base
-        .select(col("doc_id"), col("text").as("text_a"),
-          concat(col("text"), lit(" "), junk).as("text_b"))
-        .select(col("doc_id"),
-          expr(s"${grams("text_a")}").as("ga"), expr(s"${grams("text_b")}").as("gb"),
-          expr("est_jaccard(minhash128(text_a), minhash128(text_b))").as("j_est"))
-        .select(col("doc_id"), col("j_est"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            (size(col("ga")) + size(col("gb"))
-              - size(array_intersect(col("ga"), col("gb"))))).as("j_exact"))
-      scored
-        .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
-        .withColumn("err", col("j_est") - col("j_exact"))
-        .groupBy("j_bucket")
-        .agg(count(lit(1)).as("n_pairs"),
-          (max(abs(col("err"))) <= 0.15).as("max_err_ok"),
-          (avg(abs(col("err"))) <= 0.06).as("mean_err_ok"),
-          (abs(avg(col("err"))) <= 0.05).as("bias_ok"))
-        .orderBy("j_bucket")
-    }),
-    "q_minhash_oph" -> ((s, dir) => {
+      // Shared gate body in `minhashContractGate`; the oracle recomputes
+      // buckets + pair counts and pins the error booleans TRUE — an
+      // estimator drift flips a boolean and the hash compare goes red.
+      minhashContractGate(s, dir,
+        "est_jaccard(minhash128(text_a), minhash128(text_b))",
+        maxErr = 0.15, meanErr = 0.06, biasErr = 0.05)),
+    "q_minhash_oph" -> ((s, dir) =>
       // contract gate for the ONE-PERMUTATION MinHash kernel (minhash_oph:
       // one mix per shingle vs 128 multiply-add lanes — the kernel-side
       // scale lever, ~10x less signature arithmetic at bench doc lengths;
-      // BASELINE.md). Same pair construction and in-plan exact-J spine as
-      // q_minhash_accuracy; bounds are wider than the classic gate's
-      // (0.18/0.12/0.12 vs 0.15/0.06/0.05) because densified slots carry
-      // copies, not independent permutations, when docs have fewer
-      // shingles than bins — measured headroom: max 0.14 across deciles
-      // on this corpus.
-      GraftFunctions.register(s)
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
-      val junk = expr("array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
-        "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')")
-      def grams(c: String) = {
-        val toks = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
-        s"array_distinct(transform(sequence(1, greatest(size($toks) - 4, 1)), " +
-          s"i -> array_join(slice($toks, i, 5), ' ')))"
-      }
-      val scored = base
-        .select(col("doc_id"), col("text").as("text_a"),
-          concat(col("text"), lit(" "), junk).as("text_b"))
-        .select(col("doc_id"),
-          expr(s"${grams("text_a")}").as("ga"), expr(s"${grams("text_b")}").as("gb"),
-          expr("est_jaccard(minhash_oph(text_a), minhash_oph(text_b))").as("j_est"))
-        .select(col("doc_id"), col("j_est"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            (size(col("ga")) + size(col("gb"))
-              - size(array_intersect(col("ga"), col("gb"))))).as("j_exact"))
-      scored
-        .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
-        .withColumn("err", col("j_est") - col("j_exact"))
-        .groupBy("j_bucket")
-        .agg(count(lit(1)).as("n_pairs"),
-          (max(abs(col("err"))) <= 0.18).as("max_err_ok"),
-          (avg(abs(col("err"))) <= 0.12).as("mean_err_ok"),
-          (abs(avg(col("err"))) <= 0.12).as("bias_ok"))
-        .orderBy("j_bucket")
-    }),
+      // BASELINE.md). Same gate body (`minhashContractGate`) and in-plan
+      // exact-J spine as q_minhash_accuracy; bounds are wider than the
+      // classic gate's (0.18/0.12/0.12 vs 0.15/0.06/0.05) because
+      // densified slots carry copies, not independent permutations, when
+      // docs have fewer shingles than bins — measured headroom: max 0.14
+      // across deciles on this corpus.
+      minhashContractGate(s, dir,
+        "est_jaccard(minhash_oph(text_a), minhash_oph(text_b))",
+        maxErr = 0.18, meanErr = 0.12, biasErr = 0.12)),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -1929,16 +1940,20 @@ object SparkEntry {
       // deliberately kept (the batch face owns it).
       val d = t(s, dir, "documents")
       val corpus = d.select(col("doc_id"), col("text")).filter(col("doc_id") % 2 === 0)
+      // derived-id offsets follow the file's +1000000L convention so the
+      // three classes can never collide with each other or the corpus at
+      // any realistic SF (a +10000 offset would alias copies with spliced
+      // ids once corpus doc_ids reach 10002)
       val copies = corpus.filter(length(col("text")) >= 250)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val spliced = corpus.filter(length(col("text")) >= 300)
-        .select((col("doc_id") + 20000).as("doc_id"),
+        .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(lit("fresh head "), col("doc_id").cast("string"), lit(" "),
             substring(col("text"), 1, 250), lit(" fresh tail")).as("text"))
       val novel = d.filter(col("doc_id") % 2 === 1)
-        .select((col("doc_id") + 30000).as("doc_id"), col("text"))
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
       val batch = copies.unionByName(spliced).unionByName(novel)
-      val idx = SpanExcision.keyIndex(corpus, "doc_id", "text", spanLen = 200)
+      val idx = SpanExcision.keyIndex(corpus, "text", spanLen = 200)
       SpanExcision.exciseAgainstIndex(idx, batch, "doc_id", "text", spanLen = 200)
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")
     }),
@@ -3316,56 +3331,12 @@ object SparkEntry {
     // estimator-contract truth: the pair corpus, literal 5-gram exact
     // Jaccard, and bucket counts rebuilt in SQL; the error booleans are
     // pinned TRUE — only the MinHash kernel can flip them
-    "q_minhash_accuracy" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-        |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
-        |p AS (SELECT doc_id, text AS text_a,
-        |  text || ' ' || array_to_string(
-        |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
-        |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
-        |  FROM base),
-        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
-        |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p),
-        |g AS (SELECT doc_id,
-        |  list_distinct([array_to_string(ta[i:i+4], ' ')
-        |                 for i in range(1, greatest(len(ta) - 3, 2))]) AS ga,
-        |  list_distinct([array_to_string(tb[i:i+4], ' ')
-        |                 for i in range(1, greatest(len(tb) - 3, 2))]) AS gb
-        |  FROM tk),
-        |j AS (SELECT doc_id, len(list_intersect(ga, gb))::DOUBLE /
-        |        (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS j_exact
-        |      FROM g)
-        |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
-        |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
-        |       true AS mean_err_ok, true AS bias_ok
-        |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin,
+    "q_minhash_accuracy" -> minhashGateOracleSql,
     // OPH twin of q_minhash_accuracy: identical bucket spine (buckets are a
     // function of exact J only), error booleans pinned TRUE at the OPH
     // gate's wider bounds — an estimator drift flips a boolean and the
     // hash compare goes red
-    "q_minhash_oph" ->
-      """WITH base AS (SELECT doc_id, text FROM documents
-        |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
-        |p AS (SELECT doc_id, text AS text_a,
-        |  text || ' ' || array_to_string(
-        |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
-        |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
-        |  FROM base),
-        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
-        |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p),
-        |g AS (SELECT doc_id,
-        |  list_distinct([array_to_string(ta[i:i+4], ' ')
-        |                 for i in range(1, greatest(len(ta) - 3, 2))]) AS ga,
-        |  list_distinct([array_to_string(tb[i:i+4], ' ')
-        |                 for i in range(1, greatest(len(tb) - 3, 2))]) AS gb
-        |  FROM tk),
-        |j AS (SELECT doc_id, len(list_intersect(ga, gb))::DOUBLE /
-        |        (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS j_exact
-        |      FROM g)
-        |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
-        |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
-        |       true AS mean_err_ok, true AS bias_ok
-        |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin,
+    "q_minhash_oph" -> minhashGateOracleSql,
     // textbook definition: postings from regexp-split tokens, ALL-terms
     // coverage via distinct-term count, rank window top-10 — the engine's
     // bounded MinNPair top-k must reproduce the window's row set exactly
@@ -3741,13 +3712,13 @@ object SparkEntry {
     "q_incremental_excise" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |batch AS (
-        |  SELECT doc_id + 10000 AS doc_id, text FROM corpus WHERE length(text) >= 250
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM corpus WHERE length(text) >= 250
         |  UNION ALL
-        |  SELECT doc_id + 20000, 'fresh head ' || doc_id::VARCHAR || ' ' ||
+        |  SELECT doc_id + 2000000, 'fresh head ' || doc_id::VARCHAR || ' ' ||
         |         substring(text, 1, 250) || ' fresh tail'
         |  FROM corpus WHERE length(text) >= 300
         |  UNION ALL
-        |  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 2 = 1
+        |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 2 = 1
         |),
         |mxb AS (SELECT max(length(text)) m FROM batch),
         |idx AS (SELECT unnest(range(1, (SELECT m FROM mxb) + 1)) i),

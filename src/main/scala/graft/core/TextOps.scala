@@ -269,14 +269,18 @@ object TextOps {
 
   private def minHashOphSignatureRange(shingles: Array[Long], n: Int, k: Int): Array[Long] = {
     require(k > 0 && (k & (k - 1)) == 0, s"bin count $k must be a power of two")
+    // for k=1 the shift would be 64, which the JVM masks to a no-op and
+    // bin would mis-index; mask the shifted value to k-1 so the degenerate
+    // single-bin case stays in range (and the mask is free for real k)
     val shift = 64 - java.lang.Integer.numberOfTrailingZeros(k)
+    val binMask = k - 1
     val sig = Array.fill(k)(Long.MaxValue)
     val filled = new Array[Boolean](k)
     var s = 0
     while (s < n) {
       // decorrelate from every other consumer of the shingle hashes
       val v = SplitMix64.mix(shingles(s) ^ 0x6F1D8A5E9C3B7A11L)
-      val bin = (v >>> shift).toInt
+      val bin = (v >>> shift).toInt & binMask
       if (v < sig(bin) || !filled(bin)) { sig(bin) = v; filled(bin) = true }
       s += 1
     }
@@ -290,7 +294,7 @@ object TextOps {
         var t = 1L
         var done = false
         while (!done) {
-          val p = (SplitMix64.mix(j.toLong * 0x9E3779B97F4A7C15L + t) >>> shift).toInt
+          val p = (SplitMix64.mix(j.toLong * 0x9E3779B97F4A7C15L + t) >>> shift).toInt & binMask
           if (filled(p)) { sig(j) = sig(p); done = true }
           t += 1
         }

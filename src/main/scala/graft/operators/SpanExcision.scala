@@ -130,8 +130,7 @@ object SpanExcision {
     * are idempotent under the same distinct-compaction as the band
     * index). Size is O(distinct gram contents) — the honest footprint of
     * exact substring matching, the same order a suffix array stores. */
-  def keyIndex(docs: DataFrame, idCol: String, textCol: String,
-               spanLen: Int = 200): DataFrame = {
+  def keyIndex(docs: DataFrame, textCol: String, spanLen: Int = 200): DataFrame = {
     val keyUdf = udf((t: String) => gramKeys(t, spanLen))
     docs.select(explode(keyUdf(col(textCol))).as("g"))
       .select(col("g.h1").as("h1"), col("g.h2").as("h2"))
@@ -217,9 +216,14 @@ object SpanExcision {
     val cutUdf = udf((t: String, starts: Seq[Int]) =>
       cut(t, Option(starts).getOrElse(Seq.empty), spanLen))
     val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // two plan branches consume the positions (the dup-key aggregate and
+    // the flagged-starts join) — persist so the text scan + per-char key
+    // UDF run once, not twice; Verify/bench clear the cache between
+    // queries and a pipeline caller can unpersist after the action
     val pos = base
       .select(col("id"), explode(keyUdf(col("t"))).as("g"))
       .select(col("id"), col("g.i").as("i"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+      .persist()
     // a key is cross-document iff its id range is non-degenerate — one
     // bounded aggregate, no position-table self-join
     val dupKeys = pos.groupBy("h1", "h2")

@@ -124,7 +124,7 @@ class SpanExcisionSpec extends AnyFunSuite with SparkSuiteBase {
       (11L, "front BATCHSHARED! end"),
       (12L, "BATCHSHARED! elsewhere"),
       (13L, "completely novel text"))
-    val idx = SpanExcision.keyIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", L)
+    val idx = SpanExcision.keyIndex(corpus.toDF("doc_id", "text"), "text", L)
     val got = SpanExcision.exciseAgainstIndex(idx, batch.toDF("doc_id", "text"),
         "doc_id", "text", L)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
