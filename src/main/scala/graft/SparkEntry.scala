@@ -1930,6 +1930,16 @@ object SparkEntry {
       // inside q_pages_pipeline and SubstringDedupSpec)
       SubstringDedup.pairs(t(s, dir, "documents"), "doc_id", "text", minLen = 200)
         .select("id_a", "id_b").orderBy("id_a", "id_b")),
+    "q_similar_topk" -> ((s, dir) =>
+      // dedup review queue: each doc's 3 most-similar neighbors by exact
+      // 3-gram Jaccard above the 0.3 floor — membership decided in
+      // integers (10c >= 3u), score the 10^9 fixed point, top-k a bounded
+      // MinNPair aggregate (never a ranking window); the oracle
+      // brute-forces all gram-sharing pairs and replays the same integer
+      // arithmetic, hash-exact
+      NgramJaccard.topKSimilar(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 3, t10 = 3)
+        .orderBy("doc_id", "neighbor_id")),
     "q_incremental_excise" -> ((s, dir) => {
       // incremental excision face: corpus = even docs' stored gram-key
       // index; batch = exact copies of long even docs (fully excised) +
@@ -3706,6 +3716,41 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |ORDER BY 1, 2""".stripMargin,
+    // review queue truth: all gram-sharing pairs, the identical integer
+    // gate (10c >= 3u) and 10^9 fixed-point score, rank window top-3
+    "q_similar_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE trim(text) <> ''
+        |), s AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                        for i in range(1, greatest(len(toks) - 1, 2))]) sh
+        |  FROM t
+        |), ex AS (
+        |  SELECT doc_id, unnest(sh) g FROM s
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |), sc AS (
+        |  SELECT da, db,
+        |         len(list_intersect(sa.sh, sb.sh))::BIGINT c,
+        |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::BIGINT u
+        |  FROM cand JOIN s sa ON sa.doc_id = da JOIN s sb ON sb.doc_id = db
+        |), q AS (
+        |  SELECT da, db, (c * 1000000000) // u AS score FROM sc WHERE c * 10 >= 3 * u
+        |), dirr AS (
+        |  SELECT da AS doc_id, db AS neighbor_id, score FROM q
+        |  UNION ALL
+        |  SELECT db, da, score FROM q
+        |), r AS (
+        |  SELECT doc_id, neighbor_id, score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, neighbor_id) rn
+        |  FROM dirr
+        |)
+        |SELECT doc_id, neighbor_id, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, neighbor_id""".stripMargin,
     // incremental excision: rebuild the batch by the same arithmetic,
     // dup = batch gram occurs in ANY corpus (even-doc) gram, then the
     // same char-level window + ordered string_agg as q_span_excise

@@ -209,6 +209,52 @@ object NgramJaccard {
   }
 
   /** Brute-force containment oracle (tests only — O(n^2), small n). */
+  /** Per-doc top-k most-similar OTHER docs by exact n-gram Jaccard with a
+    * completeness floor — the dedup REVIEW QUEUE face: "what would this
+    * doc collide with, ranked", the corpus-ops surface the pair lanes
+    * don't expose directly.
+    *
+    * Semantics (all-integer, oracle-exact): a neighbor qualifies iff
+    * 10·|A∩B| >= t10·|A∪B| (Jaccard >= t10/10 decided in integers, never
+    * floats); its score is the fixed point |A∩B| · 10^9 div |A∪B|; each
+    * doc keeps its k best by (score desc, neighbor asc). Candidates come
+    * from the prefix filter run at a strictly LOWER float threshold
+    * (t10/10 − 0.01), so the integer gate — not IEEE rounding at the
+    * boundary — decides membership, and the candidate set is complete
+    * above the floor below the posting cap.
+    *
+    * Scale shape: one extra narrow (doc, neighbor, score) projection per
+    * verified pair (each pair serves both endpoints' queues), then a
+    * bounded MinNPair aggregate — <= 2k longs per doc under
+    * ObjectHashAggregate, never a ranking window. The floor is the volume
+    * knob: lower floors grow prefixes (~(1−t)·|A| postings/doc), which is
+    * the documented prefix-filter trade. */
+  def topKSimilar(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 3, t10: Int = 3,
+                  maxPostings: Int = 10000): DataFrame = {
+    require(k >= 1 && t10 >= 1 && t10 <= 10, s"bad config k=$k t10=$t10")
+    val p = pairs(docs, idCol, textCol, n, t10 / 10.0 - 0.01, maxPostings)
+      .filter(expr(s"common_grams * 10 >= $t10 * (grams_a + grams_b - common_grams)"))
+      .withColumn("score", expr(
+        "CAST(common_grams AS BIGINT) * 1000000000L div " +
+          "(grams_a + grams_b - common_grams)"))
+    val dir = p.select(col("id_a").cast("long").as("doc_id"),
+        col("id_b").cast("long").as("neighbor_id"), col("score"))
+      .unionByName(p.select(col("id_b").cast("long").as("doc_id"),
+        col("id_a").cast("long").as("neighbor_id"), col("score")))
+    val minN = udaf(new SearchIndex.MinNKeepPairsAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+    dir
+      .groupBy("doc_id")
+      .agg(minN((-col("score")).cast("long"), col("neighbor_id")).as("_pairs"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(_pairs) div 2 - 1)," +
+          " i -> struct(-_pairs[2*i] AS score, _pairs[2*i+1] AS neighbor_id))")).as("h"))
+      .select(col("doc_id"), col("h.neighbor_id").as("neighbor_id"),
+        col("h.score").as("score"))
+  }
+
   def bruteForceContainment(docs: Seq[(Long, String)], n: Int,
                             tNum: Int, tDen: Int): Set[(Long, Long, Boolean, Boolean)] = {
     (for {

@@ -187,8 +187,9 @@ object SearchIndex {
 
   /** [[FixedSample.MinNPairAgg]] that keeps the sorted flat (key, id)
     * pairs in `finish` (the base class drops the keys) — here the key IS
-    * the negated score, which the caller needs back. */
-  private class MinNKeepPairsAgg(n: Int) extends FixedSample.MinNPairAgg(n) {
+    * the negated score, which the caller needs back. Shared with
+    * [[NgramJaccard.topKSimilar]]'s per-doc neighbor queue. */
+  private[operators] class MinNKeepPairsAgg(n: Int) extends FixedSample.MinNPairAgg(n) {
     override def finish(r: Array[Long]): Array[Long] = r
   }
 }

@@ -136,6 +136,40 @@ class NgramJaccardSpec extends AnyFunSuite with SparkSuiteBase {
     }
   }
 
+  test("topKSimilar equals the brute-force integer ranking") {
+    import spark.implicits._
+    // near-dup cluster structure: generated pages plus appended-token
+    // variants give a spread of exact Jaccards above and below the floor
+    val base = graft.core.WebPages.generate(60, 91L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val variants = base.collect { case (id, t) if id % 4 == 0 && t.length >= 200 =>
+      Seq((100L + id, t + " aa" + id),
+          (200L + id, t + " bb" + id + " cc dd ee ff gg hh ii jj kk ll"))
+    }.flatten
+    val docs = base ++ variants
+    val (n, k, t10) = (3, 3, 3)
+    val got = NgramJaccard.topKSimilar(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n, k, t10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    // brute force with the IDENTICAL integer arithmetic
+    val sh = docs.map { case (id, t) => (id, graft.core.TextOps.shingleHashes(t, n)) }
+    val scored = for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia != ib
+      inter = sa.intersect(sb).length
+      u = sa.length + sb.length - inter
+      if u > 0 && inter * 10L >= t10.toLong * u
+    } yield (ia, ib, inter * 1000000000L / u)
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (id, ns) =>
+      ns.sortBy(x => (-x._3, x._2)).take(k)
+    }.sortBy(x => (x._1, x._2))
+    assert(got.nonEmpty, "vacuous: no qualifying neighbors")
+    assert(got === want)
+    // every doc's queue is at most k deep
+    assert(got.groupBy(_._1).values.forall(_.size <= k))
+  }
+
   test("overlapStats is exact on knowns") {
     val (i1, a1, b1) = NgramJaccard.overlapStats("a b c d", "a b c d", 3)
     assert((i1, a1, b1) == (2, 2, 2)) // grams: "a b c","b c d"
