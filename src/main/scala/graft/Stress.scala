@@ -174,6 +174,22 @@ object Stress {
     }
     val batchActual = batch.count()
 
+    // ---- 5. span-excision lane (the rewrite tier): the per-char position
+    // table IS the honest cost — docs/32 at the default 6.4M is 200k docs
+    // ≈ 170M narrow (id, pos, key128) rows through one min/max-id
+    // aggregate and one key join, per-doc buffers bounded by doc length.
+    // The arm proves spill-bounded linearity of that row volume; the
+    // generator's appended-token near-dups guarantee real cross-doc spans
+    // so the cut kernel does real work too.
+    val exciseDocs = docs / 32
+    val exciseSlice = graft.core.WebPages
+      .generateDistributed(spark, exciseDocs, 46L, cpus * 8)
+      .select(xxhash64(col("url")).as("doc_id"), col("text"))
+    val (exciseSec, nExcisedDocs) = timed {
+      graft.operators.SpanExcision.excise(exciseSlice, "doc_id", "text", 200)
+        .filter(col("removed_chars") > 0).count()
+    }
+
     val heapGb = peakHeap.get() / 1e9
     val execGb = peakExecMem.get() / 1e9
     println(
@@ -188,6 +204,9 @@ object Stress {
       f""""incr_probe_sec":$probeSec%.1f,""" +
       f""""incr_probe_docs_per_sec":${batchActual / probeSec}%.0f,""" +
       f""""incr_pairs":$nIncrPairs,""" +
+      f""""excise_docs":$exciseDocs,"excise_sec":$exciseSec%.1f,""" +
+      f""""excise_docs_per_sec":${exciseDocs / exciseSec}%.0f,""" +
+      f""""excise_docs_rewritten":$nExcisedDocs,""" +
       f""""peak_heap_gb":$heapGb%.2f,""" +
       f""""peak_task_exec_mem_gb":$execGb%.2f,""" +
       f""""shuffle_mem_spill_gb":${memSpill.get() / 1e9}%.2f,""" +
