@@ -1293,6 +1293,19 @@ object SparkEntry {
       minhashContractGate(s, dir,
         "est_jaccard(minhash_oph(text_a), minhash_oph(text_b))",
         maxErr = 0.18, meanErr = 0.12, biasErr = 0.12)),
+    "q_bbit_accuracy" -> ((s, dir) =>
+      // contract gate for b-BIT MINWISE signatures (Li & König WWW'10 —
+      // minhash_bbit at b=4: the 128-perm signature stored in 64 B instead
+      // of 1 KiB, the signature-INDEX scale lever the way OPH is the
+      // arithmetic lever). est_jaccard_bbit removes the 2^-b accidental-
+      // collision floor analytically ((E - C)/(1 - C)); bounds are the
+      // classic gate's widened by the 1/(1-C) variance inflation plus the
+      // truncation-collision noise (max 0.18, mean 0.07, bias 0.06 —
+      // measured headroom on this corpus: max ~0.13). Same gate body and
+      // in-plan exact-J spine as q_minhash_accuracy.
+      minhashContractGate(s, dir,
+        "est_jaccard_bbit(minhash_bbit(text_a, 4), minhash_bbit(text_b, 4), 4)",
+        maxErr = 0.18, meanErr = 0.07, biasErr = 0.06)),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3347,6 +3360,10 @@ object SparkEntry {
     // gate's wider bounds — an estimator drift flips a boolean and the
     // hash compare goes red
     "q_minhash_oph" -> minhashGateOracleSql,
+    // b-bit minwise twin: same spine again (error booleans pinned TRUE,
+    // bucket counts recomputed — a packing or estimator-transform bug
+    // flips a boolean and the hash compare goes red)
+    "q_bbit_accuracy" -> minhashGateOracleSql,
     // textbook definition: postings from regexp-split tokens, ALL-terms
     // coverage via distinct-term count, rank window top-10 — the engine's
     // bounded MinNPair top-k must reproduce the window's row set exactly

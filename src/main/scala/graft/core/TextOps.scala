@@ -309,6 +309,60 @@ object TextOps {
     minHashOphSignatureRange(scratch.get().shingles, w, NumPerms)
   }
 
+  /** b-bit minwise hashing (Li & König, WWW'10): keep only the lowest `b`
+    * bits of each of the `k` MinHash slots, packed little-endian-by-slot
+    * into `k*b/64` longs. This is the signature STORAGE lever the way OPH
+    * is the arithmetic lever: a 128-perm signature stored for estimation
+    * shrinks from 1 KiB to 16*b bytes (64 B at b=4) — at 10^12 documents
+    * that is the difference between a 1 PB and a 64 TB signature index,
+    * and every shuffle/broadcast of a signature column shrinks by the
+    * same 64/b factor. `b` must be a power of two ≤ 32 so slots never
+    * straddle a word boundary. Estimation from packed signatures uses
+    * [[estimatedJaccardBbit]], which removes the accidental-collision
+    * floor analytically. */
+  def minHashBbitPack(sig: Array[Long], b: Int): Array[Long] = {
+    require(b > 0 && b <= 32 && (b & (b - 1)) == 0, s"b=$b must be a power of two <= 32")
+    val perWord = 64 / b
+    val mask = (1L << b) - 1
+    val out = new Array[Long]((sig.length + perWord - 1) / perWord)
+    var i = 0
+    while (i < sig.length) {
+      out(i / perWord) |= (sig(i) & mask) << ((i % perWord) * b)
+      i += 1
+    }
+    out
+  }
+
+  def minHashBbit(text: String, b: Int): Array[Long] = {
+    val w = shingleHashesScratch(text, ShingleSize)
+    minHashBbitPack(minHashSignatureRange(scratch.get().shingles, w, NumPerms), b)
+  }
+
+  /** Unbiased Jaccard estimate from two b-bit packed signatures of `k`
+    * slots. Two non-matching minima still agree on their lowest b bits
+    * with probability C = 2^-b, so the raw matched fraction E estimates
+    * C + (1-C)·J; inverting gives Ĵ = (E - C)/(1 - C), clamped at 0
+    * (E can fall below C by sampling noise). Variance per Li & König is
+    * the binomial Var(E)/(1-C)^2 — at k=128, b=4 the worst-case std err
+    * is ~0.047, which the q_bbit_accuracy gate bounds empirically per
+    * Jaccard decile. */
+  def estimatedJaccardBbit(pa: Array[Long], pb: Array[Long], k: Int, b: Int): Double = {
+    require(b > 0 && b <= 32 && (b & (b - 1)) == 0, s"b=$b must be a power of two <= 32")
+    val perWord = 64 / b
+    val mask = (1L << b) - 1
+    var eq = 0
+    var i = 0
+    while (i < k) {
+      val wa = (pa(i / perWord) >>> ((i % perWord) * b)) & mask
+      val wb = (pb(i / perWord) >>> ((i % perWord) * b)) & mask
+      if (wa == wb) eq += 1
+      i += 1
+    }
+    val e = eq.toDouble / k
+    val c = 1.0 / (1L << b).toDouble
+    math.max(0.0, (e - c) / (1.0 - c))
+  }
+
   /** LSH band keys: hash of each contiguous `RowsPerBand` slice of the
     * signature. Pairs that agree on any band are candidates. */
   def bandHashes(sig: Array[Long], bands: Int = NumBands, rows: Int = RowsPerBand): Array[Long] = {

@@ -250,6 +250,10 @@ object GraftFunctions {
     "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),
     "minhash128" -> udf((t: String) => Option(t).map(TextOps.minHash)),
     "minhash_oph" -> udf((t: String) => Option(t).map(TextOps.minHashOph)),
+    "minhash_bbit" -> udf((t: String, b: Int) => Option(t).map(TextOps.minHashBbit(_, b))),
+    "est_jaccard_bbit" -> udf((a: Seq[Long], b: Seq[Long], bits: Int) =>
+      if (a == null || b == null) None
+      else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray, TextOps.NumPerms, bits))),
     "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),
     "simhash64" -> udf((t: String) => Option(t).map(TextOps.simHash64)),
     "simhash_probes" -> udf((sim: Long, maxDist: Int) => TextOps.simHashProbeKeys(sim, maxDist)),

@@ -226,4 +226,56 @@ class TextOpsSpec extends AnyFunSuite {
         s"n=$n overlap=$overlap exact=$jExact est=$jEst")
     }
   }
+
+  test("minHashBbitPack: packed slots are exactly the low b bits, all legal b") {
+    val sig = TextOps.minHashSignature(Array(3L, 99L, -41L, 7L, 123456789L))
+    for (b <- Seq(1, 2, 4, 8, 16, 32)) {
+      val packed = TextOps.minHashBbitPack(sig, b)
+      assert(packed.length == TextOps.NumPerms * b / 64)
+      val perWord = 64 / b
+      val mask = (1L << b) - 1
+      for (i <- sig.indices) {
+        val slot = (packed(i / perWord) >>> ((i % perWord) * b)) & mask
+        assert(slot == (sig(i) & mask), s"b=$b slot $i")
+      }
+    }
+    intercept[IllegalArgumentException](TextOps.minHashBbitPack(sig, 3))
+    intercept[IllegalArgumentException](TextOps.minHashBbitPack(sig, 64))
+  }
+
+  test("b-bit estimator: identical docs -> 1.0, collision floor removed on disjoint sets") {
+    val k = TextOps.NumPerms
+    val a = TextOps.minHashBbit("the quick brown fox jumps over the lazy dog and then some", 4)
+    assert(TextOps.estimatedJaccardBbit(a, a, k, 4) == 1.0)
+    // disjoint vocabularies: raw matched fraction sits near C = 1/16, and
+    // the (E - C)/(1 - C) transform must pull the estimate near (and never
+    // below) zero — the clamp owns sampling noise under the floor
+    val b = TextOps.minHashBbit("zebra xylophone quartz vortex jackal plume " +
+      "ember nimbus cinder ravine torrent basalt", 4)
+    val est = TextOps.estimatedJaccardBbit(a, b, k, 4)
+    assert(est >= 0.0 && est <= 0.12, s"disjoint est=$est")
+  }
+
+  test("b-bit estimator tracks exact Jaccard on synthetic sets (b = 4 and 8)") {
+    def setOf(seed: Long, n: Int): Array[Long] = {
+      var st = seed
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { st = SplitMix64.next(st); a(i) = SplitMix64.mix(st); i += 1 }
+      java.util.Arrays.sort(a); a
+    }
+    for ((overlap, tol) <- Seq((2000, 0.12), (3600, 0.10));
+         b <- Seq(4, 8)) {
+      val shared = setOf(11L, overlap)
+      val x = (shared ++ setOf(12L, 4000 - overlap)).sorted
+      val y = (shared ++ setOf(13L, 4000 - overlap)).sorted
+      val jExact = TextOps.sortedJaccard(x, y)
+      val jEst = TextOps.estimatedJaccardBbit(
+        TextOps.minHashBbitPack(TextOps.minHashSignature(x), b),
+        TextOps.minHashBbitPack(TextOps.minHashSignature(y), b),
+        TextOps.NumPerms, b)
+      assert(math.abs(jEst - jExact) <= tol,
+        s"b=$b overlap=$overlap exact=$jExact est=$jEst")
+    }
+  }
 }
