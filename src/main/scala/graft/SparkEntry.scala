@@ -1306,6 +1306,47 @@ object SparkEntry {
       minhashContractGate(s, dir,
         "est_jaccard_bbit(minhash_bbit(text_a, 4), minhash_bbit(text_b, 4), 4)",
         maxErr = 0.18, meanErr = 0.07, biasErr = 0.06)),
+    "q_weighted_minhash" -> ((s, dir) => {
+      // estimator-contract gate for ICWS WEIGHTED MinHash (Ioffe ICDM'10):
+      // P[slot match] = weighted Jaccard exactly, so the matched-slot
+      // estimate must track the exact token-multiset Σmin/Σmax within the
+      // classic gate's binomial bounds. The pair corpus makes WEIGHTS
+      // matter (set Jaccard can't see it): text_b re-appends a doc_id-sized
+      // prefix of the doc's own tokens (shared-token counts now differ)
+      // plus the unique-junk dilution arm. Exact J_w is computed IN-PLAN
+      // from integer HOF counts over the same token arrays the oracle
+      // rebuilds — both engines sum the same integers and divide once, so
+      // bucket boundaries are engine-identical by construction.
+      GraftFunctions.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(trim(col("text")) =!= "").filter(col("doc_id") % 5 === 0)
+      def toks(c: String) = s"filter(split(trim($c), '\\\\s+'), x -> x != '')"
+      val junk = "array_join(transform(sequence(1, 1 + CAST(doc_id % 50 AS INT)), " +
+        "i -> concat('z', CAST(doc_id AS STRING), 'x', CAST(i AS STRING))), ' ')"
+      val rep = s"array_join(slice(${toks("text")}, 1, " +
+        s"least(size(${toks("text")}), 1 + CAST(doc_id % 30 AS INT))), ' ')"
+      base
+        .select(col("doc_id"), col("text").as("text_a"),
+          expr(s"concat(text, ' ', $rep, ' ', $junk)").as("text_b"))
+        .select(col("doc_id"),
+          expr(s"${toks("text_a")}").as("ta"), expr(s"${toks("text_b")}").as("tb"),
+          expr("est_jaccard(weighted_minhash(text_a), weighted_minhash(text_b))").as("j_est"))
+        .select(col("doc_id"), col("j_est"),
+          (expr("aggregate(array_distinct(concat(ta, tb)), 0L, (acc, t) -> " +
+            "acc + least(size(filter(ta, x -> x = t)), size(filter(tb, x -> x = t))))")
+            .cast("double") /
+            expr("aggregate(array_distinct(concat(ta, tb)), 0L, (acc, t) -> " +
+              "acc + greatest(size(filter(ta, x -> x = t)), size(filter(tb, x -> x = t))))"))
+            .as("j_exact"))
+        .withColumn("j_bucket", least(floor(col("j_exact") * 10), lit(9)).cast("int"))
+        .withColumn("err", col("j_est") - col("j_exact"))
+        .groupBy("j_bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          (max(abs(col("err"))) <= 0.15).as("max_err_ok"),
+          (avg(abs(col("err"))) <= 0.06).as("mean_err_ok"),
+          (abs(avg(col("err"))) <= 0.05).as("bias_ok"))
+        .orderBy("j_bucket")
+    }),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3364,6 +3405,36 @@ object SparkEntry {
     // bucket counts recomputed — a packing or estimator-transform bug
     // flips a boolean and the hash compare goes red)
     "q_bbit_accuracy" -> minhashGateOracleSql,
+    // ICWS weighted-MinHash gate: the oracle rebuilds the weight-divergent
+    // pair corpus (prefix re-append + unique junk) and recomputes exact
+    // weighted Jaccard from the same integer token-multiset Σmin/Σmax,
+    // pinning the error booleans TRUE
+    "q_weighted_minhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |              WHERE trim(text) <> '' AND doc_id % 5 = 0),
+        |p AS (SELECT doc_id, text AS text_a,
+        |  regexp_split_to_array(trim(text), '\s+') AS ta0 FROM base),
+        |p2 AS (SELECT doc_id, text_a,
+        |  text_a || ' ' ||
+        |  array_to_string(ta0[1:least(len(ta0), 1 + (doc_id % 30)::INT)], ' ')
+        |  || ' ' || array_to_string(
+        |    ['z' || doc_id::VARCHAR || 'x' || i::VARCHAR
+        |     for i in range(1, 2 + (doc_id % 50)::INT)], ' ') AS text_b
+        |  FROM p),
+        |tk AS (SELECT doc_id, regexp_split_to_array(trim(text_a), '\s+') ta,
+        |              regexp_split_to_array(trim(text_b), '\s+') tb FROM p2),
+        |j AS (SELECT doc_id,
+        |  list_sum([least(len(list_filter(ta, x -> x = t)),
+        |                  len(list_filter(tb, x -> x = t)))
+        |            for t in list_distinct(ta || tb)])::DOUBLE /
+        |  list_sum([greatest(len(list_filter(ta, x -> x = t)),
+        |                     len(list_filter(tb, x -> x = t)))
+        |            for t in list_distinct(ta || tb)]) AS j_exact
+        |  FROM tk)
+        |SELECT least(floor(j_exact * 10), 9)::INT AS j_bucket,
+        |       count(*)::BIGINT AS n_pairs, true AS max_err_ok,
+        |       true AS mean_err_ok, true AS bias_ok
+        |FROM j GROUP BY 1 ORDER BY j_bucket""".stripMargin,
     // textbook definition: postings from regexp-split tokens, ALL-terms
     // coverage via distinct-term count, rank window top-10 — the engine's
     // bounded MinNPair top-k must reproduce the window's row set exactly

@@ -363,6 +363,99 @@ object TextOps {
     math.max(0.0, (e - c) / (1.0 - c))
   }
 
+  /** Token-multiset histogram: parallel (sorted distinct token hash,
+    * count) arrays. The weighted-Jaccard universe — counts are the
+    * weights. */
+  def tokenHistogram(text: String): (Array[Long], Array[Int]) = {
+    val n = tokenHashesScratch(text)
+    val h = java.util.Arrays.copyOf(scratch.get().tokens, n)
+    java.util.Arrays.sort(h)
+    var w = 0
+    var i = 0
+    val cnt = new Array[Int](n)
+    while (i < n) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); cnt(w) = 1; w += 1 }
+      else cnt(w - 1) += 1
+      i += 1
+    }
+    (java.util.Arrays.copyOf(h, w), java.util.Arrays.copyOf(cnt, w))
+  }
+
+  /** Exact weighted Jaccard of two token multisets:
+    * J_w = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t)) — the
+    * tf-weighted similarity the set-Jaccard lanes cannot express (a page
+    * that repeats a template paragraph 10× is NOT the page that has it
+    * once). Empty-doc conventions mirror [[sortedJaccard]]. */
+  def weightedJaccard(a: String, b: String): Double = {
+    val (ha, ca) = tokenHistogram(a)
+    val (hb, cb) = tokenHistogram(b)
+    if (ha.length == 0 && hb.length == 0) return 1.0
+    if (ha.length == 0 || hb.length == 0) return 0.0
+    var i = 0; var j = 0
+    var sumMin = 0L; var sumMax = 0L
+    while (i < ha.length && j < hb.length) {
+      if (ha(i) == hb(j)) {
+        sumMin += math.min(ca(i), cb(j)); sumMax += math.max(ca(i), cb(j))
+        i += 1; j += 1
+      } else if (ha(i) < hb(j)) { sumMax += ca(i); i += 1 }
+      else { sumMax += cb(j); j += 1 }
+    }
+    while (i < ha.length) { sumMax += ca(i); i += 1 }
+    while (j < hb.length) { sumMax += cb(j); j += 1 }
+    sumMin.toDouble / sumMax
+  }
+
+  /** ICWS weighted MinHash (Ioffe, "Improved Consistent Sampling, Weighted
+    * Minhash and L1 Sketching", ICDM'10): k independent consistent samples
+    * from the token multiset, where P[slot_i(A) == slot_i(B)] equals the
+    * weighted Jaccard EXACTLY — so the matched-slot comparator
+    * ([[estimatedJaccard]]) estimates J_w unbiasedly with binomial
+    * variance, and the signature drops into the existing banding/indexing
+    * machinery unchanged. Per (perm, feature) the sampler draws
+    * r, c ~ Gamma(2,1) (as -ln u - ln u'), β ~ U(0,1) from a SplitMix64
+    * chain keyed by the feature hash and perm index (deterministic: two
+    * documents draw IDENTICAL samples for a shared feature — the
+    * "consistent" in CWS), then t = ⌊ln w / r + β⌋,
+    * ln a = ln c - r(t - β) - r; the argmin-a feature's (hash, t) pair is
+    * the slot value. Weights are token counts ≥ 1 so ln w ≥ 0. Empty
+    * documents get Long.MaxValue lanes, mirroring [[minHashSignature]]. */
+  def weightedMinHashSignature(hashes: Array[Long], weights: Array[Int],
+                               k: Int = NumPerms): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (hashes.length == 0) return sig
+    val inv53 = 1.0 / (1L << 53).toDouble
+    var i = 0
+    while (i < k) {
+      var best = Double.PositiveInfinity
+      var bestSlot = Long.MaxValue
+      var f = 0
+      while (f < hashes.length) {
+        // five uniforms in (0,1): chain seeded by (feature, perm) only —
+        // consistency across documents is the correctness of CWS
+        var st = SplitMix64.mix(hashes(f) ^ (i.toLong * 0xBF58476D1CE4E5B9L) ^ 0x2545F4914F6CDD1DL)
+        def next(): Double = { st = SplitMix64.mix(st); ((st >>> 11) + 0.5) * inv53 }
+        val r = -math.log(next()) - math.log(next())
+        val c = -math.log(next()) - math.log(next())
+        val beta = next()
+        val t = math.floor(math.log(weights(f).toDouble) / r + beta)
+        val lnA = math.log(c) - r * (t - beta) - r
+        if (lnA < best) {
+          best = lnA
+          bestSlot = SplitMix64.mix(hashes(f) ^ SplitMix64.mix(t.toLong * 0x94D049BB133111EBL))
+        }
+        f += 1
+      }
+      sig(i) = bestSlot
+      i += 1
+    }
+    sig
+  }
+
+  def weightedMinHash(text: String, k: Int = NumPerms): Array[Long] = {
+    val (h, c) = tokenHistogram(text)
+    weightedMinHashSignature(h, c, k)
+  }
+
   /** LSH band keys: hash of each contiguous `RowsPerBand` slice of the
     * signature. Pairs that agree on any band are candidates. */
   def bandHashes(sig: Array[Long], bands: Int = NumBands, rows: Int = RowsPerBand): Array[Long] = {

@@ -251,6 +251,9 @@ object GraftFunctions {
     "minhash128" -> udf((t: String) => Option(t).map(TextOps.minHash)),
     "minhash_oph" -> udf((t: String) => Option(t).map(TextOps.minHashOph)),
     "minhash_bbit" -> udf((t: String, b: Int) => Option(t).map(TextOps.minHashBbit(_, b))),
+    "weighted_minhash" -> udf((t: String) => Option(t).map(TextOps.weightedMinHash(_))),
+    "weighted_jaccard" -> udf((a: String, b: String) =>
+      if (a == null || b == null) None else Some(TextOps.weightedJaccard(a, b))),
     "est_jaccard_bbit" -> udf((a: Seq[Long], b: Seq[Long], bits: Int) =>
       if (a == null || b == null) None
       else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray, TextOps.NumPerms, bits))),

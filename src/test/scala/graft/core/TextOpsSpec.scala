@@ -278,4 +278,56 @@ class TextOpsSpec extends AnyFunSuite {
         s"b=$b overlap=$overlap exact=$jExact est=$jEst")
     }
   }
+
+  test("weightedJaccard: hand-computed multiset cases, empty conventions") {
+    // a = {x:2, y:1}, b = {x:1, y:1, z:1}: min 1+1=2, max 2+1+1=4
+    assert(TextOps.weightedJaccard("x x y", "x y z") == 0.5)
+    // weights matter where set Jaccard is blind: same support, different tf
+    assert(TextOps.weightedJaccard("x x x x y", "x y") == 2.0 / 5.0)
+    assert(TextOps.weightedJaccard("x y", "x y") == 1.0)
+    assert(TextOps.weightedJaccard("", "") == 1.0)
+    assert(TextOps.weightedJaccard("x", "") == 0.0)
+  }
+
+  test("weightedMinHash: consistency, identity, empty lanes, weight sensitivity") {
+    val sig = TextOps.weightedMinHash("alpha beta beta gamma gamma gamma")
+    assert(sig.length == TextOps.NumPerms)
+    assert(sig.sameElements(TextOps.weightedMinHash("alpha beta beta gamma gamma gamma")))
+    // token ORDER is irrelevant (multiset semantics)
+    assert(sig.sameElements(TextOps.weightedMinHash("gamma beta gamma alpha gamma beta")))
+    assert(TextOps.estimatedJaccard(sig, sig) == 1.0)
+    assert(TextOps.weightedMinHash("").forall(_ == Long.MaxValue))
+    assert(TextOps.estimatedJaccard(sig, TextOps.weightedMinHash("")) == 0.0)
+    // same support, different weights -> strictly less than full agreement
+    val heavy = TextOps.weightedMinHash(
+      "alpha alpha alpha alpha alpha alpha alpha alpha beta gamma")
+    assert(TextOps.estimatedJaccard(sig, heavy) < 0.9)
+  }
+
+  test("weightedMinHash estimator tracks exact weighted Jaccard (incl. tf divergence)") {
+    // doc pairs with shared vocabulary at diverging counts: exact J_w from
+    // the kernel (itself pinned by hand-computed cases above), estimate
+    // from ICWS signatures; binomial tolerance at k=128
+    def doc(seed: Long, n: Int, vocab: Int): String = {
+      var st = seed
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n) {
+        st = SplitMix64.next(st)
+        sb.append("w").append(java.lang.Long.remainderUnsigned(SplitMix64.mix(st), vocab)).append(' ')
+        i += 1
+      }
+      sb.toString
+    }
+    for ((na, nb, vocab, tol) <- Seq((400, 400, 80, 0.13), (400, 100, 60, 0.13),
+                                     (300, 300, 500, 0.13))) {
+      val a = doc(5L, na, vocab)
+      val b = doc(6L, nb, vocab)
+      val jExact = TextOps.weightedJaccard(a, b)
+      val jEst = TextOps.estimatedJaccard(
+        TextOps.weightedMinHash(a), TextOps.weightedMinHash(b))
+      assert(math.abs(jEst - jExact) <= tol,
+        s"na=$na nb=$nb vocab=$vocab exact=$jExact est=$jEst")
+    }
+  }
 }
