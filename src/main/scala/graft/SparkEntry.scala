@@ -1347,6 +1347,49 @@ object SparkEntry {
           (abs(avg(col("err"))) <= 0.05).as("bias_ok"))
         .orderBy("j_bucket")
     }),
+    "q_weighted_neardup" -> ((s, dir) => {
+      // self-verifying gate for the WEIGHTED near-dup lane
+      // (MinHashLSH.weightedNearDupPairs — ICWS signatures through the
+      // banding machinery, exact Σmin/Σmax verify): planted tf-divergent
+      // variants (every 4th doc re-appears with its first ~n/12 tokens
+      // duplicated → J_w ≈ 12/13) plus the raw corpus, lane output
+      // compared pair-for-pair against an in-plan all-pairs brute force
+      // over per-doc histograms (weighted_jaccard_hist — the SAME merge
+      // kernel the lane's verify uses, so the 0.9 boundary is decided by
+      // identical arithmetic on both sides). The id range is capped so
+      // brute force is bounded and no bucket can exceed the cap (the star
+      // fallback cannot engage). The weighted kernel is not
+      // SQL-expressible, so the oracle pins the zero counts
+      // (q_simhash_complete-style).
+      GraftFunctions.register(s)
+      val docs0 = t(s, dir, "documents").filter(col("doc_id") < 1200)
+        .filter(trim(col("text")) =!= "").select("doc_id", "text")
+      def toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+      val variants = docs0.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr(s"concat(text, ' ', array_join(slice($toks, 1, " +
+            s"1 + CAST(size($toks) / 12 AS INT)), ' '))").as("text"))
+      val all = docs0.unionByName(variants)
+      val lane = MinHashLSH.weightedNearDupPairs(all, "doc_id", "text",
+          threshold = 0.9, maxBucketSize = 8192)
+        .select("id_a", "id_b")
+      val hists = all.select(col("doc_id").as("id"),
+        expr("token_hist(text)").as("h"))
+      val brute = hists.select(col("id").as("id_a"), col("h").as("h_a"))
+        .join(broadcast(hists.select(col("id").as("id_b"), col("h").as("h_b"))),
+          col("id_a") < col("id_b"))
+        .filter(expr("weighted_jaccard_hist(h_a._1, h_a._2, h_b._1, h_b._2)") >= 0.9)
+        .select("id_a", "id_b")
+      // one full-outer comparison pass: each side's (LSH-sig / all-pairs)
+      // plan is expensive enough that the 3-aggregate anti-join shape would
+      // re-evaluate both three times
+      brute.withColumn("in_b", lit(1))
+        .join(lane.withColumn("in_l", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("in_l").isNull, 1).otherwise(0)).cast("long").as("missed_pairs"),
+          sum(when(col("in_b").isNull, 1).otherwise(0)).cast("long").as("extra_pairs"),
+          (count(col("in_l")) > 0).as("pairs_nonzero"))
+    }),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3942,6 +3985,13 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "q_simhash_complete" ->
       "SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs",
+    // weighted lane gate: lane must equal the in-plan all-pairs weighted-
+    // Jaccard truth pair-for-pair (same merge kernel both sides) and be
+    // non-vacuous — the ICWS kernel is not SQL-expressible, so the oracle
+    // pins the claims
+    "q_weighted_neardup" ->
+      ("SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs, " +
+        "TRUE AS pairs_nonzero"),
     "q_semantic_dedup" ->
       """SELECT
         |  (SELECT count(*) FROM embeddings WHERE vec_id < 2000) +

@@ -389,6 +389,15 @@ object TextOps {
   def weightedJaccard(a: String, b: String): Double = {
     val (ha, ca) = tokenHistogram(a)
     val (hb, cb) = tokenHistogram(b)
+    weightedJaccardHist(ha, ca, hb, cb)
+  }
+
+  /** [[weightedJaccard]] over precomputed histograms — the brute-force/
+    * verify kernel when histograms are materialized once per doc (an
+    * all-pairs truth pass rebuilds each doc's histogram n times without
+    * this). Single source of the merge and the empty conventions. */
+  def weightedJaccardHist(ha: Array[Long], ca: Array[Int],
+                          hb: Array[Long], cb: Array[Int]): Double = {
     if (ha.length == 0 && hb.length == 0) return 1.0
     if (ha.length == 0 || hb.length == 0) return 0.0
     var i = 0; var j = 0

@@ -76,6 +76,32 @@ object MinHashLSH {
     verifyPairs(candidatePairs(docs, idCol, textCol, maxBucketSize),
       docs, idCol, textCol, threshold)
 
+  /** WEIGHTED near-dup pairs: ICWS weighted-MinHash signatures (Ioffe
+    * ICDM'10 — P[slot match] = tf-weighted Jaccard exactly) through the
+    * SAME banding + salted capped bucket machinery, decided by the exact
+    * token-multiset Σmin/Σmax verify (`weighted_jaccard`). This is the
+    * similarity tier the set-Jaccard lane is blind to: a page repeating a
+    * template paragraph 10× banding-collides with the single-copy page
+    * under set semantics but separates here. Returns
+    * (id_a, id_b, wjaccard); LSH can only lose recall, never invent
+    * pairs — the S-curve at the pinned 16×8 config applies to J_w
+    * unchanged (`LshCalibration`). */
+  def weightedNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    val cands = candidatePairsFromBands(
+      docs.select(col(idCol).as("id"),
+        expr(s"band_hashes(weighted_minhash($textCol))").as("bands")),
+      maxBucketSize)
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+      .withColumn("wjaccard", expr("weighted_jaccard(t_a, t_b)"))
+      .filter(col("wjaccard") >= threshold)
+      .select("id_a", "id_b", "wjaccard")
+  }
+
   // ------------------------------------------------------------------
   // Incremental probe lane: new batch vs a STORED corpus band index
   // ------------------------------------------------------------------

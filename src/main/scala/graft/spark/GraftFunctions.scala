@@ -254,6 +254,12 @@ object GraftFunctions {
     "weighted_minhash" -> udf((t: String) => Option(t).map(TextOps.weightedMinHash(_))),
     "weighted_jaccard" -> udf((a: String, b: String) =>
       if (a == null || b == null) None else Some(TextOps.weightedJaccard(a, b))),
+    "token_hist" -> udf((t: String) => Option(t).map(TextOps.tokenHistogram)),
+    "weighted_jaccard_hist" -> udf(
+      (ha: Seq[Long], ca: Seq[Int], hb: Seq[Long], cb: Seq[Int]) =>
+        if (ha == null || hb == null) None
+        else Some(TextOps.weightedJaccardHist(
+          ha.toArray, ca.toArray, hb.toArray, cb.toArray))),
     "est_jaccard_bbit" -> udf((a: Seq[Long], b: Seq[Long], bits: Int) =>
       if (a == null || b == null) None
       else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray, TextOps.NumPerms, bits))),
