@@ -180,6 +180,137 @@ object StreamingOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Streaming CLUSTERING face: fold each micro-batch into a maintained
+  // cluster assignment (the streaming twin of
+  // ConnectedComponents.incrementalAssign + the stored-index probe tiers)
+  // ------------------------------------------------------------------
+
+  /** Current cluster assignment under the lazy-merge discipline: `clusters`
+    * rows are written ONCE (per batch doc, at its admission epoch) and
+    * never rewritten; cluster merges live in a small FLATTENED
+    * `(component, new_component)` map readers fold with one join — the
+    * 10^12-row-corpus contract (a merge of two large clusters must never
+    * rewrite the corpus-sized table). */
+  def currentAssignment(io: graft.pipeline.TableIO, tablePrefix: String): DataFrame = {
+    val clusters = io.read(s"${tablePrefix}_clusters")
+    val merges =
+      if (io.exists(s"${tablePrefix}_merges") && io.snapshots(s"${tablePrefix}_merges").nonEmpty)
+        io.read(s"${tablePrefix}_merges")
+      else clusters.select(col("component"), col("component").as("new_component")).limit(0)
+    clusters.join(merges, Seq("component"), "left")
+      .select(col("id"),
+        coalesce(col("new_component"), col("component")).as("component"))
+  }
+
+  /** One epoch of [[streamingClusterAssign]] — exposed for tests and for
+    * non-streaming callers that fold batches themselves. Returns whether
+    * any table was written.
+    *
+    * State = four TableIO tables under `tablePrefix`:
+    * `_clusters` (id → component at admission, append-only by id),
+    * `_merges` (flattened merge map), `_corpus` (id, text),
+    * `_index` (MinHash band postings). Per epoch: the batch probes the
+    * stored index for batch→corpus near-dup pairs (NO corpus rescan — the
+    * incremental-tier contract), runs the batch lane within itself, folds
+    * both edge sets through `ConnectedComponents.incrementalAssign`, and
+    * upserts each table under the epoch fingerprint.
+    *
+    * Replay/crash idempotence: every derivation reads the BATCH-EXCLUDED
+    * view of each table (`left_anti` on the batch's ids), which
+    * reconstructs the pre-epoch state even when some tables already
+    * committed this epoch — batch rows are exactly what the epoch added to
+    * clusters/corpus/index, and the merge map is idempotent to re-fold
+    * (labels already at their post-merge minimum re-derive the same
+    * minimum; `IncrementalNearDupSpec`-style min-label preservation). A
+    * table whose snapshot log already carries this epoch's fingerprint is
+    * skipped whole; an uncommitted head (crash between write and commit)
+    * is discarded first, mirroring [[applyEpoch]].
+    *
+    * Re-arrived ids (crawl refresh) are re-clustered latest-wins: the
+    * batch-excluded view drops their old corpus/index/cluster rows, and
+    * merges stay monotone (clusters never split — the CC contract). */
+  private[graft] def applyClusterEpoch(io: graft.pipeline.TableIO, tablePrefix: String,
+                                       batch0: DataFrame, idCol: String, textCol: String,
+                                       threshold: Double, maxPostings: Int,
+                                       fp: String): Boolean = {
+    import graft.operators.{ConnectedComponents, MinHashLSH}
+    val tc = s"${tablePrefix}_clusters"
+    val tm = s"${tablePrefix}_merges"
+    val tx = s"${tablePrefix}_corpus"
+    val ti = s"${tablePrefix}_index"
+    val tables = Seq(tc, tm, tx, ti)
+    tables.foreach { t =>
+      if (io.exists(t) && io.snapshots(t).nonEmpty && io.committedFingerprint(t).isEmpty)
+        io.discardUncommittedHead(t)
+    }
+    if (tables.forall(t => io.exists(t) && io.snapshots(t).exists(_._2 == fp)))
+      return false
+    val batch = batch0
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .dropDuplicates("id")
+    val bIds = batch.select("id")
+    def view(t: String, empty: => DataFrame): DataFrame =
+      if (io.exists(t) && io.snapshots(t).nonEmpty)
+        io.read(t).join(bIds, Seq("id"), "left_anti")
+      else empty
+    val corpus0 = view(tx, batch.limit(0))
+    val index0 = view(ti, MinHashLSH.bandIndex(batch.limit(0), "id", "text"))
+    val clusters0raw = view(tc,
+      batch.limit(0).select(col("id"), col("id").as("component")))
+    val merges0 =
+      if (io.exists(tm) && io.snapshots(tm).nonEmpty) io.read(tm)
+      else batch.limit(0).select(col("id").as("component"), col("id").as("new_component"))
+    // committed rows composed to CURRENT label space (one join — flat map)
+    val clusters0 = clusters0raw.join(merges0, Seq("component"), "left")
+      .select(col("id"), coalesce(col("new_component"), col("component")).as("component"))
+    val crossPairs = MinHashLSH.incrementalNearDupPairs(
+        index0, corpus0, batch, "id", "text", threshold, maxPostings)
+      .select("new_id", "corpus_id")
+    val batchPairs = MinHashLSH.nearDupPairs(batch, "id", "text", threshold, maxPostings)
+      .select("id_a", "id_b")
+    val (assign, mergeMap) =
+      ConnectedComponents.incrementalAssign(clusters0, bIds, crossPairs, batchPairs)
+    // flatten: existing map entries whose target just merged re-point to
+    // the new label, so the stored map stays one-join-deep
+    val ev = mergeMap.select(col("component").as("_c"), col("new_component").as("_n"))
+    val repointed = merges0.join(ev, merges0.col("new_component") === col("_c"))
+      .select(col("component"), col("_n").as("new_component"))
+    val mergesUp = mergeMap.unionByName(repointed)
+    def applyTable(t: String, up: DataFrame, keys: Seq[String]): Unit =
+      if (!(io.exists(t) && io.snapshots(t).exists(_._2 == fp))) {
+        if (!io.exists(t) || io.snapshots(t).isEmpty) io.overwrite(t, up)
+        else io.upsert(t, up, keys)
+        io.commit(t, fp)
+      }
+    applyTable(tc, assign, Seq("id"))
+    applyTable(tm, mergesUp, Seq("component"))
+    applyTable(tx, batch, Seq("id"))
+    applyTable(ti, MinHashLSH.bandIndex(batch, "id", "text"), Seq("id", "band"))
+    true
+  }
+
+  /** Streaming clustering vs a growing corpus: each micro-batch of
+    * `(id, text)` docs is folded into the maintained assignment exactly as
+    * the incremental batch tier would ([[applyClusterEpoch]]); read the
+    * live assignment with [[currentAssignment]]. Epoch replays after
+    * failures are absorbed by the per-table fingerprint discipline, so the
+    * final state is identical to a single batch recompute over all
+    * delivered docs at the same config (spec-pinned). */
+  def streamingClusterAssign(stream: DataFrame, idCol: String, textCol: String,
+                             io: graft.pipeline.TableIO, tablePrefix: String,
+                             threshold: Double, maxPostings: Int,
+                             queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        applyClusterEpoch(io, tablePrefix, batch, idCol, textCol, threshold,
+          maxPostings, s"$queryName-epoch-$epochId")
+        ()
+      }
+      .queryName(queryName)
+      .start()
+
   def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.withColumn("_h", xxhash64(col(textCol))).dropDuplicates("_h").drop("_h")
 

@@ -531,6 +531,84 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
       Seq((2L, "SHOULD-NOT-LAND")).toDF("id", "x"), "e1"))
   }
 
+  test("streaming clustering: folded micro-batches == full batch recompute; merges + replay + crash recovery") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sclu").toString
+    val io = new graft.pipeline.ParquetTableIO(sq, root)
+    val base = graft.core.WebPages.generate(120, 88L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    // engineered MERGE trio: A (batch 1) and B (batch 2) are sub-threshold
+    // siblings — six appended tokens add six shingles each, so
+    // J(A,B) = 76/88 ≈ 0.86 < 0.9 — while C (batch 3) is >= 0.9 similar to
+    // BOTH (76/82 ≈ 0.93): C's epoch must merge A's and B's clusters via
+    // the merge map, never by rewriting the clusters table
+    val t80 = (1 to 80).map(i => s"mword$i").mkString(" ")
+    val trioA = (9001L, t80 + " a1 a2 a3 a4 a5 a6")
+    val trioB = (9002L, t80 + " b1 b2 b3 b4 b5 b6")
+    val trioC = (9003L, t80)
+    // cross-epoch near-dup copies: every 4th batch-1 doc re-appears in
+    // batch 2 with one appended token (index-probe links), every 6th
+    // batch-2 doc re-appears in batch 3
+    val b1 = base.slice(0, 40) :+ trioA
+    val b2 = base.slice(40, 80) ++
+      b1.collect { case (id, t) if id < 40 && id % 4 == 0 => (5000L + id, t + s" x$id") } :+ trioB
+    val b3 = base.slice(80, 120) ++
+      b2.collect { case (id, t) if id >= 40 && id < 80 && id % 6 == 0 => (6000L + id, t + s" y$id") } :+ trioC
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingClusterAssign(
+      input.toDF().toDF("id", "text"), "id", "text", io, "sclu",
+      threshold = 0.9, maxPostings = 4096, queryName = "sclu")
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val all = b1 ++ b2 ++ b3
+    val allDf = sq.createDataFrame(all).toDF("id", "text")
+    val truth = graft.operators.ConnectedComponents.clustersWithSingletons(
+        allDf.select("id"), "id",
+        graft.operators.MinHashLSH.nearDupPairs(allDf, "id", "text", 0.9, 4096))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = StreamingOps.currentAssignment(io, "sclu")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"stream != batch recompute; diff sample: ${(got -- truth).take(3)} / ${(truth -- got).take(3)}")
+    // the trio really merged, and through the merge map (non-vacuous)
+    val comp = got.toMap
+    assert(comp(9001L) == comp(9002L) && comp(9002L) == comp(9003L))
+    assert(io.read("sclu_merges").count() > 0, "merge map empty — merge case vacuous")
+
+    // replay of a committed epoch: no-op even with different contents
+    val before = Seq("sclu_clusters", "sclu_merges", "sclu_corpus", "sclu_index")
+      .map(t => io.snapshots(t))
+    val applied = StreamingOps.applyClusterEpoch(io, "sclu",
+      Seq((9999L, "SHOULD NOT LAND")).toDF("id", "text"), "id", "text",
+      0.9, 4096, "sclu-epoch-2")
+    assert(!applied)
+    assert(Seq("sclu_clusters", "sclu_merges", "sclu_corpus", "sclu_index")
+      .map(t => io.snapshots(t)) == before)
+
+    // crash recovery: an uncommitted head left by a dead epoch attempt is
+    // discarded and the epoch re-applies cleanly
+    io.upsert("sclu_corpus", Seq((7777L, "partial")).toDF("id", "text"), Seq("id"))
+    assert(io.committedFingerprint("sclu_corpus").isEmpty)
+    val b4 = Seq((7777L, base(0)._2 + " z0"))
+    assert(StreamingOps.applyClusterEpoch(io, "sclu",
+      sq.createDataFrame(b4).toDF("id", "text"), "id", "text", 0.9, 4096, "sclu-epoch-3"))
+    val truth2 = graft.operators.ConnectedComponents.clustersWithSingletons(
+        sq.createDataFrame(all ++ b4).toDF("id", "text").select("id"), "id",
+        graft.operators.MinHashLSH.nearDupPairs(
+          sq.createDataFrame(all ++ b4).toDF("id", "text"), "id", "text", 0.9, 4096))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got2 = StreamingOps.currentAssignment(io, "sclu")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == truth2)
+  }
+
   test("stream-stream interval join (attribution): inner results == batch run") {
     val sq = spark
     import sq.implicits._
