@@ -1390,6 +1390,44 @@ object SparkEntry {
           sum(when(col("in_b").isNull, 1).otherwise(0)).cast("long").as("extra_pairs"),
           (count(col("in_l")) > 0).as("pairs_nonzero"))
     }),
+    "q_weighted_incremental" -> ((s, dir) => {
+      // incremental tier of the WEIGHTED lane: a tf-divergent batch probed
+      // against the corpus's stored weighted band index
+      // (MinHashLSH.weightedIncrementalPairs), compared pair-for-pair in
+      // one full-outer pass against the in-plan brute-force cross
+      // weighted-Jaccard truth over once-materialized histograms. Truth
+      // threshold 0.9 — the 16×8 S-curve's collision probability is
+      // ≥ 0.9999 there, so row equality is a sound pin (at ~0.8 LSH
+      // honestly loses a few percent and equality would pin luck).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").filter(trim(col("text")) =!= "")
+        .select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 250)
+      def toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+        corpus.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr(s"concat(text, ' ', array_join(slice($toks, 1, " +
+              s"1 + CAST(size($toks) / 12 AS INT)), ' '))").as("text")))
+      val lane = MinHashLSH.weightedIncrementalPairs(
+          MinHashLSH.weightedBandIndex(corpus, "doc_id", "text"),
+          corpus, incoming, "doc_id", "text", threshold = 0.9,
+          maxPostings = 4096)
+        .select("new_id", "corpus_id")
+      val hc = corpus.select(col("doc_id").as("corpus_id"),
+        expr("token_hist(text)").as("h_c"))
+      val brute = incoming.select(col("doc_id").as("new_id"),
+          expr("token_hist(text)").as("h_n"))
+        .crossJoin(broadcast(hc))
+        .filter(expr("weighted_jaccard_hist(h_n._1, h_n._2, h_c._1, h_c._2)") >= 0.9)
+        .select("new_id", "corpus_id")
+      brute.withColumn("in_b", lit(1))
+        .join(lane.withColumn("in_l", lit(1)), Seq("new_id", "corpus_id"), "full_outer")
+        .agg(
+          sum(when(col("in_l").isNull, 1).otherwise(0)).cast("long").as("missed_pairs"),
+          sum(when(col("in_b").isNull, 1).otherwise(0)).cast("long").as("extra_pairs"),
+          (count(col("in_l")) > 0).as("pairs_nonzero"))
+    }),
     "q_search_conjunctive" -> ((s, dir) => {
       // inverted-index conjunctive search: postings build (one text scan
       // -> narrow (term, doc, tf) rows), broadcast query-term semi-join,
@@ -3990,6 +4028,9 @@ object SparkEntry {
     // non-vacuous — the ICWS kernel is not SQL-expressible, so the oracle
     // pins the claims
     "q_weighted_neardup" ->
+      ("SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs, " +
+        "TRUE AS pairs_nonzero"),
+    "q_weighted_incremental" ->
       ("SELECT CAST(0 AS BIGINT) AS missed_pairs, CAST(0 AS BIGINT) AS extra_pairs, " +
         "TRUE AS pairs_nonzero"),
     "q_semantic_dedup" ->

@@ -102,6 +102,41 @@ object MinHashLSH {
       .select("id_a", "id_b", "wjaccard")
   }
 
+  /** Stored band index over WEIGHTED (ICWS) signatures — the incremental
+    * face of [[weightedNearDupPairs]], same 16-narrow-postings-per-doc
+    * footprint and maintenance story as [[bandIndex]]. */
+  def weightedBandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.spark.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"band_hashes(weighted_minhash($textCol))").as("bands"))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+  }
+
+  /** Incremental WEIGHTED near-dup pairs `(new_id, corpus_id, wjaccard)`:
+    * a batch probed against a stored [[weightedBandIndex]] through the
+    * shared capped machinery ([[BucketedPairs.probeCandidates]] — touched
+    * buckets only, hub degradation past the cap), decided by the exact
+    * token-multiset Σmin/Σmax verify. Same contract as
+    * [[incrementalNearDupPairs]]: corpus text is only read for verify
+    * candidates; LSH can only lose recall, never invent pairs. */
+  def weightedIncrementalPairs(index: DataFrame, corpusTexts: DataFrame,
+                               incoming: DataFrame, idCol: String,
+                               textCol: String, threshold: Double,
+                               maxPostings: Int = 1000): DataFrame = {
+    graft.spark.GraftFunctions.register(incoming.sparkSession)
+    BucketedPairs.probeCandidates(index,
+        weightedBandIndex(incoming, idCol, textCol).withColumnRenamed("id", "new_id"),
+        Seq("band", "bh"), "id", "new_id", maxPostings)
+      .join(corpusTexts.select(col(idCol).cast("long").as("corpus_id"),
+        col(textCol).as("t_c")), "corpus_id")
+      .join(incoming.select(col(idCol).cast("long").as("new_id"),
+        col(textCol).as("t_n")), "new_id")
+      .withColumn("wjaccard", expr("weighted_jaccard(t_n, t_c)"))
+      .filter(col("wjaccard") >= threshold)
+      .select("new_id", "corpus_id", "wjaccard")
+  }
+
   // ------------------------------------------------------------------
   // Incremental probe lane: new batch vs a STORED corpus band index
   // ------------------------------------------------------------------

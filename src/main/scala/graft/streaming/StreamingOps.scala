@@ -547,6 +547,20 @@ object StreamingOps {
       }
   }
 
+  /** WEIGHTED-lane streaming twin: docs -> exploded band keys over ICWS
+    * weighted signatures, feeding [[streamingCandidatePairs]] — the
+    * streaming face of `MinHashLSH.weightedNearDupPairs`, same map-side
+    * signature chain and narrow (bucket, id) state rows as [[bandDocs]];
+    * the exact Σmin/Σmax verify stays a downstream concern. */
+  def weightedBandDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextOps.bandHashes(TextOps.weightedMinHash(t)).map(b => BandedDoc(b, id))
+      }
+  }
+
   /** CDC-lane streaming twin: docs -> (chunk-hash bucket, id) rows feeding
     * [[streamingCandidatePairs]] — a bucket here is one content-defined
     * chunk, so two docs become candidates the moment they share a chunk,

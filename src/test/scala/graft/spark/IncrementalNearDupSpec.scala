@@ -94,6 +94,36 @@ class IncrementalNearDupSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got.forall(_._1 == 777L))
   }
 
+  test("weighted incremental probe == brute-force cross weighted-Jaccard truth") {
+    // tf-divergent near-dups: every 10th-offset-5 corpus doc re-appears
+    // with its first ~n/12 tokens duplicated (J_w ≈ 12/13); exact copies
+    // and fresh docs from the shared fixtures exercise the 1.0 and ~0
+    // ends. Truth threshold 0.9: the 16×8 S-curve's per-pair collision
+    // probability is >= 0.9999 there, so row equality is a sound claim —
+    // at the curve's soft region (~0.8) LSH honestly loses a few-percent
+    // of pairs and equality would pin luck, not the operator
+    val tfDups = corpusLocal.filter(_._1 % 10 == 5)
+      .map { case (id, t) =>
+        val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+        (4000L + id, t + " " + tk.take(1 + tk.length / 12).mkString(" "))
+      }
+    val batch = batchLocal ++ tfDups
+    val truth = (for {
+      (ib, tb) <- batch
+      (ic, tc) <- corpusLocal
+      if TextOps.weightedJaccard(tb, tc) >= 0.9
+    } yield (ib, ic)).toSet
+    assert(truth.exists(_._1 >= 4000), "no tf-divergent pairs — vacuous")
+    import spark.implicits._
+    val batchDf2 = batch.toDF("doc_id", "text")
+    val index = MinHashLSH.weightedBandIndex(corpusDf, "doc_id", "text")
+    val got = MinHashLSH
+      .weightedIncrementalPairs(index, corpusDf, batchDf2, "doc_id", "text", 0.9)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missed=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+  }
+
   test("simhash incremental probe == brute-force cross Hamming truth (exact below cap)") {
     val maxDist = 3
     val simsC = corpusLocal.map { case (id, t) => (id, TextOps.simHash64(t)) }

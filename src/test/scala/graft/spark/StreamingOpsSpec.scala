@@ -310,6 +310,44 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     } finally q.stop()
   }
 
+  test("streaming weighted-band candidates cover the weighted batch lane's pairs across micro-batches") {
+    val sq = spark
+    import sq.implicits._
+    implicit val ctx = sq.sqlContext
+    // tf-divergent copies: every 5th doc re-appears with its first ~n/12
+    // tokens duplicated (J_w ≈ 12/13) — the weighted lane's planted shape
+    val base = graft.core.WebPages.generate(150, 66L).zipWithIndex
+      .map { case (p, i) => (i.toLong, p.text) }
+    val tfDups = base.collect { case (id, t) if id % 5 == 0 =>
+      val tk = t.trim.split("\\s+").filter(_.nonEmpty)
+      (8000L + id, t + " " + tk.take(1 + tk.length / 12).mkString(" "))
+    }
+    val docs = base ++ tfDups
+
+    val input = MemoryStream[(Long, String)]
+    val banded = StreamingOps.weightedBandDocs(input.toDF().toDF("id", "text"), "id", "text")
+    val q = StreamingOps.streamingCandidatePairs(banded)
+      .writeStream.format("memory").queryName("swgt").outputMode("append").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2) // copies land cross-batch
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val streamPairs = sq.sql("SELECT DISTINCT id_a, id_b FROM swgt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val batchPairs = graft.operators.MinHashLSH.weightedNearDupPairs(
+          sq.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text",
+          threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs.nonEmpty, "no batch weighted pairs — vacuous coverage")
+      assert(batchPairs.subsetOf(streamPairs),
+        s"missing from stream: ${(batchPairs -- streamPairs).take(5)}")
+      // every injected tf-divergent copy is a candidate with its original
+      assert(tfDups.forall { case (did, _) =>
+        streamPairs.contains((did - 8000L, did)) })
+    } finally q.stop()
+  }
+
   test("streaming substring candidates cover the batch lane's verified pairs across micro-batches") {
     val sq = spark
     import sq.implicits._
