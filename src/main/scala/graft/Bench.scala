@@ -40,7 +40,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Total stop-the-world GC wall so far (all collectors), ms. */
-  private def gcMillis: Long = {
+  private[graft] def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
@@ -93,7 +93,7 @@ object Bench {
 
   /** Interpolated median: even-length inputs (e.g. budget stops at 2
     * pairs) claim the mean of the middle two, not the upper one. */
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
@@ -107,8 +107,8 @@ object Bench {
     * intrinsic contention at 4N threads measures 1.08-1.12x; beyond 1.35x
     * is external memory-bandwidth interference, stall cycles counting as
     * CPU time). */
-  private val CalibFairMaxRatio = 1.30
-  private val CpuFairMaxRatio = 1.35
+  private[graft] val CalibFairMaxRatio = 1.30
+  private[graft] val CpuFairMaxRatio = 1.35
 
   /** Fixed-work host-capacity probe: `threads` register-only mix loops.
     * Wall time moves 1:1 with how much CPU the multi-tenant host actually
@@ -116,7 +116,7 @@ object Bench {
     * it qualifies. Best-of-2 after an explicit GC drain: a one-off in-JVM
     * stall (late major collection of the 16g heap landing inside the probe
     * — measured 2x in r2) must not mis-declare the window unfair. */
-  private def calibrate(threads: Int): Double = {
+  private[graft] def calibrate(threads: Int): Double = {
     System.gc()
     def once(): Double = {
       val perThread = 400000000L

@@ -227,6 +227,58 @@ object SparkEntry {
           filters, shards = 8)
         .select("doc_id").orderBy("doc_id")
     }),
+    "q_bloom_retire" -> ((s, dir) => {
+      // RETIREMENT tier of the membership prefilter (counting Bloom — Fan
+      // et al. "Summary Cache"): policy/cluster losers leave the persisted
+      // corpus filter via ONE cbloom_agg over the retired keys + an exact
+      // cell-wise subtract — never a 10^12-key corpus rebuild (the
+      // lifecycle step retainPostings gives the band indexes, now for the
+      // Bloom tier). Single-row gate: (batch_survivors, batch_count,
+      // retired_count) are SQL-recomputed — the maintained filter must be
+      // RESULT-INVISIBLE in the prefiltered incremental dedup against the
+      // survivor corpus (no false negatives; fps resolved by the exact
+      // confirm) — plus three pinned booleans probing the filter itself:
+      // no_false_negative (every survivor-dup batch doc passes the
+      // maintained filter), items_match (net filter count == survivor
+      // rows after subtract), retirement_observable (>= 1 retired-only key
+      // tests definitely-absent; a fp could mask any ONE key but the
+      // fixture has ~dozens — deterministic for this data, verified at
+      // both test SFs).
+      GraftFunctions.register(s)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") < 300)
+      val retired = corpus.filter(col("doc_id") % 10 === 3)
+      val surv = corpus.filter(col("doc_id") % 10 =!= 3)
+      val fullFilter = ExactDedup.corpusCountingBloom(corpus, "text",
+        expectedItems = 1000L)
+      val maintained = ExactDedup.retireFromCountingBloom(fullFilter, retired, "text")
+      // batch: novel docs + copies of survivors (must dedup) + copies of
+      // retired docs (must now be FRESH — their texts left the corpus)
+      val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .unionByName(corpus.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+        .unionByName(retired.filter(col("doc_id") % 2 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val out = ExactDedup.incrementalSurvivorsCountingBloom(
+        surv, batch, "doc_id", "text", maintained)
+      val mb = lit(maintained)
+      val survTexts = surv.select(col("text").as("stext")).distinct()
+      val survivorsN = out.agg(count(lit(1)).cast("long").as("batch_survivors"))
+      val batchN = batch.agg(count(lit(1)).cast("long").as("batch_count"))
+      val retiredN = retired.agg(count(lit(1)).cast("long").as("retired_count"))
+      val nfn = batch.join(survTexts, batch("text") === col("stext"), "left_semi")
+        .select(call_udf("cbloom_contains", mb, xxhash64(col("text"))).as("c"))
+        .agg(coalesce(expr("bool_and(c)"), lit(true)).as("no_false_negative"))
+      val robs = retired.join(survTexts, retired("text") === col("stext"), "left_anti")
+        .select(call_udf("cbloom_contains", mb, xxhash64(col("text"))).as("c"))
+        .agg(coalesce(expr("bool_or(NOT c)"), lit(false)).as("retirement_observable"))
+      // driver-side deterministic check (the filter is a driver-held model
+      // artifact here, same as corpusBloom's .first() contract)
+      val itemsMatch =
+        graft.core.CountingBloomFilter.deserialize(maintained).itemsAdded == surv.count()
+      survivorsN.crossJoin(batchN).crossJoin(retiredN).crossJoin(nfn).crossJoin(robs)
+        .withColumn("items_match", lit(itemsMatch))
+    }),
     "q_incremental_neardup" -> ((s, dir) => {
       // NEAR-dup tier of the daily-crawl increment: the corpus is present
       // only as its STORED band index (16 narrow posting rows/doc) plus a
@@ -2414,6 +2466,32 @@ object SparkEntry {
         |SELECT doc_id FROM fresh a
         |WHERE doc_id = (SELECT min(doc_id) FROM fresh b WHERE b.text = a.text)
         |ORDER BY doc_id""".stripMargin,
+    // retirement-tier truth: the counts are recomputed from the exact
+    // survivor-corpus semantics (the maintained counting filter must be
+    // result-invisible); the three filter-probing booleans are pinned TRUE
+    // (deterministic for this fixture — the counting filter's membership
+    // answers are a pure function of the data)
+    "q_bloom_retire" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |retired AS (SELECT * FROM corpus WHERE doc_id % 10 = 3),
+        |surv AS (SELECT * FROM corpus WHERE doc_id % 10 <> 3),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM corpus WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM retired WHERE doc_id % 2 = 1
+        |),
+        |fresh AS (SELECT * FROM batch b WHERE NOT EXISTS
+        |  (SELECT 1 FROM surv c WHERE c.text = b.text)),
+        |kept AS (SELECT * FROM fresh a
+        |  WHERE doc_id = (SELECT min(doc_id) FROM fresh b2 WHERE b2.text = a.text))
+        |SELECT CAST((SELECT count(*) FROM kept) AS BIGINT) AS batch_survivors,
+        |       CAST((SELECT count(*) FROM batch) AS BIGINT) AS batch_count,
+        |       CAST((SELECT count(*) FROM retired) AS BIGINT) AS retired_count,
+        |       TRUE AS no_false_negative,
+        |       TRUE AS retirement_observable,
+        |       TRUE AS items_match""".stripMargin,
     // incremental NEAR-dup truth: literal 5-gram Jaccard >= 0.9 brute-forced
     // across corpus × incoming (same gram construction as the q_minhash
     // oracle — short docs contribute their one full-sequence gram). The

@@ -30,7 +30,7 @@ final class BloomFilter private (
     val numHashes: Int,
     private val words: Array[Long],
     private var _itemsAdded: Long
-) extends Serializable {
+) extends MembershipFilter with Serializable {
 
   /** Count of update() calls absorbed (not distinct keys) — sizing telemetry. */
   def itemsAdded: Long = _itemsAdded
@@ -98,6 +98,13 @@ final class BloomFilter private (
     out.flush()
     bos.toByteArray
   }
+}
+
+/** The no-false-negative membership contract both Bloom variants satisfy —
+  * lets the incremental-dedup prefilter probe either interchangeably. */
+trait MembershipFilter {
+  /** True if the key may be in the set; false means DEFINITELY absent. */
+  def mightContain(key: Long): Boolean
 }
 
 object BloomFilter {

@@ -163,6 +163,41 @@ object ExactDedup {
       .agg(graft.spark.GraftFunctions.bloom_agg(col("_bh"), expectedItems, fpp))
       .first().getAs[Array[Byte]](0)
 
+  /** [[corpusBloom]]'s DELETABLE twin: a counting Bloom filter
+    * ([[graft.core.CountingBloomFilter]]) over the same `xxhash64(text)`
+    * keys, built by the same one map-side-partial pass (cell-wise
+    * saturating add is the linear combine). 8x the bytes of the bitset
+    * filter — the price of [[retireFromCountingBloom]] existing at all:
+    * without it, retiring cluster losers from the membership prefilter
+    * means rebuilding it over the whole surviving corpus each curation
+    * epoch. */
+  def corpusCountingBloom(corpus: DataFrame, textCol: String,
+                          expectedItems: Long, fpp: Double = 0.01): Array[Byte] =
+    corpus.select(xxhash64(col(textCol)).as("_bh"))
+      .agg(graft.spark.GraftFunctions.cbloom_agg(col("_bh"), expectedItems, fpp))
+      .first().getAs[Array[Byte]](0)
+
+  /** Retire a batch of INSERTED keys (survivor selection's cluster losers)
+    * from the persisted counting filter: ONE distributed `cbloom_agg` over
+    * the retired docs' keys — the shuffle carries per-partition filters,
+    * never keys — then an exact cell-wise subtract. Equivalent to
+    * removing the keys one by one; loud on contract violations (a key
+    * never inserted, a saturated cell). The maintained filter is
+    * probe-equivalent to one built fresh over the survivor corpus up to
+    * false positives (cells shared with survivors stay set — never a
+    * false negative for survivors). */
+  def retireFromCountingBloom(cbloomBytes: Array[Byte],
+                              retired: DataFrame, textCol: String): Array[Byte] = {
+    val main = graft.core.CountingBloomFilter.deserialize(cbloomBytes)
+    // the deletes filter is built GEOMETRY-EXPLICIT from the persisted
+    // filter's own cell layout, so cells line up by construction
+    val deletes = retired.select(xxhash64(col(textCol)).as("_bh"))
+      .agg(graft.spark.GraftFunctions.cbloom_agg_config(
+        col("_bh"), main.numCells, main.numHashes))
+      .first().getAs[Array[Byte]](0)
+    main.subtract(graft.core.CountingBloomFilter.deserialize(deletes)).serialize()
+  }
+
   /** [[incrementalSurvivors]] with a Bloom membership prefilter — the
     * scale path for "dedupe today's crawl against a 10^12-doc corpus".
     * The broadcast filter splits the batch map-side: definitely-fresh
@@ -177,7 +212,27 @@ object ExactDedup {
   def incrementalSurvivorsBloom(corpus: DataFrame, incoming: DataFrame,
                                 idCol: String, textCol: String,
                                 bloomBytes: Array[Byte],
-                                paranoid: Boolean = false): DataFrame = {
+                                paranoid: Boolean = false): DataFrame =
+    incrementalSurvivorsPrefiltered(corpus, incoming, idCol, textCol,
+      graft.core.BloomFilter.deserialize(bloomBytes), paranoid)
+
+  /** [[incrementalSurvivorsBloom]] probing the COUNTING corpus filter
+    * ([[corpusCountingBloom]]) — same row-identical-to-exact contract for
+    * any filter contents; the counting filter is the one that stays
+    * correct across retirement epochs ([[retireFromCountingBloom]])
+    * without a 10^12-key rebuild. */
+  def incrementalSurvivorsCountingBloom(corpus: DataFrame, incoming: DataFrame,
+                                        idCol: String, textCol: String,
+                                        cbloomBytes: Array[Byte],
+                                        paranoid: Boolean = false): DataFrame =
+    incrementalSurvivorsPrefiltered(corpus, incoming, idCol, textCol,
+      graft.core.CountingBloomFilter.deserialize(cbloomBytes), paranoid)
+
+  private def incrementalSurvivorsPrefiltered(
+      corpus: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      filter: graft.core.MembershipFilter with Serializable,
+      paranoid: Boolean): DataFrame = {
     val spark = incoming.sparkSession
     // Broadcast lifecycle: the filter rides the returned (lazy) DataFrame's
     // plan, so it cannot be destroyed here; Spark's ContextCleaner reclaims
@@ -185,7 +240,7 @@ object ExactDedup {
     // re-invoking this daily with GB-scale filters should hold only the
     // current increment's DataFrame so the previous broadcast becomes
     // collectable before the next one ships.
-    val bc = spark.sparkContext.broadcast(graft.core.BloomFilter.deserialize(bloomBytes))
+    val bc = spark.sparkContext.broadcast(filter)
     // deserialize once per executor via the broadcast — never per row
     val mightContain = org.apache.spark.sql.functions.udf((h: Long) => bc.value.mightContain(h))
     // single `_maybe` projection feeding both branches (instead of the UDF

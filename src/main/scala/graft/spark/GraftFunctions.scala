@@ -59,6 +59,16 @@ object GraftFunctions {
       .toAggregateExpression())
   def bloom_merge(col: Column): Column =
     GraftBridge.column(BloomMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
+  def cbloom_agg(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    GraftBridge.column(CBloomAgg.sized(Cast(GraftBridge.expression(col), LongType), expectedItems, fpp)
+      .toAggregateExpression())
+  /** Geometry-explicit counting-filter build — for retirement filters that
+    * must share the persisted filter's exact cell layout. */
+  def cbloom_agg_config(col: Column, numCells: Long, numHashes: Int): Column =
+    GraftBridge.column(CBloomAgg(Cast(GraftBridge.expression(col), LongType), numCells, numHashes)
+      .toAggregateExpression())
+  def cbloom_merge(col: Column): Column =
+    GraftBridge.column(CBloomMergeAgg(GraftBridge.expression(col)).toAggregateExpression())
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
@@ -169,6 +179,15 @@ object GraftFunctions {
     "bloom_merge" -> {
       case Seq(c) => BloomMergeAgg(c).toAggregateExpression()
       case args => throw new IllegalArgumentException(s"bloom_merge expects 1 arg, got ${args.length}")
+    },
+    "cbloom_agg" -> {
+      case Seq(c, n)    => CBloomAgg.sized(Cast(c, LongType), longLit(n, "expectedItems"), 0.01).toAggregateExpression()
+      case Seq(c, n, p) => CBloomAgg.sized(Cast(c, LongType), longLit(n, "expectedItems"), doubleLit(p, "fpp")).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"cbloom_agg expects 2-3 args, got ${args.length}")
+    },
+    "cbloom_merge" -> {
+      case Seq(c) => CBloomMergeAgg(c).toAggregateExpression()
+      case args => throw new IllegalArgumentException(s"cbloom_merge expects 1 arg, got ${args.length}")
     })
 
   /** Every scalar finisher / text kernel, name -> compiled UDF (shared by
@@ -245,6 +264,15 @@ object GraftFunctions {
       if (b == null || key == null) None else Some(BloomFilter.deserialize(b).mightContain(key))),
     "bloom_fpp" -> udf((b: Array[Byte]) => Option(b).map(BloomFilter.deserialize(_).expectedFpp)),
     "bloom_items" -> udf((b: Array[Byte]) => Option(b).map(BloomFilter.deserialize(_).itemsAdded)),
+    "cbloom_contains" -> udf((b: Array[Byte], key: java.lang.Long) =>
+      if (b == null || key == null) None else Some(CountingBloomFilter.deserialize(b).mightContain(key))),
+    // retire a batch of inserted keys: subtract the deletes filter cell-wise
+    "cbloom_subtract" -> udf((a: Array[Byte], d: Array[Byte]) =>
+      if (a == null || d == null) None
+      else Some(CountingBloomFilter.deserialize(a)
+        .subtract(CountingBloomFilter.deserialize(d)).serialize())),
+    "cbloom_items" -> udf((b: Array[Byte]) => Option(b).map(CountingBloomFilter.deserialize(_).itemsAdded)),
+    "cbloom_max_cell" -> udf((b: Array[Byte]) => Option(b).map(CountingBloomFilter.deserialize(_).maxCell)),
     // ---- text / dedup kernels (shared with Scala-side oracles) ----
     "rep_stats" -> udf((t: String) => Option(t).map(TextOps.repetitionStats)),
     "shingles5" -> udf((t: String) => Option(t).map(TextOps.shingleHashes(_))),

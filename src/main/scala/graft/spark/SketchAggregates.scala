@@ -444,3 +444,86 @@ case class HllUnionAgg(
   override def withNewInputAggBufferOffset(o: Int): HllUnionAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllUnionAgg = copy(child = c.head)
 }
+
+/** `cbloom_agg(longCol, expectedItems, fpp)` — mergeable COUNTING Bloom
+  * membership filter (the deletable twin of `bloom_agg`). Partials combine
+  * by cell-wise saturating add (linear, order-free), so the corpus filter
+  * builds in one map-side-partial pass and a RETIREMENT filter over the
+  * keys to delete builds the same way — `cbloom_subtract` then retires
+  * them from the persisted filter without a corpus rebuild. */
+case class CBloomAgg(
+    child: Expression,
+    numCells: Long,
+    numHashes: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[CountingBloomFilter] {
+
+  override def prettyName: String = "cbloom_agg"
+  override def createAggregationBuffer(): CountingBloomFilter =
+    CountingBloomFilter.withConfig(numCells, numHashes)
+
+  override def update(buf: CountingBloomFilter, input: InternalRow): CountingBloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Long])
+    buf
+  }
+  override def merge(buf: CountingBloomFilter, other: CountingBloomFilter): CountingBloomFilter =
+    buf.merge(other)
+  override def eval(buf: CountingBloomFilter): Any = buf.serialize()
+  override def serialize(buf: CountingBloomFilter): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): CountingBloomFilter =
+    CountingBloomFilter.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CBloomAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CBloomAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CBloomAgg = copy(child = c.head)
+}
+
+object CBloomAgg {
+  /** `(expectedItems, fpp)` sizing face — same optimal formulas as the
+    * bitset filter. Geometry-explicit construction exists so a RETIREMENT
+    * filter can be built with exactly the persisted filter's cell layout
+    * ([[graft.operators.ExactDedup.retireFromCountingBloom]]). */
+  def sized(child: Expression, expectedItems: Long, fpp: Double): CBloomAgg = {
+    val m = BloomFilter.optimalNumBits(expectedItems, fpp)
+    CBloomAgg(child, m, BloomFilter.optimalNumHashes(expectedItems, m))
+  }
+}
+
+/** Cell-wise-add union of stored counting filters: `cbloom_merge(col)` —
+  * appends each increment's survivors to the persisted corpus filter.
+  * NULL on all-null/empty groups (the `bloom_merge` convention: a
+  * placeholder filter would poison later merges with a mismatched config). */
+case class CBloomMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0
+) extends BinarySketchAgg[CountingBloomFilter] {
+
+  override def prettyName: String = "cbloom_merge"
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): CountingBloomFilter =
+    null.asInstanceOf[CountingBloomFilter]
+
+  override def update(buf: CountingBloomFilter, input: InternalRow): CountingBloomFilter = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = CountingBloomFilter.deserialize(v.asInstanceOf[Array[Byte]])
+      if (buf == null) other else buf.merge(other)
+    }
+  }
+  override def merge(buf: CountingBloomFilter, other: CountingBloomFilter): CountingBloomFilter =
+    if (buf == null) other else if (other == null) buf else buf.merge(other)
+  override def eval(buf: CountingBloomFilter): Any =
+    if (buf == null) null else buf.serialize()
+  override def serialize(buf: CountingBloomFilter): Array[Byte] =
+    if (buf == null) Array.emptyByteArray else buf.serialize()
+  override def deserialize(bytes: Array[Byte]): CountingBloomFilter =
+    if (bytes.isEmpty) null.asInstanceOf[CountingBloomFilter] else CountingBloomFilter.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): CBloomMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CBloomMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CBloomMergeAgg = copy(child = c.head)
+}

@@ -149,6 +149,58 @@ class DedupLanesSpec extends AnyFunSuite with SparkSuiteBase {
     corpusHashes.foreach(h => assert(bf.mightContain(h), "false negative on a corpus hash"))
   }
 
+  test("counting-bloom retire flow: probe-parity, retirement exactness, loud contracts") {
+    import spark.implicits._
+    val corpus = local.take(60).toDF("doc_id", "text")
+    // policy retirement: every 3rd corpus doc leaves the corpus entirely
+    val retired = corpus.filter(col("doc_id") % 3 === 1)
+    val surv = corpus.filter(col("doc_id") % 3 =!= 1)
+    val freshDocs = local.slice(60, 80).map { case (id, t) => (id + 60, t) }
+    val survCopies = local.take(60).filter(_._1 % 3 != 1).take(8)
+      .map { case (id, t) => (id + 9000, t) }
+    val retiredCopies = local.take(60).filter(_._1 % 3 == 1).take(8)
+      .map { case (id, t) => (id + 8000, t) }
+    val incoming = (freshDocs ++ survCopies ++ retiredCopies).toDF("doc_id", "text")
+    // truth: exact incremental dedup against the SURVIVOR corpus — retired
+    // copies must come back as fresh
+    val expected = ExactDedup.incrementalSurvivors(surv, incoming, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the generator plants exact dups, so a retired TEXT may also live on
+    // in a survivor (then its copy rightly dedupes) or appear twice in the
+    // batch (then only the min id survives) — assert exactly for the
+    // unambiguous copies and that at least one such copy exists
+    val survTexts = local.take(60).filter(_._1 % 3 != 1).map(_._2).toSet
+    val batchMinId = (freshDocs ++ survCopies ++ retiredCopies)
+      .groupBy(_._2).map { case (t, rows) => t -> rows.map(_._1).min }
+    val unambiguous = retiredCopies.filter { case (id, t) =>
+      !survTexts.contains(t) && batchMinId(t) == id }
+    assert(unambiguous.nonEmpty, "fixture degenerate: no unambiguous retired copy")
+    assert(unambiguous.map(_._1 + 0L).forall(expected.contains),
+      "a retired-text copy was still deduped — retirement truth broken")
+    val full = ExactDedup.corpusCountingBloom(corpus, "text", 64L, 0.01)
+    val maintained = ExactDedup.retireFromCountingBloom(full, retired, "text")
+    val got = ExactDedup.incrementalSurvivorsCountingBloom(
+        surv, incoming, "doc_id", "text", maintained)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missed=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the maintained filter == per-key removes == fresh build invariants
+    val cf = graft.core.CountingBloomFilter.deserialize(maintained)
+    assert(cf.itemsAdded == surv.count())
+    val survHashes = surv.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+    survHashes.foreach(h => assert(cf.mightContain(h), "false negative on a survivor hash"))
+    // subtract == the distributed agg path: rebuild deletes locally
+    val full2 = graft.core.CountingBloomFilter.deserialize(full)
+    val del = graft.core.CountingBloomFilter.withConfig(full2.numCells, full2.numHashes)
+    retired.select(xxhash64(col("text")).as("h")).collect().map(_.getLong(0))
+      .foreach(del.update)
+    assert(java.util.Arrays.equals(full2.subtract(del).serialize(), maintained),
+      "distributed retire != local subtract")
+    // retiring keys that were never inserted must fail loudly (underflow)
+    val alien = Seq((777770L, "zz totally novel text zz")).toDF("doc_id", "text")
+    assertThrows[Exception](
+      ExactDedup.retireFromCountingBloom(maintained, alien, "text"))
+  }
+
   test("incrementalSurvivorsBloomSharded matches the plain path; empty shards are sound") {
     import spark.implicits._
     val corpus = local.take(50).toDF("doc_id", "text")

@@ -130,6 +130,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     // q_search_ranked / q_lm_score cross-join a broadcast SINGLE-ROW
     // stats aggregate (corpus A/N, vocab size) onto the scoring rows —
     // a 1xN broadcast constant, not a data-sized cross product
+    // q_bloom_retire crossJoins its five SINGLE-ROW claim aggregates
+    // (1x1, the q_semantic_dedup pattern); its data-sized work is the
+    // hash-equi incremental-dedup join + semi/anti joins on text
     // q_weighted_neardup / q_weighted_incremental embed the weighted
     // lane's brute-force truth (all-pairs weighted_jaccard_hist over a
     // CAPPED id range — the q_simhash_complete pattern); the lane under
@@ -137,7 +140,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     val bruteForce = Set("q_embed_neardup", "q_ann_topk", "q_ann_ivf",
       "q_theta_set_ops", "q_theta_jaccard", "q_pages_pipeline", "q_pages_recall",
       "q_simhash_complete", "q_simhash_neardup", "q_simhash_incremental",
-      "q_semantic_dedup",
+      "q_semantic_dedup", "q_bloom_retire",
       "q_weighted_neardup", "q_weighted_incremental",
       "q_search_ranked", "q_lm_score", "q_lm_trigram")
     for (q <- SparkEntry.queries.keys if !bruteForce(q)) {
