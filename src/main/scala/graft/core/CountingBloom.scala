@@ -71,16 +71,27 @@ final class CountingBloomFilter private (
     * only cause false positives, never false negatives). Throws on a
     * zero cell: that proves the key was never inserted (or was already
     * removed), which is the caller contract violation that could corrupt
-    * membership. */
+    * membership. All k cells are validated BEFORE any is mutated, so a
+    * thrown violation leaves the filter byte-identical — a caller that
+    * catches and keeps the filter still has every member's cells intact
+    * (a partial decrement could fabricate false negatives). */
   def remove(key: Long): Unit = {
-    var i = 0
     val h1 = SplitMix64.mix(key ^ BloomFilter.SeedA)
     val h2 = SplitMix64.mix(key ^ BloomFilter.SeedB) | 1L
+    var i = 0
     var h = h1
+    while (i < numHashes) { // read-only validation pass
+      val cell = java.lang.Long.remainderUnsigned(h, numCells).toInt
+      require((cells(cell) & 0xff) > 0,
+        s"remove() of a key that is not in the filter (cell $cell is 0)")
+      h += h2
+      i += 1
+    }
+    i = 0
+    h = h1
     while (i < numHashes) {
       val cell = java.lang.Long.remainderUnsigned(h, numCells).toInt
       val c = cells(cell) & 0xff
-      require(c > 0, s"remove() of a key that is not in the filter (cell $cell is 0)")
       if (c < 255) cells(cell) = (c - 1).toByte
       h += h2
       i += 1
@@ -150,13 +161,21 @@ final class CountingBloomFilter private (
     // sizing; see class doc)
     require(maxCell < 255, "subtract from a filter with a saturated cell")
     require(deletes.maxCell < 255, "subtract of a deletes filter with a saturated cell")
+    // validate every cell BEFORE mutating any: a mid-loop underflow abort
+    // must leave the filter byte-identical, or a caller that catches the
+    // violation keeps a partially-decremented filter whose false negatives
+    // break the class's headline guarantee
     var i = 0
     while (i < cells.length) {
       val c = cells(i) & 0xff
       val d = deletes.cells(i) & 0xff
       require(d <= c,
         s"subtract underflow at cell $i ($d > $c): retired keys were not all in the filter")
-      cells(i) = (c - d).toByte
+      i += 1
+    }
+    i = 0
+    while (i < cells.length) {
+      cells(i) = ((cells(i) & 0xff) - (deletes.cells(i) & 0xff)).toByte
       i += 1
     }
     _itemsAdded -= deletes._itemsAdded

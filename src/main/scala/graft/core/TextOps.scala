@@ -348,6 +348,11 @@ object TextOps {
     * Jaccard decile. */
   def estimatedJaccardBbit(pa: Array[Long], pb: Array[Long], k: Int, b: Int): Double = {
     require(b > 0 && b <= 32 && (b & (b - 1)) == 0, s"b=$b must be a power of two <= 32")
+    // k and b fully determine the packed length — a silent mismatch (e.g.
+    // signatures packed at a different b) would unpack garbage in-bounds
+    require(pa.length == (k * b + 63) / 64 && pb.length == pa.length,
+      s"packed length ${pa.length}/${pb.length} inconsistent with k=$k, b=$b " +
+        s"(expected ${(k * b + 63) / 64} words)")
     val perWord = 64 / b
     val mask = (1L << b) - 1
     var eq = 0

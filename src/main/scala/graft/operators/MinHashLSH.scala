@@ -55,18 +55,24 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact shingle-Jaccard verify join: candidates back to texts; decides
-    * pairs so LSH can only lose recall, never create false positives. */
+  /** Exact verify join: candidates back to texts, decided by `kernel`
+    * (a registered symmetric text-similarity SQL function) so LSH can
+    * only lose recall, never create false positives. The default kernel
+    * is exact shingle Jaccard; the weighted lane passes its Σmin/Σmax
+    * multiset kernel through the SAME body — any fix to the join shape
+    * lands in every lane at once. */
   def verifyPairs(cands: DataFrame, texts0: DataFrame, idCol: String,
-                  textCol: String, threshold: Double): DataFrame = {
+                  textCol: String, threshold: Double,
+                  kernel: String = "jaccard_shingles",
+                  scoreCol: String = "jaccard"): DataFrame = {
     graft.spark.GraftFunctions.register(texts0.sparkSession)
     val texts = texts0.select(col(idCol).as("id"), col(textCol).as("t"))
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("jaccard", expr("jaccard_shingles(t_a, t_b)"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(scoreCol, expr(s"$kernel(t_a, t_b)"))
+      .filter(col(scoreCol) >= threshold)
+      .select("id_a", "id_b", scoreCol)
   }
 
   /** Near-dup pairs with exact shingle-Jaccard >= threshold. Returns
@@ -93,25 +99,15 @@ object MinHashLSH {
       docs.select(col(idCol).as("id"),
         expr(s"band_hashes(weighted_minhash($textCol))").as("bands")),
       maxBucketSize)
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    cands
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
-      .withColumn("wjaccard", expr("weighted_jaccard(t_a, t_b)"))
-      .filter(col("wjaccard") >= threshold)
-      .select("id_a", "id_b", "wjaccard")
+    verifyPairs(cands, docs, idCol, textCol, threshold,
+      kernel = "weighted_jaccard", scoreCol = "wjaccard")
   }
 
   /** Stored band index over WEIGHTED (ICWS) signatures — the incremental
     * face of [[weightedNearDupPairs]], same 16-narrow-postings-per-doc
     * footprint and maintenance story as [[bandIndex]]. */
-  def weightedBandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.spark.GraftFunctions.register(docs.sparkSession)
-    docs
-      .select(col(idCol).cast("long").as("id"),
-        expr(s"band_hashes(weighted_minhash($textCol))").as("bands"))
-      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
-  }
+  def weightedBandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(docs, idCol, s"band_hashes(weighted_minhash($textCol))")
 
   /** Incremental WEIGHTED near-dup pairs `(new_id, corpus_id, wjaccard)`:
     * a batch probed against a stored [[weightedBandIndex]] through the
@@ -123,18 +119,30 @@ object MinHashLSH {
   def weightedIncrementalPairs(index: DataFrame, corpusTexts: DataFrame,
                                incoming: DataFrame, idCol: String,
                                textCol: String, threshold: Double,
-                               maxPostings: Int = 1000): DataFrame = {
-    graft.spark.GraftFunctions.register(incoming.sparkSession)
-    BucketedPairs.probeCandidates(index,
+                               maxPostings: Int = 1000): DataFrame =
+    verifiedAgainstCorpus(
+      BucketedPairs.probeCandidates(index,
         weightedBandIndex(incoming, idCol, textCol).withColumnRenamed("id", "new_id"),
-        Seq("band", "bh"), "id", "new_id", maxPostings)
+        Seq("band", "bh"), "id", "new_id", maxPostings),
+      corpusTexts, incoming, idCol, textCol, threshold,
+      kernel = "weighted_jaccard", scoreCol = "wjaccard")
+
+  /** Shared verify body of the incremental lanes: `(new_id, corpus_id)`
+    * candidates joined back to both texts and decided by `kernel`.
+    * Corpus text is only probed for candidate ids. */
+  private def verifiedAgainstCorpus(cands: DataFrame, corpusTexts: DataFrame,
+                                    incoming: DataFrame, idCol: String,
+                                    textCol: String, threshold: Double,
+                                    kernel: String, scoreCol: String): DataFrame = {
+    graft.spark.GraftFunctions.register(incoming.sparkSession)
+    cands
       .join(corpusTexts.select(col(idCol).cast("long").as("corpus_id"),
         col(textCol).as("t_c")), "corpus_id")
       .join(incoming.select(col(idCol).cast("long").as("new_id"),
         col(textCol).as("t_n")), "new_id")
-      .withColumn("wjaccard", expr("weighted_jaccard(t_n, t_c)"))
-      .filter(col("wjaccard") >= threshold)
-      .select("new_id", "corpus_id", "wjaccard")
+      .withColumn(scoreCol, expr(s"$kernel(t_n, t_c)"))
+      .filter(col(scoreCol) >= threshold)
+      .select("new_id", "corpus_id", scoreCol)
   }
 
   // ------------------------------------------------------------------
@@ -148,11 +156,17 @@ object MinHashLSH {
     * co-locate and untouched buckets prune) and append each admitted
     * batch's postings to; corpus TEXT is only read for the docs that
     * become verify candidates. */
-  def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(docs, idCol, s"minhash_bands($textCol)")
+
+  /** Shared posting projection of [[bandIndex]]/[[weightedBandIndex]]:
+    * one `(id, band, bh)` row per document per band of `sigBandsExpr`. */
+  private def postings(docs: DataFrame, idCol: String,
+                       sigBandsExpr: String): DataFrame = {
     graft.spark.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("id"),
-        expr(s"minhash_bands($textCol)").as("bands"))
+        expr(sigBandsExpr).as("bands"))
       .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
   }
 
@@ -195,17 +209,11 @@ object MinHashLSH {
   def incrementalNearDupPairs(index: DataFrame, corpusTexts: DataFrame,
                               incoming: DataFrame, idCol: String,
                               textCol: String, threshold: Double,
-                              maxPostings: Int = 1000): DataFrame = {
-    graft.spark.GraftFunctions.register(incoming.sparkSession)
-    incrementalCandidates(index, incoming, idCol, textCol, maxPostings)
-      .join(corpusTexts.select(col(idCol).cast("long").as("corpus_id"),
-        col(textCol).as("t_c")), "corpus_id")
-      .join(incoming.select(col(idCol).cast("long").as("new_id"),
-        col(textCol).as("t_n")), "new_id")
-      .withColumn("jaccard", expr("jaccard_shingles(t_n, t_c)"))
-      .filter(col("jaccard") >= threshold)
-      .select("new_id", "corpus_id", "jaccard")
-  }
+                              maxPostings: Int = 1000): DataFrame =
+    verifiedAgainstCorpus(
+      incrementalCandidates(index, incoming, idCol, textCol, maxPostings),
+      corpusTexts, incoming, idCol, textCol, threshold,
+      kernel = "jaccard_shingles", scoreCol = "jaccard")
 
   /** Batch docs that are NOT a near-dup of any corpus doc — the admission
     * face of the incremental lane (within-batch near-dups are the batch

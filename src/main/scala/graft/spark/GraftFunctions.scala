@@ -288,9 +288,13 @@ object GraftFunctions {
         if (ha == null || hb == null) None
         else Some(TextOps.weightedJaccardHist(
           ha.toArray, ca.toArray, hb.toArray, cb.toArray))),
+    // k is derived from the packed length (k = words*64/b), not assumed to
+    // be NumPerms: signatures packed at a different perm count or a
+    // mismatched b would otherwise unpack garbage in-bounds silently
     "est_jaccard_bbit" -> udf((a: Seq[Long], b: Seq[Long], bits: Int) =>
       if (a == null || b == null) None
-      else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray, TextOps.NumPerms, bits))),
+      else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray,
+        a.length * 64 / bits, bits))),
     "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),
     "simhash64" -> udf((t: String) => Option(t).map(TextOps.simHash64)),
     "simhash_probes" -> udf((sim: Long, maxDist: Int) => TextOps.simHashProbeKeys(sim, maxDist)),

@@ -229,7 +229,12 @@ object StreamingOps {
     *
     * Re-arrived ids (crawl refresh) are re-clustered latest-wins: the
     * batch-excluded view drops their old corpus/index/cluster rows, and
-    * merges stay monotone (clusters never split — the CC contract). */
+    * merges stay monotone for surviving docs (their clusters never split —
+    * the CC contract; only the refreshed doc itself leaves its old
+    * cluster). Because cluster labels ARE member ids (min-id labeling), a
+    * re-arrived id that is — or was — a stored LABEL must leave the label
+    * space before the fold, or the re-minted label silently aliases the
+    * old cluster; see the label-identity cleanup below. */
   private[graft] def applyClusterEpoch(io: graft.pipeline.TableIO, tablePrefix: String,
                                        batch0: DataFrame, idCol: String, textCol: String,
                                        threshold: Double, maxPostings: Int,
@@ -246,9 +251,13 @@ object StreamingOps {
     }
     if (tables.forall(t => io.exists(t) && io.snapshots(t).exists(_._2 == fp)))
       return false
+    // deterministic winner for duplicate ids WITHIN a micro-batch (max
+    // text): dropDuplicates' First aggregate is task-order dependent, so a
+    // crash replay could commit different tables from different texts of
+    // the same id — max is replay-stable
     val batch = batch0
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .dropDuplicates("id")
+      .groupBy("id").agg(max(col("text")).as("text"))
     val bIds = batch.select("id")
     def view(t: String, empty: => DataFrame): DataFrame =
       if (io.exists(t) && io.snapshots(t).nonEmpty)
@@ -262,8 +271,41 @@ object StreamingOps {
       if (io.exists(tm) && io.snapshots(tm).nonEmpty) io.read(tm)
       else batch.limit(0).select(col("id").as("component"), col("id").as("new_component"))
     // committed rows composed to CURRENT label space (one join — flat map)
-    val clusters0 = clusters0raw.join(merges0, Seq("component"), "left")
+    val composed0 = clusters0raw.join(merges0, Seq("component"), "left")
       .select(col("id"), coalesce(col("new_component"), col("component")).as("component"))
+    // --- label-identity cleanup for re-arrived ids ----------------------
+    // Labels are member ids, so a batch id `b` colliding with the stored
+    // label space would alias the old cluster once re-minted:
+    //  * RETIRED label ((b -> t) in the map): the refreshed doc's fresh
+    //    component b would compose through the stale entry into t.
+    //    Neutralize the entry to identity and rewrite the raw rows still
+    //    referencing b to their composed label t.
+    //  * LIVE label (b is the min member of a surviving cluster): dropping
+    //    b's row leaves the other members labeled b, colliding with the
+    //    refreshed doc's fresh singleton b. Relabel the remaining members
+    //    to their new min id and repoint map entries targeting b.
+    // Every driver of the extra joins is bounded by the batch (semi-joins
+    // against bIds), so they broadcast at any corpus size; crash replays
+    // re-derive an empty cleanup (the rewritten rows no longer collide).
+    val batchLabels = bIds.select(col("id").as("component"))
+    val retiredKeys = merges0.join(batchLabels, Seq("component"), "left_semi")
+      .select("component")
+    val liveCollide = composed0.join(batchLabels, Seq("component"), "left_semi")
+      .select("component").distinct()
+    val relabel = composed0.join(liveCollide, Seq("component"), "left_semi")
+      .groupBy("component").agg(min(col("id")).as("fresh"))
+    val clusters0 = composed0.join(relabel, Seq("component"), "left")
+      .select(col("id"), coalesce(col("fresh"), col("component")).as("component"))
+    // stored rows whose RAW component is affected get their cleaned label
+    // upserted (by id) alongside this epoch's batch assignment
+    val affectedRaw = retiredKeys
+      .unionByName(liveCollide)
+      .unionByName(merges0.join(relabel.select(col("component").as("_t")),
+          merges0.col("new_component") === col("_t"), "left_semi")
+        .select("component"))
+      .distinct()
+    val rewriteRows = clusters0raw.join(affectedRaw, Seq("component"), "left_semi")
+      .select("id").join(clusters0, Seq("id"))
     val crossPairs = MinHashLSH.incrementalNearDupPairs(
         index0, corpus0, batch, "id", "text", threshold, maxPostings)
       .select("new_id", "corpus_id")
@@ -272,18 +314,31 @@ object StreamingOps {
     val (assign, mergeMap) =
       ConnectedComponents.incrementalAssign(clusters0, bIds, crossPairs, batchPairs)
     // flatten: existing map entries whose target just merged re-point to
-    // the new label, so the stored map stays one-join-deep
+    // the new label, so the stored map stays one-join-deep. Retired keys
+    // being re-minted this epoch become identity entries (their old rows
+    // were rewritten above); entries targeting a relabeled live collision
+    // re-point to the fresh label. All four key sets are disjoint: map
+    // keys are retired labels, mergeMap keys are live cleaned labels, and
+    // the retired/repointed/retargeted splits partition merges0 by target.
     val ev = mergeMap.select(col("component").as("_c"), col("new_component").as("_n"))
-    val repointed = merges0.join(ev, merges0.col("new_component") === col("_c"))
+    val merges0kept = merges0.join(retiredKeys, Seq("component"), "left_anti")
+    val repointed = merges0kept.join(ev, merges0kept.col("new_component") === col("_c"))
       .select(col("component"), col("_n").as("new_component"))
-    val mergesUp = mergeMap.unionByName(repointed)
+    val retargeted = merges0kept
+      .join(relabel.select(col("component").as("_t"), col("fresh")),
+        merges0kept.col("new_component") === col("_t"))
+      .select(col("component"), col("fresh").as("new_component"))
+    val identityRows = retiredKeys
+      .select(col("component"), col("component").as("new_component"))
+    val mergesUp = mergeMap.unionByName(repointed).unionByName(retargeted)
+      .unionByName(identityRows)
     def applyTable(t: String, up: DataFrame, keys: Seq[String]): Unit =
       if (!(io.exists(t) && io.snapshots(t).exists(_._2 == fp))) {
         if (!io.exists(t) || io.snapshots(t).isEmpty) io.overwrite(t, up)
         else io.upsert(t, up, keys)
         io.commit(t, fp)
       }
-    applyTable(tc, assign, Seq("id"))
+    applyTable(tc, assign.unionByName(rewriteRows), Seq("id"))
     applyTable(tm, mergesUp, Seq("component"))
     applyTable(tx, batch, Seq("id"))
     applyTable(ti, MinHashLSH.bandIndex(batch, "id", "text"), Seq("id", "band"))

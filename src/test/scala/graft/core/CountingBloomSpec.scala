@@ -120,4 +120,21 @@ class CountingBloomSpec extends AnyFunSuite {
     cf.remove(7L)
     assert(cf.mightContain(7L))
   }
+
+  test("failed remove/subtract leave the filter byte-identical (no partial decrement)") {
+    val cf = CountingBloomFilter.withConfig(1 << 12, 7)
+    (0L until 500L).foreach(cf.update)
+    val before = cf.serialize().toSeq
+    // a never-inserted key whose early probe cells overlap members: the
+    // violation must abort BEFORE any cell is touched, or members sharing
+    // those cells would read as definitely-absent afterwards
+    val bogus = (100000L to 110000L).find(k => !cf.mightContain(k)).get
+    assertThrows[IllegalArgumentException](cf.remove(bogus))
+    assert(cf.serialize().toSeq == before, "partial decrement after failed remove")
+    val del = CountingBloomFilter.withConfig(1 << 12, 7)
+    del.update(1L); del.update(bogus) // bogus was never in cf -> underflow
+    assertThrows[IllegalArgumentException](cf.subtract(del))
+    assert(cf.serialize().toSeq == before, "partial decrement after failed subtract")
+    (0L until 500L).foreach(k => assert(cf.mightContain(k)))
+  }
 }

@@ -647,6 +647,86 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got2 == truth2)
   }
 
+  test("re-arrived ids that are stored cluster labels: retired and live collisions re-mint cleanly") {
+    val sq = spark
+    import sq.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sclu2").toString
+    val io = new graft.pipeline.ParquetTableIO(sq, root)
+    val t80 = (1 to 80).map(i => s"nword$i").mkString(" ")
+    val u80 = (1 to 80).map(i => s"uword$i").mkString(" ")
+    val novel5 = (1 to 80).map(i => s"fresh5w$i").mkString(" ")
+    val novel13 = (1 to 80).map(i => s"fresh13w$i").mkString(" ")
+    def ep(n: Int, docs: (Long, String)*): Unit = assert(StreamingOps.applyClusterEpoch(
+      io, "sclu2", sq.createDataFrame(docs).toDF("id", "text"), "id", "text",
+      0.9, 4096, s"sclu2-epoch-$n"))
+    // RETIRED-label case: 3 and 5 are sub-threshold siblings; 9 merges
+    // their clusters (label 5 retires into 3 via the merge map); then doc
+    // 5 re-arrives with novel text — its fresh singleton label 5 must NOT
+    // compose through the stale (5 -> 3) entry into cluster 3.
+    ep(0, (3L, t80 + " a1 a2 a3 a4 a5 a6"), (5L, t80 + " b1 b2 b3 b4 b5 b6"))
+    ep(1, (9L, t80))
+    val mid = StreamingOps.currentAssignment(io, "sclu2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mid(3L) == mid(5L) && mid(5L) == mid(9L), s"merge trio failed: $mid")
+    ep(2, (5L, novel5))
+    // LIVE-label case: 13 is the min member (= the label) of a surviving
+    // cluster {13,18,19}; its refresh must relabel the remaining members
+    // to their new min id instead of colliding with the fresh singleton 13.
+    ep(3, (13L, u80), (18L, u80 + " s8"), (19L, u80 + " s9"))
+    ep(4, (13L, novel13))
+    // final state must equal a batch recompute over the LATEST text per id
+    val all = Seq((3L, t80 + " a1 a2 a3 a4 a5 a6"), (9L, t80), (5L, novel5),
+      (13L, novel13), (18L, u80 + " s8"), (19L, u80 + " s9"))
+    val allDf = sq.createDataFrame(all).toDF("id", "text")
+    val truth = graft.operators.ConnectedComponents.clustersWithSingletons(
+        allDf.select("id"), "id",
+        graft.operators.MinHashLSH.nearDupPairs(allDf, "id", "text", 0.9, 4096))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = StreamingOps.currentAssignment(io, "sclu2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"label collision mishandled: got ${got.toSeq.sorted} vs ${truth.toSeq.sorted}")
+    val m = got.toMap
+    assert(m(5L) == 5L && m(13L) == 13L, s"refreshed docs must be fresh singletons: $m")
+    assert(m(18L) == 18L && m(19L) == 18L, s"survivors must relabel to their new min id: $m")
+    assert(m(3L) == 3L && m(9L) == 3L)
+  }
+
+  test("cluster-epoch crash after _clusters commit, before _merges: replay converges with a collision in flight") {
+    val sq = spark
+    import sq.implicits._
+    import scala.sys.process._
+    val root = java.nio.file.Files.createTempDirectory("graft-sclu3").toString
+    val io = new graft.pipeline.ParquetTableIO(sq, root)
+    val u80 = (1 to 80).map(i => s"vword$i").mkString(" ")
+    val novel = (1 to 80).map(i => s"fresh13v$i").mkString(" ")
+    def ep(n: Int, docs: (Long, String)*): Unit = assert(StreamingOps.applyClusterEpoch(
+      io, "sclu3", sq.createDataFrame(docs).toDF("id", "text"), "id", "text",
+      0.9, 4096, s"sclu3-epoch-$n"))
+    ep(0, (13L, u80), (18L, u80 + " s8"), (19L, u80 + " s9")) // cluster {13,18,19} labeled 13
+    // snapshot the tables that commit AFTER _clusters in the epoch order
+    val later = Seq("sclu3_merges", "sclu3_corpus", "sclu3_index")
+    later.foreach(t => Seq("cp", "-r", s"$root/$t", s"$root/$t.bak").!!)
+    ep(1, (13L, novel)) // live-label collision epoch: survivors relabel to 18
+    val want = StreamingOps.currentAssignment(io, "sclu3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // crash injection: _clusters committed epoch 1 (with the relabeled
+    // survivor rows), the later tables did not — restore their pre-epoch
+    // state byte-for-byte
+    later.foreach { t =>
+      Seq("rm", "-rf", s"$root/$t").!!
+      Seq("mv", s"$root/$t.bak", s"$root/$t").!!
+    }
+    assert(io.snapshots("sclu3_clusters").exists(_._2 == "sclu3-epoch-1"))
+    assert(!io.snapshots("sclu3_merges").exists(_._2 == "sclu3-epoch-1"))
+    ep(1, (13L, novel)) // replay: cleanup re-derives as a no-op, rest commits
+    val got = StreamingOps.currentAssignment(io, "sclu3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"crash replay diverged: $got vs $want")
+    val m2 = got.toMap
+    assert(m2(13L) == 13L && m2(18L) == 18L && m2(19L) == 18L)
+  }
+
   test("stream-stream interval join (attribution): inner results == batch run") {
     val sq = spark
     import sq.implicits._
