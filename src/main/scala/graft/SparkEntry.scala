@@ -424,6 +424,64 @@ object SparkEntry {
         .select("new_id", "corpus_id")
         .orderBy("new_id", "corpus_id")
     }),
+    "q_index_merge" -> ((s, dir) => {
+      // index lifecycle MERGE: two crawls' stored band indexes union +
+      // posting-compact into one index that must probe exactly like the
+      // union corpus — no signature recompute, the rewrite shuffle doubles
+      // as (band, bh) re-bucketing. Cross-crawl copies (doc_id%10 of crawl
+      // 1 re-crawled into crawl 2) make the merge non-vacuous: probes must
+      // hit postings that came from BOTH sub-indexes. The oracle
+      // brute-forces batch-vs-union-corpus exact Jaccard.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val crawl1 = docs.filter(col("doc_id") < 200)
+      val crawl2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .unionByName(docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 200)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val incoming = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val merged = MinHashLSH.mergeIndexes(
+        MinHashLSH.bandIndex(crawl1, "doc_id", "text"),
+        MinHashLSH.bandIndex(crawl2, "doc_id", "text"))
+      MinHashLSH.incrementalNearDupPairs(merged, crawl1.unionByName(crawl2),
+          incoming, "doc_id", "text", 0.9)
+        .select("new_id", "corpus_id")
+        .orderBy("new_id", "corpus_id")
+    }),
+    "q_cluster_cohesion" -> ((s, dir) => {
+      // cohesion QA for transitive clusters: CC closes over CHAINS, and at
+      // web scale chained template families snowball into mega-clusters
+      // that retire too much. The audit reports, per non-singleton
+      // cluster, exact pairwise Jaccard over its K smallest members
+      // (bounded MinN aggregate — a hot cluster costs the same 45 pairs as
+      // an 11-member one). The fixture plants real chains: d1 extends a
+      // doc by 5 unique tokens (J = m/(m+5) for m shingles), d2 extends d1
+      // by 5 more — docs with 45 <= m < 90 give both hops >= 0.9 while the
+      // closing doc-d2 pair falls BELOW 0.9, so pairs_below > 0 by
+      // construction (33 such chains at sf0.001). Edges come from the
+      // EXACT n-gram lane (complete — no LSH recall term in the truth);
+      // the oracle recomputes reachability + every audited ratio.
+      val base = t(s, dir, "documents").select("doc_id", "text")
+        .filter(trim(col("text")) =!= "" && col("doc_id") < 400)
+      def sfx(names: Seq[String]) =
+        concat(names.flatMap(n => Seq(lit(" " + n), col("doc_id"))): _*)
+      val d1 = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), sfx(Seq("ca", "cb", "cc", "cd", "ce"))).as("text"))
+      val d2 = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), sfx(Seq("ca", "cb", "cc", "cd", "ce")),
+            sfx(Seq("cf", "cg", "ch", "ci", "cj"))).as("text"))
+      val corpus = base.unionByName(d1).unionByName(d2)
+      val edges = NgramJaccard.pairs(corpus, "doc_id", "text",
+          n = 5, threshold = 0.9)
+        .select("id_a", "id_b")
+      val clusters = ConnectedComponents
+        .clustersWithSingletons(corpus, "doc_id", edges)
+      ConnectedComponents.cohesionAudit(clusters, corpus, "doc_id", "text",
+          threshold = 0.9, auditK = 10)
+        .orderBy("component")
+    }),
     "q_cluster_stability" -> ((s, dir) => {
       // cluster-drift monitor: the same corpus clustered at a coarse (0.5)
       // and a fine (0.9) n-gram Jaccard threshold; the transition report
@@ -2684,6 +2742,106 @@ object SparkEntry {
         |WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
         |      (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
+    // index-merge truth: brute-forced batch-vs-union-corpus pairs — the
+    // merged index must probe exactly like one built fresh over both crawls
+    "q_index_merge" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base
+        |  WHERE doc_id % 10 = 0 AND doc_id < 200
+        |),
+        |incoming AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id >= 400
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM base WHERE doc_id % 5 = 0
+        |),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |si AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM incoming)
+        |)
+        |SELECT i.doc_id AS new_id, c.doc_id AS corpus_id
+        |FROM si i CROSS JOIN sc c
+        |WHERE len(list_intersect(i.sh, c.sh))::DOUBLE /
+        |      (len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    // cohesion truth: reachability closure over exact 5-gram Jaccard
+    // >= 0.9 on the chain-planted corpus, then every audited pair (the 10
+    // smallest member ids per non-singleton cluster) brute-force re-rated
+    "q_cluster_cohesion" ->
+      """WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+        |                        WHERE trim(text) <> '' AND doc_id < 400),
+        |d1 AS (
+        |  SELECT b.doc_id + 1000000 AS doc_id,
+        |    b.text || ' ca' || b.doc_id || ' cb' || b.doc_id || ' cc' || b.doc_id
+        |           || ' cd' || b.doc_id || ' ce' || b.doc_id AS text
+        |  FROM base b WHERE b.doc_id % 7 = 0
+        |),
+        |d2 AS (
+        |  SELECT b.doc_id + 2000000 AS doc_id,
+        |    b.text || ' ca' || b.doc_id || ' cb' || b.doc_id || ' cc' || b.doc_id
+        |           || ' cd' || b.doc_id || ' ce' || b.doc_id
+        |           || ' cf' || b.doc_id || ' cg' || b.doc_id || ' ch' || b.doc_id
+        |           || ' ci' || b.doc_id || ' cj' || b.doc_id AS text
+        |  FROM base b WHERE b.doc_id % 7 = 0
+        |),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM d1
+        |           UNION ALL SELECT * FROM d2),
+        |sc AS (
+        |  SELECT doc_id, list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                  for i in range(1, greatest(len(toks) - 3, 2))]) sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM corpus)
+        |),
+        |ex AS (SELECT doc_id, unnest(sh) g FROM sc),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id da, b.doc_id db
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |),
+        |e0 AS (
+        |  SELECT da, db FROM cand
+        |  JOIN sc sa ON sa.doc_id = da JOIN sc sb ON sb.doc_id = db
+        |  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.9
+        |),
+        |e AS (SELECT da i, db j FROM e0 UNION ALL SELECT db, da FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM corpus
+        |  UNION
+        |  SELECT r.src, e.j FROM reach r JOIN e ON e.i = r.dst
+        |),
+        |cl AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+        |sz AS (SELECT component, count(*) AS size FROM cl
+        |       GROUP BY component HAVING count(*) >= 2),
+        |mem AS (
+        |  SELECT c.component, c.doc_id,
+        |         row_number() OVER (PARTITION BY c.component ORDER BY c.doc_id) rn
+        |  FROM cl c JOIN sz USING (component)
+        |),
+        |ap AS (
+        |  SELECT m1.component, m1.doc_id a, m2.doc_id b2
+        |  FROM mem m1 JOIN mem m2
+        |    ON m1.component = m2.component AND m1.rn < m2.rn
+        |  WHERE m1.rn <= 10 AND m2.rn <= 10
+        |),
+        |pj AS (
+        |  SELECT ap.component,
+        |         len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jj
+        |  FROM ap JOIN sc sa ON sa.doc_id = ap.a JOIN sc sb ON sb.doc_id = ap.b2
+        |)
+        |SELECT sz.component, sz.size, count(*) AS pairs_checked,
+        |       CAST(sum(CASE WHEN jj < 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS pairs_below,
+        |       min(jj) AS min_j
+        |FROM pj JOIN sz USING (component)
+        |GROUP BY sz.component, sz.size
+        |ORDER BY sz.component""".stripMargin,
     // cluster-drift truth: two reachability closures (thresholds 0.5/0.9
     // over 3-gram Jaccard on the filler-extended corpus), then transition
     // rows via the textbook row_number argmax the engine expresses as a

@@ -288,4 +288,54 @@ object ConnectedComponents {
       .select(col("id").as("component"), col("component").as("new_component"))
     (assign, mergeMap)
   }
+
+  /** Per-cluster COHESION audit — the QA face of transitive clustering.
+    * Connected components are closed under CHAINS: a~b and b~c put a and c
+    * in one cluster even when J(a,c) is far below the lane threshold, and
+    * at web scale this is exactly how template families snowball into
+    * mega-clusters that retire too much (the known pathology of
+    * LSH+CC dedup). For each non-singleton cluster this audits the
+    * pairwise exact similarity of its `auditK` SMALLEST member ids and
+    * reports `(component, size, pairs_checked, pairs_below, min_j)`:
+    * `pairs_below` counts audited pairs under the threshold — direct
+    * evidence of chaining — and `min_j` is the weakest audited link.
+    *
+    * Scale shape: the audit set per cluster is a bounded MinN aggregate
+    * (a 10^7-member template cluster costs the same ≤ K(K-1)/2 pairs as a
+    * K+1-member one; no window ever sorts a hot cluster), pair texts are
+    * fetched by equi-join on the ≤ K·clusters audited ids, and the verify
+    * kernel is the lane's own exact Jaccard. Deterministic: smallest-K
+    * membership is a pure function of the cluster, min/count aggregates
+    * are order-free, and the per-pair ratio divides the same shingle
+    * integers the verify lane divides. */
+  def cohesionAudit(clusters: DataFrame, texts: DataFrame, idCol: String,
+                    textCol: String, threshold: Double,
+                    auditK: Int = 10): DataFrame = {
+    require(auditK >= 2, s"auditK must be >= 2, got $auditK")
+    graft.spark.GraftFunctions.register(texts.sparkSession)
+    val minN = udaf(new DomainCap.MinNAgg(auditK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // clusters carry the CC output contract (id, component); idCol/textCol
+    // name the TEXT table's columns
+    val cl = clusters.select(col("component").cast("long").as("component"),
+      col("id").cast("long").as("id"))
+    val audited = cl.groupBy("component")
+      .agg(count(lit(1)).as("size"), minN(col("id")).as("members"))
+      .filter(col("size") >= 2)
+    val m = audited.select(col("component"), col("size"),
+      posexplode(col("members")).as(Seq("pos", "mid")))
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.component") === col("b.component") && col("a.pos") < col("b.pos"))
+      .select(col("a.component").as("component"), col("a.size").as("size"),
+        col("a.mid").as("id_a"), col("b.mid").as("id_b"))
+    val t = texts.select(col(idCol).cast("long").as("_tid"), col(textCol).as("_t"))
+    pairs
+      .join(t.withColumnRenamed("_tid", "id_a").withColumnRenamed("_t", "t_a"), "id_a")
+      .join(t.withColumnRenamed("_tid", "id_b").withColumnRenamed("_t", "t_b"), "id_b")
+      .withColumn("j", expr("jaccard_shingles(t_a, t_b)"))
+      .groupBy("component", "size")
+      .agg(count(lit(1)).as("pairs_checked"),
+        sum(when(col("j") < threshold, 1L).otherwise(0L)).as("pairs_below"),
+        min(col("j")).as("min_j"))
+  }
 }

@@ -243,6 +243,21 @@ object MinHashLSH {
   def compactPostings(index: DataFrame): DataFrame =
     index.select("id", "band", "bh").distinct()
 
+  /** Merge two stored band indexes (e.g. two crawls' indexes, or a main
+    * index with a batch's postings built index-side) into one that is
+    * PROBE-EQUIVALENT to a fresh index over the union corpus: postings are
+    * config-identified (same perm/band constants), so union + posting
+    * compaction is the whole job — no signature is ever recomputed, and
+    * the rewrite's shuffle doubles as the (band, bh) re-bucketing the
+    * probe contract wants. Exactness is gated by `q_index_merge` (probe
+    * results vs a DuckDB brute force over the union corpus). Ids must be
+    * disjoint across inputs or refer to the same document when shared —
+    * same contract as appending a replayed increment, which compaction
+    * already absorbs. */
+  def mergeIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    compactPostings(a.select("id", "band", "bh").unionByName(
+      b.select("id", "band", "bh")))
+
   /** Shrink the index to surviving documents — the companion job to
     * cluster-survivor selection (`q_cluster_survivors` shape): after a
     * dedup pass retires cluster losers from the corpus, their postings

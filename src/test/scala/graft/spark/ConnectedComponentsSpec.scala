@@ -85,4 +85,55 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got(10L) == 10L && got(11L) == 10L)
     assert((4L to 9L).forall(i => got(i) == i))
   }
+
+  test("cohesionAudit: chain clusters report their sub-threshold links; hot clusters stay bounded") {
+    val t60 = (1 to 60).map(i => s"cw$i").mkString(" ")
+    // chain: b extends a by 4 tokens, c extends b by 4 more —
+    // J(a,b) = 56/60 ≈ 0.93, J(b,c) = 60/64 ≈ 0.94, J(a,c) = 56/64 = 0.875 < 0.9
+    val a = (1L, t60)
+    val b = (2L, t60 + " x1 x2 x3 x4")
+    val c = (3L, t60 + " x1 x2 x3 x4 x5 x6 x7 x8")
+    // hot cluster: 40 byte-identical copies — the audit must cap at
+    // K(K-1)/2 pairs, never 40*39/2
+    val hot = (100L until 140L).map(i => (i, (1 to 60).map(j => s"hd$j").mkString(" ")))
+    val docs = (Seq(a, b, c) ++ hot).toDF("doc_id", "text")
+    val edges = graft.operators.NgramJaccard.pairs(docs, "doc_id", "text",
+      n = 5, threshold = 0.9).select("id_a", "id_b")
+    val clusters = ConnectedComponents.clustersWithSingletons(
+      docs.select("doc_id"), "doc_id", edges)
+    val audit = ConnectedComponents.cohesionAudit(clusters, docs, "doc_id",
+        "text", threshold = 0.9, auditK = 10)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // chain cluster: labelled 1, size 3, 3 audited pairs, ONE below, and
+    // min_j is exactly the closing pair's ratio
+    val (sz, checked, below, minJ) = audit(1L)
+    assert(sz == 3 && checked == 3 && below == 1)
+    assert(math.abs(minJ - 56.0 / 64.0) < 1e-12)
+    // hot cluster: full size reported, audit bounded at 10*9/2 pairs, all 1.0
+    val (hsz, hchecked, hbelow, hminJ) = audit(100L)
+    assert(hsz == 40 && hchecked == 45 && hbelow == 0 && hminJ == 1.0)
+    assert(audit.size == 2) // singletons never audited
+  }
+
+  test("mergeIndexes: union of two crawls' indexes == fresh index over the union corpus") {
+    val docs = (1L to 30L).map(i => (i, s"doc $i " + (1 to 40).map(j => s"w$i-$j").mkString(" ")))
+    val h1 = docs.take(15).toDF("doc_id", "text")
+    val h2 = docs.drop(15).toDF("doc_id", "text")
+    val merged = graft.operators.MinHashLSH.mergeIndexes(
+        graft.operators.MinHashLSH.bandIndex(h1, "doc_id", "text"),
+        graft.operators.MinHashLSH.bandIndex(h2, "doc_id", "text"))
+      .as[(Long, Int, Long)].collect().toSet
+    val fresh = graft.operators.MinHashLSH.bandIndex(
+        h1.unionByName(h2), "doc_id", "text")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(merged == fresh)
+    // replayed append (at-least-once) compacts away through the same path
+    val doubled = graft.operators.MinHashLSH.mergeIndexes(
+        graft.operators.MinHashLSH.bandIndex(h1, "doc_id", "text"),
+        graft.operators.MinHashLSH.bandIndex(h1, "doc_id", "text"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(doubled == graft.operators.MinHashLSH.bandIndex(h1, "doc_id", "text")
+      .as[(Long, Int, Long)].collect().toSet)
+  }
 }
