@@ -1472,7 +1472,10 @@ object SparkEntry {
       // SQL-expressible, so the oracle pins the zero counts
       // (q_simhash_complete-style).
       GraftFunctions.register(s)
-      val docs0 = t(s, dir, "documents").filter(col("doc_id") < 1200)
+      // id cap 600 keeps the all-pairs brute force constant-size at every
+      // sf (sf0.001/sf0.01 have 500 docs — rows unchanged); 150 planted
+      // variants keep the gate far from vacuous
+      val docs0 = t(s, dir, "documents").filter(col("doc_id") < 600)
         .filter(trim(col("text")) =!= "").select("doc_id", "text")
       def toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
       val variants = docs0.filter(col("doc_id") % 4 === 0)
@@ -1514,11 +1517,16 @@ object SparkEntry {
         .select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
       def toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
-        corpus.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            expr(s"concat(text, ' ', array_join(slice($toks, 1, " +
-              s"1 + CAST(size($toks) / 12 AS INT)), ' '))").as("text")))
+      // gate fixture is id-bounded on BOTH sides so the in-plan brute-force
+      // cross stays constant-size at every sf (at sf0.1 an unbounded batch
+      // would put 4750×250 histogram merges in the bench's hot path for no
+      // extra gate power); sf0.001/sf0.01 rows are unchanged (500-doc table)
+      val incoming = docs.filter(col("doc_id") >= 250 && col("doc_id") < 500)
+        .unionByName(
+          corpus.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              expr(s"concat(text, ' ', array_join(slice($toks, 1, " +
+                s"1 + CAST(size($toks) / 12 AS INT)), ' '))").as("text")))
       val lane = MinHashLSH.weightedIncrementalPairs(
           MinHashLSH.weightedBandIndex(corpus, "doc_id", "text"),
           corpus, incoming, "doc_id", "text", threshold = 0.9,
