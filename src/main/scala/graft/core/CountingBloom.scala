@@ -78,22 +78,39 @@ final class CountingBloomFilter private (
   def remove(key: Long): Unit = {
     val h1 = SplitMix64.mix(key ^ BloomFilter.SeedA)
     val h2 = SplitMix64.mix(key ^ BloomFilter.SeedB) | 1L
+    // the k probes can COLLIDE on a cell (h2 and numCells need not be
+    // coprime), so validation must be multiset-aware: collect distinct
+    // cells with their probe multiplicity, require each unsaturated cell
+    // holds >= its hits, then mutate — a violation leaves the filter
+    // byte-identical, and a twice-probed count-1 cell refuses instead of
+    // wrapping 0 -> 255
+    val cellIdx = new Array[Int](numHashes)
+    val hits = new Array[Int](numHashes)
+    var n = 0
     var i = 0
     var h = h1
-    while (i < numHashes) { // read-only validation pass
+    while (i < numHashes) {
       val cell = java.lang.Long.remainderUnsigned(h, numCells).toInt
-      require((cells(cell) & 0xff) > 0,
-        s"remove() of a key that is not in the filter (cell $cell is 0)")
+      var j = 0
+      while (j < n && cellIdx(j) != cell) j += 1
+      if (j == n) { cellIdx(n) = cell; hits(n) = 1; n += 1 }
+      else hits(j) += 1
       h += h2
       i += 1
     }
     i = 0
-    h = h1
-    while (i < numHashes) {
-      val cell = java.lang.Long.remainderUnsigned(h, numCells).toInt
-      val c = cells(cell) & 0xff
-      if (c < 255) cells(cell) = (c - 1).toByte
-      h += h2
+    while (i < n) { // read-only validation pass
+      val c = cells(cellIdx(i)) & 0xff
+      require(c == 255 || c >= hits(i),
+        s"remove() of a key that is not in the filter (cell ${cellIdx(i)} " +
+          s"holds $c for ${hits(i)} probes)")
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val c = cells(cellIdx(i)) & 0xff
+      // a saturated cell's true count is unknown — leave it (fp-only risk)
+      if (c < 255) cells(cellIdx(i)) = (c - hits(i)).toByte
       i += 1
     }
     _itemsAdded -= 1

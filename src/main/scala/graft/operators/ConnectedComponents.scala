@@ -307,7 +307,13 @@ object ConnectedComponents {
     * kernel is the lane's own exact Jaccard. Deterministic: smallest-K
     * membership is a pure function of the cluster, min/count aggregates
     * are order-free, and the per-pair ratio divides the same shingle
-    * integers the verify lane divides. */
+    * integers the verify lane divides.
+    *
+    * Caller contract: `texts` must cover every audited member id with a
+    * non-null text — the audit joins INNER (a member with no text row
+    * drops its pairs from the report, shrinking `pairs_checked` rather
+    * than failing loudly), matching every other lane's "clusters were
+    * derived from this corpus" assumption. */
   def cohesionAudit(clusters: DataFrame, texts: DataFrame, idCol: String,
                     textCol: String, threshold: Double,
                     auditK: Int = 10): DataFrame = {

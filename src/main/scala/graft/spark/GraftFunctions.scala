@@ -288,13 +288,15 @@ object GraftFunctions {
         if (ha == null || hb == null) None
         else Some(TextOps.weightedJaccardHist(
           ha.toArray, ca.toArray, hb.toArray, cb.toArray))),
-    // k is derived from the packed length (k = words*64/b), not assumed to
-    // be NumPerms: signatures packed at a different perm count or a
-    // mismatched b would otherwise unpack garbage in-bounds silently
+    // k is pinned to the engine's 128-perm signatures; with the kernel's
+    // length-vs-(k,b) require, a signature packed at a different b (or
+    // perm count) now REFUSES loudly instead of unpacking garbage
+    // in-bounds — deriving k from the length would make that guard
+    // tautological and silent again
     "est_jaccard_bbit" -> udf((a: Seq[Long], b: Seq[Long], bits: Int) =>
       if (a == null || b == null) None
       else Some(TextOps.estimatedJaccardBbit(a.toArray, b.toArray,
-        a.length * 64 / bits, bits))),
+        TextOps.NumPerms, bits))),
     "band_hashes" -> udf((sig: Seq[Long]) => Option(sig).map(s => TextOps.bandHashes(s.toArray))),
     "simhash64" -> udf((t: String) => Option(t).map(TextOps.simHash64)),
     "simhash_probes" -> udf((sim: Long, maxDist: Int) => TextOps.simHashProbeKeys(sim, maxDist)),

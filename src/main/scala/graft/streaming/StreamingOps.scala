@@ -317,11 +317,19 @@ object StreamingOps {
     // the new label, so the stored map stays one-join-deep. Retired keys
     // being re-minted this epoch become identity entries (their old rows
     // were rewritten above); entries targeting a relabeled live collision
-    // re-point to the fresh label. All four key sets are disjoint: map
-    // keys are retired labels, mergeMap keys are live cleaned labels, and
-    // the retired/repointed/retargeted splits partition merges0 by target.
+    // re-point to the fresh label. A stored key that is ALSO a mergeMap
+    // key this epoch (possible only for referent-free entries — an
+    // identity row whose re-minted label merged again, or an entry
+    // orphaned by this epoch's rewrites) yields to mergeMap: without the
+    // exclusion the upsert would carry duplicate keys and the epoch would
+    // crash-loop on TableIO's unique-key contract. The remaining key sets
+    // are disjoint: identity keys are retired labels, mergeMap keys are
+    // live cleaned labels, and repointed/retargeted partition the kept
+    // entries by target (mergeMap keys vs relabeled keys never overlap).
     val ev = mergeMap.select(col("component").as("_c"), col("new_component").as("_n"))
-    val merges0kept = merges0.join(retiredKeys, Seq("component"), "left_anti")
+    val merges0kept = merges0
+      .join(retiredKeys, Seq("component"), "left_anti")
+      .join(ev.select(col("_c").as("component")), Seq("component"), "left_anti")
     val repointed = merges0kept.join(ev, merges0kept.col("new_component") === col("_c"))
       .select(col("component"), col("_n").as("new_component"))
     val retargeted = merges0kept

@@ -137,4 +137,32 @@ class CountingBloomSpec extends AnyFunSuite {
     assert(cf.serialize().toSeq == before, "partial decrement after failed subtract")
     (0L until 500L).foreach(k => assert(cf.mightContain(k)))
   }
+
+  test("colliding probe cells (non-coprime geometry): update/remove round-trips exactly") {
+    // 65 = 5*13 cells: a key whose probe step shares a factor with the
+    // cell count can hit one cell twice — update then gives that cell 2,
+    // and remove must account for the multiplicity (a per-probe decrement
+    // that rechecks >0 per step, or a multiset-blind validation, both
+    // corrupt this case)
+    val key = (0L to 100000L).find { k =>
+      val f = CountingBloomFilter.withConfig(65, 7)
+      f.update(k)
+      f.maxCell == 2
+    }
+    assert(key.nonEmpty, "no colliding key found in range — geometry changed?")
+    val f = CountingBloomFilter.withConfig(65, 7)
+    val empty = f.serialize().toSeq
+    f.update(key.get)
+    assert(f.maxCell == 2)
+    f.remove(key.get)
+    assert(f.serialize().toSeq == empty, "collision-cell remove must restore the empty filter")
+    // removing it AGAIN is the violation and must leave the filter intact
+    f.update(key.get)
+    val one = f.serialize().toSeq
+    f.remove(key.get)
+    assertThrows[IllegalArgumentException](f.remove(key.get))
+    assert(f.serialize().toSeq == empty)
+    f.update(key.get)
+    assert(f.serialize().toSeq == one, "filter must stay usable after the refused remove")
+  }
 }

@@ -674,9 +674,22 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     // to their new min id instead of colliding with the fresh singleton 13.
     ep(3, (13L, u80), (18L, u80 + " s8"), (19L, u80 + " s9"))
     ep(4, (13L, novel13))
+    // the stored IDENTITY entry (5 -> 5) must yield when the re-minted
+    // label 5 merges again: doc 4 near-dups doc 5's new text, so mergeMap
+    // carries (5 -> 4) while the identity row would re-point to the same
+    // key — without the mergeMap-wins exclusion the upsert crash-loops on
+    // duplicate keys
+    ep(5, (4L, novel5 + " k1 k2"))
+    // an entry TARGETING a live label that is both relabeled and re-merged
+    // in one epoch: doc 12 joins cluster 18 (map entry 18 -> 12), then doc
+    // 12 re-arrives with still-similar text — retargeted would emit
+    // (18 -> 18) while mergeMap emits (18 -> 12)
+    ep(6, (12L, u80 + " s12a"))
+    ep(7, (12L, u80 + " s12b"))
     // final state must equal a batch recompute over the LATEST text per id
     val all = Seq((3L, t80 + " a1 a2 a3 a4 a5 a6"), (9L, t80), (5L, novel5),
-      (13L, novel13), (18L, u80 + " s8"), (19L, u80 + " s9"))
+      (4L, novel5 + " k1 k2"), (13L, novel13), (18L, u80 + " s8"),
+      (19L, u80 + " s9"), (12L, u80 + " s12b"))
     val allDf = sq.createDataFrame(all).toDF("id", "text")
     val truth = graft.operators.ConnectedComponents.clustersWithSingletons(
         allDf.select("id"), "id",
@@ -687,8 +700,10 @@ class StreamingOpsSpec extends AnyFunSuite with SparkSuiteBase {
     assert(got == truth,
       s"label collision mishandled: got ${got.toSeq.sorted} vs ${truth.toSeq.sorted}")
     val m = got.toMap
-    assert(m(5L) == 5L && m(13L) == 13L, s"refreshed docs must be fresh singletons: $m")
-    assert(m(18L) == 18L && m(19L) == 18L, s"survivors must relabel to their new min id: $m")
+    assert(m(13L) == 13L, s"refreshed doc must be a fresh singleton: $m")
+    assert(m(5L) == 4L && m(4L) == 4L, s"re-minted label must merge onward: $m")
+    assert(m(12L) == 12L && m(18L) == 12L && m(19L) == 12L,
+      s"re-arrived still-similar min-label doc must rejoin its cluster: $m")
     assert(m(3L) == 3L && m(9L) == 3L)
   }
 
