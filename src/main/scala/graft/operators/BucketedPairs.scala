@@ -92,9 +92,17 @@ object BucketedPairs {
     * ever aggregate (partition pruning's entry point on a bucketed index
     * table) — then postings collect through [[cappedBuckets]] (every
     * buffer bounded) with over-cap buckets degrading to their hub. */
-  def probeCandidates(index: DataFrame, probes: DataFrame, keyCols: Seq[String],
+  def probeCandidates(index: DataFrame, probes0: DataFrame, keyCols: Seq[String],
                       idCol: String, probeIdCol: String, cap: Int): DataFrame = {
     val keys = keyCols.map(col)
+    // the probe side is consumed TWICE (touched-bucket semi-join below +
+    // the candidate join) and its projection is the caller's signature
+    // kernel over the batch (minhash/ICWS/winnow/simhash) — without
+    // materialization every incremental lane runs that kernel twice per
+    // probe (measured: the ICWS band build alone was 2×2.2 s of
+    // q_weighted_incremental's 5 s). Same localCheckpoint-rebuild pattern
+    // as `edges`; blocks are freed by the ContextCleaner.
+    val probes = GraftBridge.materialize(probes0)
     val touched = index.join(probes.select(keys: _*).distinct(), keyCols, "left_semi")
     val buckets = cappedBuckets(touched, keyCols, idCol, cap)
       .select(keys :+ coalesce(col("s.ids"), array(col("s.hub"))).as("cands"): _*)

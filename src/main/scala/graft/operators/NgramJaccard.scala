@@ -233,11 +233,16 @@ object NgramJaccard {
                   n: Int = 3, k: Int = 3, t10: Int = 3,
                   maxPostings: Int = 10000): DataFrame = {
     require(k >= 1 && t10 >= 1 && t10 <= 10, s"bad config k=$k t10=$t10")
-    val p = pairs(docs, idCol, textCol, n, t10 / 10.0 - 0.01, maxPostings)
-      .filter(expr(s"common_grams * 10 >= $t10 * (grams_a + grams_b - common_grams)"))
-      .withColumn("score", expr(
-        "CAST(common_grams AS BIGINT) * 1000000000L div " +
-          "(grams_a + grams_b - common_grams)"))
+    // materialized: `p` feeds BOTH direction projections of the union
+    // below — without this the whole candidate+verify pass (the expensive
+    // part of the query) runs twice (localCheckpoint-rebuild pattern;
+    // blocks freed by the ContextCleaner)
+    val p = org.apache.spark.sql.GraftBridge.materialize(
+      pairs(docs, idCol, textCol, n, t10 / 10.0 - 0.01, maxPostings)
+        .filter(expr(s"common_grams * 10 >= $t10 * (grams_a + grams_b - common_grams)"))
+        .withColumn("score", expr(
+          "CAST(common_grams AS BIGINT) * 1000000000L div " +
+            "(grams_a + grams_b - common_grams)")))
     val dir = p.select(col("id_a").cast("long").as("doc_id"),
         col("id_b").cast("long").as("neighbor_id"), col("score"))
       .unionByName(p.select(col("id_b").cast("long").as("doc_id"),
