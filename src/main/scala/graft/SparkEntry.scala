@@ -324,10 +324,12 @@ object SparkEntry {
       // (exact copies band-collide on every band; the corpus fits the cap).
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+      // spread: the batch feeds the probe's minhash kernel off a one-split
+      // scan (the probe side is materialized inside probeCandidates)
+      val incoming = spread(docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+      val index = MinHashLSH.bandIndex(spread(corpus), "doc_id", "text")
       MinHashLSH.incrementalNearDupPairs(index, corpus, incoming,
           "doc_id", "text", 0.9)
         .select("new_id", "corpus_id")
@@ -339,10 +341,12 @@ object SparkEntry {
       // hash-pin both faces of the lane)
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+      // spread + materialize: the batch feeds the probe build, the verify
+      // join AND the final admission anti-join
+      val incoming = mat(spread(docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))))
+      val index = MinHashLSH.bandIndex(spread(corpus), "doc_id", "text")
       MinHashLSH.incrementalNovel(index, corpus, incoming,
           "doc_id", "text", 0.9)
         .select("doc_id").orderBy("doc_id")
@@ -357,10 +361,11 @@ object SparkEntry {
       // substring pairs ride along.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+      // spread: batch + corpus feed the winnow kernel off one-split scans
+      val incoming = spread(docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val index = SubstringDedup.fpIndex(corpus, "doc_id", "text")
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+      val index = SubstringDedup.fpIndex(spread(corpus), "doc_id", "text")
       SubstringDedup.incrementalPairs(index, corpus, incoming,
           "doc_id", "text", minLen = 200)
         .orderBy("new_id", "corpus_id")
@@ -377,18 +382,35 @@ object SparkEntry {
       // Jaccard edges closed under a recursive reachability CTE.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+      // spread + materialize: the batch is consumed by its OWN lane (bands
+      // + verify), the cross probe, and the assignment — and its band
+      // projection is shared between the batch lane and the probe instead
+      // of re-running the minhash kernel per consumer (same for the
+      // corpus's bands: batch-lane + stored-index faces)
+      val incoming = mat(spread(docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val corpusPairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))))
+      GraftFunctions.register(s)
+      val corpusBands = mat(spread(corpus)
+        .select(col("doc_id").as("id"), expr("minhash_bands(text)").as("bands")))
+      val incomingBands = mat(incoming
+        .select(col("doc_id").as("id"), expr("minhash_bands(text)").as("bands")))
+      val corpusPairs = MinHashLSH.verifyPairs(
+          MinHashLSH.candidatePairsFromBands(corpusBands, 1000),
+          corpus, "doc_id", "text", 0.9)
         .select("id_a", "id_b")
       val clusters = ConnectedComponents
         .clustersWithSingletons(corpus, "doc_id", corpusPairs)
-      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      val index = MinHashLSH.postingsFromBands(corpusBands)
       val cross = MinHashLSH
-        .incrementalNearDupPairs(index, corpus, incoming, "doc_id", "text", 0.9)
+        .incrementalNearDupPairsFromPostings(index, corpus,
+          MinHashLSH.postingsFromBands(incomingBands)
+            .withColumnRenamed("id", "new_id"),
+          incoming, "doc_id", "text", 0.9)
         .select("new_id", "corpus_id")
-      val batchPairs = MinHashLSH.nearDupPairs(incoming, "doc_id", "text", 0.9)
+      val batchPairs = MinHashLSH.verifyPairs(
+          MinHashLSH.candidatePairsFromBands(incomingBands, 1000),
+          incoming, "doc_id", "text", 0.9)
         .select("id_a", "id_b")
       val (assign, mergeMap) = ConnectedComponents.incrementalAssign(
         clusters, incoming.select("doc_id"), cross, batchPairs, idCol = "doc_id")
@@ -409,20 +431,23 @@ object SparkEntry {
       // precedence exact_dup > near_dup > admitted, fully SQL-mirrorable.
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.filter(col("doc_id") < 250)
-      val incoming = docs.filter(col("doc_id") >= 250).unionByName(
+      // spread + materialize: the keyed batch feeds the exact-dup semi-join
+      // AND (as `rest`) the probe build, the verify join and two verdict
+      // joins
+      val incoming = spread(docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
       // content-key equi-join, never a text-payload shuffle (ExactDedup's
       // rationale; md5 here is the oracle-stable stand-in for its paranoid
       // 128-bit key)
       val ck = corpus.select(md5(col("text")).as("ck")).distinct()
-      val keyed = incoming.withColumn("ck", md5(col("text")))
+      val keyed = mat(incoming.withColumn("ck", md5(col("text"))))
       val exactDup = keyed.join(ck, Seq("ck"), "left_semi")
-      val rest = keyed.join(ck, Seq("ck"), "left_anti").drop("ck")
-      val index = MinHashLSH.bandIndex(corpus, "doc_id", "text")
-      val nearIds = MinHashLSH
+      val rest = mat(keyed.join(ck, Seq("ck"), "left_anti").drop("ck"))
+      val index = MinHashLSH.bandIndex(spread(corpus), "doc_id", "text")
+      val nearIds = mat(MinHashLSH
         .incrementalNearDupPairs(index, corpus, rest, "doc_id", "text", 0.9)
-        .select(col("new_id").as("doc_id")).distinct()
+        .select(col("new_id").as("doc_id")).distinct())
       exactDup.select(col("doc_id"), lit("exact_dup").as("verdict"))
         .unionByName(rest.join(nearIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), lit("near_dup").as("verdict")))
@@ -442,15 +467,24 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") < 300).unionByName(
         docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 300)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val incoming = docs.filter(col("doc_id") >= 300).unionByName(
+      // spread: the batch side feeds the probe's minhash kernel off a
+      // one-split scan; the corpus's band projection is materialized once
+      // and shared between the batch lane and the index build (it was
+      // computed twice)
+      val incoming = spread(docs.filter(col("doc_id") >= 300).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-      val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
+      GraftFunctions.register(s)
+      val corpusBands = mat(spread(corpus)
+        .select(col("doc_id").as("id"), expr("minhash_bands(text)").as("bands")))
+      val pairs = MinHashLSH.verifyPairs(
+          MinHashLSH.candidatePairsFromBands(corpusBands, 1000),
+          corpus, "doc_id", "text", 0.9)
         .select("id_a", "id_b")
       val clusters = ConnectedComponents
         .clustersWithSingletons(corpus, "doc_id", pairs)
       val survivors = clusters.select(col("component").as("doc_id")).distinct()
-      val built = MinHashLSH.bandIndex(corpus, "doc_id", "text")
+      val built = MinHashLSH.postingsFromBands(corpusBands)
       val index = MinHashLSH.retainPostings(
         MinHashLSH.compactPostings(built.unionByName(built)),
         survivors, "doc_id")
@@ -472,12 +506,14 @@ object SparkEntry {
       val crawl2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
         .unionByName(docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 200)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val incoming = docs.filter(col("doc_id") >= 400).unionByName(
+      // spread: batch + both crawls feed the minhash kernel off one-split
+      // scans
+      val incoming = spread(docs.filter(col("doc_id") >= 400).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))))
       val merged = MinHashLSH.mergeIndexes(
-        MinHashLSH.bandIndex(crawl1, "doc_id", "text"),
-        MinHashLSH.bandIndex(crawl2, "doc_id", "text"))
+        MinHashLSH.bandIndex(spread(crawl1), "doc_id", "text"),
+        MinHashLSH.bandIndex(spread(crawl2), "doc_id", "text"))
       MinHashLSH.incrementalNearDupPairs(merged, crawl1.unionByName(crawl2),
           incoming, "doc_id", "text", 0.9)
         .select("new_id", "corpus_id")
@@ -507,7 +543,10 @@ object SparkEntry {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           concat(col("text"), sfx(Seq("ca", "cb", "cc", "cd", "ce")),
             sfx(Seq("cf", "cg", "ch", "ci", "cj"))).as("text"))
-      val corpus = base.unionByName(d1).unionByName(d2)
+      // spread + materialize: the chain corpus feeds the exact n-gram lane
+      // (prefix kernel + verify), the clustering and the audit's two text
+      // joins — off a one-split scan otherwise
+      val corpus = mat(spread(base.unionByName(d1).unionByName(d2)))
       val edges = NgramJaccard.pairs(corpus, "doc_id", "text",
           n = 5, threshold = 0.9)
         .select("id_a", "id_b")
@@ -532,16 +571,19 @@ object SparkEntry {
       // would run twice).
       val base = t(s, dir, "documents").select("doc_id", "text")
         .filter(col("doc_id") < 300)
+      // tokenize once for the filler-count expr (it evaluated the
+      // tokenizer twice per row) + spread the one-split scan feeding the
+      // n-gram lane's per-doc kernels; values unchanged
       val toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
-      val m = s"greatest(size($toks) div 6, 4)"
-      val corpus = base
+      val corpus = spread(base
         .unionByName(base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionByName(base.filter(col("doc_id") % 10 === 3)
+          .withColumn("tk0", expr(toks))
           .select((col("doc_id") + 2000000L).as("doc_id"),
-            expr(s"concat(text, ' ', array_join(transform(" +
-              s"sequence(0, cast($m as int) - 1), " +
-              "x -> concat('f', cast(x as string))), ' '))").as("text")))
+            expr("concat(text, ' ', array_join(transform(" +
+              "sequence(0, cast(greatest(size(tk0) div 6, 4) as int) - 1), " +
+              "x -> concat('f', cast(x as string))), ' '))").as("text"))))
       val stats = NgramJaccard.pairs(corpus, "doc_id", "text",
         n = 3, threshold = 0.5).persist()
       val fine = stats.filter(col("common_grams").cast("double") /
@@ -594,20 +636,26 @@ object SparkEntry {
       // of every 10th doc and single-appended-token near-dups of long
       // %10==3 docs populate both lanes deterministically.
       val base = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = base
+      // spread + materialize: the derived corpus feeds the exact-key
+      // aggregate, the loser joins, the minhash lane AND the clustering —
+      // off a one-split scan otherwise
+      val corpus = mat(spread(base
         .unionByName(base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionByName(base
           .filter(col("doc_id") % 10 === 3 && length(col("text")) >= 400)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             concat(col("text"), lit(" zz"),
-              col("doc_id").cast("string")).as("text")))
-      val withTok = corpus.withColumn("n_tok",
+              col("doc_id").cast("string")).as("text")))))
+      // one narrow (id, n_tok, ck) pass serves the keeper aggregate, both
+      // loser frames and the token sums (text is tokenized/md5'd once)
+      val withTok = mat(corpus.select(col("doc_id"),
         when(trim(col("text")) === "", 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")))
-      val keeper = withTok.groupBy(md5(col("text")).as("ck"))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tok"),
+        md5(col("text")).as("ck")))
+      val keeper = withTok.groupBy(col("ck"))
         .agg(min("doc_id").as("k"))
-      val exactLosers = withTok.withColumn("ck", md5(col("text")))
+      val exactLosers = withTok
         .join(keeper, "ck").filter(col("doc_id") =!= col("k"))
         .select("doc_id", "n_tok")
       val pairs = MinHashLSH.nearDupPairs(corpus, "doc_id", "text", 0.9)
@@ -804,7 +852,8 @@ object SparkEntry {
         .select((col("doc_id") + 4000000L).as("doc_id"),
           concat(lit("ins"), col("doc_id").cast("string"), lit(" x y "),
             col("text")).as("text"))
-      DocChunker.cdcSharedChunkPairs(base.union(ins), "doc_id", "text",
+      // spread: per-doc CDC chunk kernel off a one-split scan
+      DocChunker.cdcSharedChunkPairs(spread(base.union(ins)), "doc_id", "text",
           minShared = 2)
         .orderBy("id_a", "id_b")
     }),
@@ -825,8 +874,9 @@ object SparkEntry {
             col("text")).as("text"))
         .unionByName(docs.filter(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
-      val index = DocChunker.cdcChunkIndex(corpus, "doc_id", "text")
-      DocChunker.cdcIncrementalPairs(index, batch, "doc_id", "text",
+      // spread: per-doc CDC chunk kernel off one-split scans on both sides
+      val index = DocChunker.cdcChunkIndex(spread(corpus), "doc_id", "text")
+      DocChunker.cdcIncrementalPairs(index, spread(batch), "doc_id", "text",
           minShared = 2)
         .orderBy("new_id", "corpus_id")
     }),
@@ -967,14 +1017,19 @@ object SparkEntry {
       // claims, not its rows.
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val sims = docs.select(col("doc_id").as("id"), expr("simhash64(text)").as("sim"))
-      val brute = sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
+      // one simhash pass (materialized) serves the brute-force self-join
+      // AND the lane; lane + brute are materialized because the claim
+      // aggregates below consume each 3-5 times
+      val sims = mat(spread(docs)
+        .select(col("doc_id").as("id"), expr("simhash64(text)").as("sim")))
+      val brute = mat(sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
         .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
-        .select("id_a", "id_b")
-      val lane = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 3)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
+      val lane = mat(SimHashDedup.pairsFromHashes(sims, maxDist = 3,
+          maxBucketSize = 128)
+        .select("id_a", "id_b"))
       val undirected = lane.unionByName(
         lane.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       val missed = brute.join(lane, Seq("id_a", "id_b"), "left_anti")
@@ -998,19 +1053,22 @@ object SparkEntry {
       // the zero counts — q_ann_ivf-style self-verification).
       GraftFunctions.register(s)
       val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val sims = docs.select(col("doc_id").as("id"), expr("simhash64(text)").as("sim"))
-      val brute = sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
+      // one simhash pass (materialized) serves the brute-force self-join
+      // AND the lane; both claim frames consumed twice below
+      val sims = mat(spread(docs)
+        .select(col("doc_id").as("id"), expr("simhash64(text)").as("sim")))
+      val brute = mat(sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
         .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       // bucket cap > the capped id range so the exactness claim is
       // UNCONDITIONAL here: no probe bucket can ever exceed the corpus
       // subset, so the star fallback (which would drop non-hub pairs that
       // brute force keeps) cannot engage
-      val lane = SimHashDedup.pairs(docs, "doc_id", "text", maxDist = 3,
+      val lane = mat(SimHashDedup.pairsFromHashes(sims, maxDist = 3,
           maxBucketSize = 4096)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       brute.join(lane, Seq("id_a", "id_b"), "left_anti")
         .agg(count(lit(1)).as("missed_pairs"))
         .crossJoin(lane.join(brute, Seq("id_a", "id_b"), "left_anti")
@@ -1030,15 +1088,22 @@ object SparkEntry {
       val incoming = docs.filter(col("doc_id") >= 250).unionByName(
         docs.filter(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val simsC = corpus.select(col("doc_id").as("cid"), expr("simhash64(text)").as("sc"))
-      val simsI = incoming.select(col("doc_id").as("nid"), expr("simhash64(text)").as("sn"))
-      val brute = simsI.crossJoin(simsC)
+      // one simhash pass per side (materialized, spread off the one-split
+      // scan): corpus hashes serve the brute-force cross AND the stored
+      // probe index; batch hashes serve the cross AND the lane probe. The
+      // lane is materialized — the three claim aggregates each consume it.
+      val simsC = mat(spread(corpus)
+        .select(col("doc_id").as("id"), expr("simhash64(text)").as("sim")))
+      val simsI = mat(spread(incoming)
+        .select(col("doc_id").as("new_id"), expr("simhash64(text)").as("sim_n")))
+      val brute = simsI.select(col("new_id").as("nid"), col("sim_n").as("sn"))
+        .crossJoin(simsC.select(col("id").as("cid"), col("sim").as("sc")))
         .filter(bit_count(col("sn").bitwiseXOR(col("sc"))) <= 3)
         .select(col("nid").as("new_id"), col("cid").as("corpus_id"))
-      val lane = SimHashDedup.incrementalPairs(
-          SimHashDedup.probeIndex(corpus, "doc_id", "text", maxDist = 3),
-          incoming, "doc_id", "text", maxDist = 3, maxPostings = 4096)
-        .select("new_id", "corpus_id")
+      val lane = mat(SimHashDedup.incrementalPairsFromHashes(
+          SimHashDedup.probeIndexFromHashes(simsC, maxDist = 3),
+          simsI, maxDist = 3, maxPostings = 4096)
+        .select("new_id", "corpus_id"))
       brute.join(lane, Seq("new_id", "corpus_id"), "left_anti")
         .agg(count(lit(1)).as("missed_pairs"))
         .crossJoin(lane.join(brute, Seq("new_id", "corpus_id"), "left_anti")
@@ -1224,7 +1289,8 @@ object SparkEntry {
       // host's docs (df >= 3 ⇒ template) while content chunks stay unique;
       // CDC is what makes footers align across different-length docs. The
       // oracle recomputes chunks, host dfs, flags, and the cleaned text.
-      val deco = t(s, dir, "documents").select(col("doc_id"),
+      // spread: per-doc CDC chunk + template construction off a one-split scan
+      val deco = spread(t(s, dir, "documents")).select(col("doc_id"),
         expr("concat('h', CAST(doc_id % 20 AS STRING))").as("host"),
         expr("concat(" +
           "array_join(transform(sequence(0, 47), j -> concat('b'," +
@@ -1392,7 +1458,9 @@ object SparkEntry {
       // doc_id arithmetic. All-integer iterate -> the oracle unrolls the
       // identical recurrence as chained CTEs and the compare is strict.
       GraftFunctions.register(s)
-      val edges = t(s, dir, "documents")
+      // spread: the outlinks html-parse kernel runs per doc off a
+      // one-split scan
+      val edges = spread(t(s, dir, "documents"))
         .select(col("doc_id"), anchorHtml.as("html"))
         .select(
           concat(lit("src"), (col("doc_id") % 13).cast("string"),
@@ -1409,7 +1477,8 @@ object SparkEntry {
       // 2 rounds, so like PageRank the iterate is order-free and the
       // oracle unrolls the identical recurrence as chained CTEs.
       GraftFunctions.register(s)
-      val edges = t(s, dir, "documents")
+      // spread: same one-split html-parse shape as q_host_rank
+      val edges = spread(t(s, dir, "documents"))
         .select(col("doc_id"), anchorHtml.as("html"))
         .select(
           concat(lit("src"), (col("doc_id") % 13).cast("string"),
@@ -1693,7 +1762,7 @@ object SparkEntry {
       // still hash-match the raw table; file shrink / fingerprint /
       // history invariants are require()d in-plan (q_simhash-style
       // self-verification — file layout is not SQL-expressible)
-      val root = java.nio.file.Files.createTempDirectory("graft-compact-q").toString
+      val root = java.nio.file.Files.createTempDirectory(graft.spark.Scratch.workParent, "graft-compact-q").toString
       val io = new graft.pipeline.ParquetTableIO(s, root)
       io.overwrite("docs", t(s, dir, "documents")
         .select("doc_id", "text").repartition(32))
@@ -1809,7 +1878,7 @@ object SparkEntry {
       // both updated AND deleted — delete wins), commit v2, read back;
       // the oracle rebuilds the expected final table from the same
       // arithmetic
-      val root = java.nio.file.Files.createTempDirectory("graft-upsert-q").toString
+      val root = java.nio.file.Files.createTempDirectory(graft.spark.Scratch.workParent, "graft-upsert-q").toString
       val io = new graft.pipeline.ParquetTableIO(s, root)
       val v1 = t(s, dir, "documents").select("doc_id", "text")
       io.overwrite("docs", v1); io.commit("docs", "v1")
@@ -1829,7 +1898,7 @@ object SparkEntry {
       // snapshots (v2 = edits + deletes + new docs, all by arithmetic the
       // oracle mirrors), then TableIO.diff emits the exact changelog —
       // an update shows up as one delete + one insert.
-      val root = java.nio.file.Files.createTempDirectory("graft-diff-q").toString
+      val root = java.nio.file.Files.createTempDirectory(graft.spark.Scratch.workParent, "graft-diff-q").toString
       val io = new graft.pipeline.ParquetTableIO(s, root)
       val v1 = t(s, dir, "documents").select("doc_id", "text")
       io.overwrite("docs", v1); io.commit("docs", "v1")
@@ -2184,21 +2253,26 @@ object SparkEntry {
       //     EXACTLY the brute-force duplicate groups (machinery invisible)
       // Corpus capped at vec_id < 2000 (+ injected dups) like the simhash
       // gates, so the in-plan truth stays cheap at every SF.
-      val e = embWithDups(s, dir).filter(col("vec_id") % 1000000L < 2000)
+      // spread + materialize: `e` feeds 5 Lloyd rounds, the lane, the
+      // assignment and the truth; `comp`/`assigned`/`bf` each have 2-4
+      // consumers below (each was re-running its whole subplan per
+      // consumer)
+      val e = mat(spread(embWithDups(s, dir)
+        .filter(col("vec_id") % 1000000L < 2000), by = "vec_id"))
       val thr = 0.85
       val cents = IvfIndex.fitCentroids(e, "vec_id", "v", k = 16, iters = 5)
       val ids = e.select(col("vec_id").cast("long").as("vec_id"))
-      val comp = SemanticDedup.clusters(e, "vec_id", "v", cents, thr)
+      val comp = mat(SemanticDedup.clusters(e, "vec_id", "v", cents, thr))
       val surv = comp.filter(col("id") === col("component")).select("id")
       val removed = comp.filter(col("id") =!= col("component")).select("id")
       // independent truth: brute-force within-cell near-dup pairs
-      val assigned = IvfIndex.assign(
-        e.select(col("vec_id").cast("long").as("id"), col("v")), "id", "v", cents)
-      val bf = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      val assigned = mat(IvfIndex.assign(
+        e.select(col("vec_id").cast("long").as("id"), col("v")), "id", "v", cents))
+      val bf = mat(assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
         .join(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
         .filter(col("id_a") < col("id_b"))
         .filter(AnnSearch.cosine(col("va"), col("vb")) >= thr)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       val survViol = bf
         .join(surv.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
         .join(surv.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
@@ -2313,9 +2387,17 @@ object SparkEntry {
       // predicates. The lane keeps its own oracle gates (q_simhash_neardup
       // sound+complete+non-vacuous) and the FULL four-lane pipeline stays
       // driver-gated via q_pages_recall's recall >= 0.99 pin.
-      val res = NearDupPipeline.run(s, pipelinePagesDf(s, dir),
+      // spread: the pages frame is built from the one-split documents scan,
+      // so the pipeline's extraction + feature kernels would otherwise run
+      // on ≤3 tasks; ids are xxhash64(url) and every pipeline output is
+      // partitioning-independent
+      // inputSnapshotId: the corpus is a pure function of `dir` (documents
+      // table + fixed arithmetic), so the identity scan the pipeline would
+      // otherwise run per invocation is redundant — the production
+      // Iceberg-snapshot-id path, same as Bench's scaling phase
+      val res = NearDupPipeline.run(s, spread(pipelinePagesDf(s, dir), by = "url"),
         graft.pipeline.NearDupPipeline.Config(workDir = docsPipelineWork,
-          simhashMaxDist = -1))
+          simhashMaxDist = -1, inputSnapshotId = Some(s"docs-pipeline-$dir")))
       val mins = res.clusters.groupBy("component").agg(min("url").as("cluster_url"))
       res.clusters.join(mins, "component")
         .select(col("url"), col("cluster_url")).orderBy("url")
@@ -2329,9 +2411,12 @@ object SparkEntry {
       // a DuckDB table, so q_ann_ivf-style self-verification).
       val pages = graft.core.WebPages.generate(800, 42L)
       val truth = graft.core.WebPages.truthPairs(pages)
+      // inputSnapshotId: the corpus is deterministic in (count, seed) —
+      // skip the per-invocation identity scan (production snapshot-id path)
       val res = NearDupPipeline.run(s,
         s.createDataFrame(s.sparkContext.parallelize(pages, 8)),
-        graft.pipeline.NearDupPipeline.Config(workDir = entryPipelineWork))
+        graft.pipeline.NearDupPipeline.Config(workDir = entryPipelineWork,
+          inputSnapshotId = Some("webpages-800-42")))
       import s.implicits._
       val truthDf = truth.toSeq.map(p => (p._1, p._2)).toDF("url_a", "url_b")
       val recall = NearDupPipeline.recall(res.clusters, truthDf)
@@ -2485,7 +2570,7 @@ object SparkEntry {
   private var entryPipelineWorkDir: Option[String] = None
   private def entryPipelineWork: String = synchronized {
     entryPipelineWorkDir.getOrElse {
-      val d = java.nio.file.Files.createTempDirectory("graft-entry-pipe").toString
+      val d = java.nio.file.Files.createTempDirectory(graft.spark.Scratch.workParent, "graft-entry-pipe").toString
       entryPipelineWorkDir = Some(d)
       d
     }
@@ -2497,7 +2582,7 @@ object SparkEntry {
   private var docsPipelineWorkDir: Option[String] = None
   private def docsPipelineWork: String = synchronized {
     docsPipelineWorkDir.getOrElse {
-      val d = java.nio.file.Files.createTempDirectory("graft-docs-pipe").toString
+      val d = java.nio.file.Files.createTempDirectory(graft.spark.Scratch.workParent, "graft-docs-pipe").toString
       docsPipelineWorkDir = Some(d)
       d
     }

@@ -159,6 +159,29 @@ object MinHashLSH {
   def bandIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     postings(docs, idCol, s"minhash_bands($textCol)")
 
+  /** Postings `(id, band, bh)` from a precomputed band-array frame
+    * `(id, bands)` — lets a caller that already materialized the band
+    * projection (e.g. to share it between the batch lane and the stored-
+    * index face of one query) explode it without re-running the signature
+    * kernel. Values identical to [[bandIndex]] by construction. */
+  def postingsFromBands(bandArrays: DataFrame): DataFrame =
+    bandArrays.select(col("id").cast("long").as("id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+
+  /** [[incrementalNearDupPairs]] over a precomputed probe-side posting
+    * frame `(new_id, band, bh)` (see [[postingsFromBands]]) — same verify
+    * contract, no batch signature recompute. */
+  def incrementalNearDupPairsFromPostings(index: DataFrame, corpusTexts: DataFrame,
+                                          incomingPostings: DataFrame,
+                                          incomingTexts: DataFrame, idCol: String,
+                                          textCol: String, threshold: Double,
+                                          maxPostings: Int = 1000): DataFrame =
+    verifiedAgainstCorpus(
+      BucketedPairs.probeCandidates(index, incomingPostings,
+        Seq("band", "bh"), "id", "new_id", maxPostings),
+      corpusTexts, incomingTexts, idCol, textCol, threshold,
+      kernel = "jaccard_shingles", scoreCol = "jaccard")
+
   /** Shared posting projection of [[bandIndex]]/[[weightedBandIndex]]:
     * one `(id, band, bh)` row per document per band of `sigBandsExpr`. */
   private def postings(docs: DataFrame, idCol: String,

@@ -70,6 +70,16 @@ object SimHashDedup {
     val inc = org.apache.spark.sql.GraftBridge.materialize(
       incoming.select(col(idCol).cast("long").as("new_id"),
         expr(s"simhash64($textCol)").as("sim_n")))
+    incrementalPairsFromHashes(index, inc, maxDist, maxPostings)
+  }
+
+  /** [[incrementalPairs]] over a precomputed (materialized) batch hash
+    * frame `(new_id, sim_n)` — no batch kernel recompute. Values identical
+    * by construction. */
+  def incrementalPairsFromHashes(index: DataFrame, inc: DataFrame,
+                                 maxDist: Int = 3,
+                                 maxPostings: Int = 128): DataFrame = {
+    graft.spark.GraftFunctions.register(inc.sparkSession)
     val probes = inc.select(col("new_id"),
       explode(expr(s"simhash_probes(sim_n, $maxDist)")).as("probe"))
     // touched buckets are read twice (capped collection + the sim lookup
@@ -90,6 +100,15 @@ object SimHashDedup {
       .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("sim_n"))))
       .filter(col("hamming") <= maxDist)
       .select("new_id", "corpus_id", "hamming")
+  }
+
+  /** [[probeIndex]] from precomputed `(id, sim)` rows — lets a caller that
+    * already materialized the simhash projection build the stored index
+    * without re-running the kernel. Values identical by construction. */
+  def probeIndexFromHashes(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    graft.spark.GraftFunctions.register(hashed.sparkSession)
+    hashed.select(col("id").cast("long").as("id"), col("sim"),
+      explode(expr(s"simhash_probes(sim, $maxDist)")).as("probe"))
   }
 
   /** Pairs from precomputed `(id, sim)` rows (the pipeline's one-pass

@@ -185,8 +185,22 @@ object NearDupPipeline {
     }
     // all four lanes + clustering + stats scan this table; cache the
     // columnar batches once instead of re-reading the parquet snapshot
-    // 6x (at bench scale that re-read was ~20GB of unscalable disk I/O)
-    val extracted = extractedSnapshot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 6x (at bench scale that re-read was ~20GB of unscalable disk I/O).
+    // Fan the read-back out to the session's parallelism when the scan
+    // under-splits (guide §2.5 "one huge unsplittable file" applied to the
+    // stage snapshot: a small corpus writes small files that re-pack into
+    // 1-2 splits, pinning every lane's per-doc kernel to 1-2 cores) —
+    // gated on the actual split count, so a production-scale snapshot
+    // (>= cores splits) never pays the shuffle. Partitioning never changes
+    // results: ids are deterministic url hashes and every downstream stage
+    // is a join/aggregate over them.
+    val extractedSpread = {
+      val p = spark.sparkContext.defaultParallelism
+      if (extractedSnapshot.rdd.getNumPartitions < p)
+        extractedSnapshot.repartition(p, col("id"))
+      else extractedSnapshot
+    }
+    val extracted = extractedSpread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- candidate + verify lanes. The four lanes are independent DAGs, so
     // they are submitted as CONCURRENT Spark jobs (scala.concurrent.Future):
