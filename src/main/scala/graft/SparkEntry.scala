@@ -399,19 +399,23 @@ object SparkEntry {
           MinHashLSH.candidatePairsFromBands(corpusBands, 1000),
           corpus, "doc_id", "text", 0.9)
         .select("id_a", "id_b")
-      val clusters = ConnectedComponents
-        .clustersWithSingletons(corpus, "doc_id", corpusPairs)
+      // clusters/cross/batchPairs each feed 2-3 consumers (the incremental
+      // assignment references the cross edges in both its edge set and its
+      // node set; clusters feeds the assignment and the final merge-map
+      // application) — materialize so each verify join runs once
+      val clusters = mat(ConnectedComponents
+        .clustersWithSingletons(corpus, "doc_id", corpusPairs))
       val index = MinHashLSH.postingsFromBands(corpusBands)
-      val cross = MinHashLSH
+      val cross = mat(MinHashLSH
         .incrementalNearDupPairsFromPostings(index, corpus,
           MinHashLSH.postingsFromBands(incomingBands)
             .withColumnRenamed("id", "new_id"),
           incoming, "doc_id", "text", 0.9)
-        .select("new_id", "corpus_id")
-      val batchPairs = MinHashLSH.verifyPairs(
+        .select("new_id", "corpus_id"))
+      val batchPairs = mat(MinHashLSH.verifyPairs(
           MinHashLSH.candidatePairsFromBands(incomingBands, 1000),
           incoming, "doc_id", "text", 0.9)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b"))
       val (assign, mergeMap) = ConnectedComponents.incrementalAssign(
         clusters, incoming.select("doc_id"), cross, batchPairs, idCol = "doc_id")
       clusters.join(mergeMap, Seq("component"), "left")
@@ -1023,7 +1027,7 @@ object SparkEntry {
       val sims = mat(spread(docs)
         .select(col("doc_id").as("id"), expr("simhash64(text)").as("sim")))
       val brute = mat(sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
-        .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")),
+        .join(broadcast(sims.select(col("id").as("id_b"), col("sim").as("sim_b"))),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
         .select("id_a", "id_b"))
@@ -1058,7 +1062,7 @@ object SparkEntry {
       val sims = mat(spread(docs)
         .select(col("doc_id").as("id"), expr("simhash64(text)").as("sim")))
       val brute = mat(sims.select(col("id").as("id_a"), col("sim").as("sim_a"))
-        .join(sims.select(col("id").as("id_b"), col("sim").as("sim_b")),
+        .join(broadcast(sims.select(col("id").as("id_b"), col("sim").as("sim_b"))),
           col("id_a") < col("id_b"))
         .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
         .select("id_a", "id_b"))
@@ -1097,7 +1101,7 @@ object SparkEntry {
       val simsI = mat(spread(incoming)
         .select(col("doc_id").as("new_id"), expr("simhash64(text)").as("sim_n")))
       val brute = simsI.select(col("new_id").as("nid"), col("sim_n").as("sn"))
-        .crossJoin(simsC.select(col("id").as("cid"), col("sim").as("sc")))
+        .crossJoin(broadcast(simsC.select(col("id").as("cid"), col("sim").as("sc"))))
         .filter(bit_count(col("sn").bitwiseXOR(col("sc"))) <= 3)
         .select(col("nid").as("new_id"), col("cid").as("corpus_id"))
       val lane = mat(SimHashDedup.incrementalPairsFromHashes(
@@ -2269,7 +2273,7 @@ object SparkEntry {
       val assigned = mat(IvfIndex.assign(
         e.select(col("vec_id").cast("long").as("id"), col("v")), "id", "v", cents))
       val bf = mat(assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
-        .join(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
+        .join(broadcast(assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))), Seq("cell"))
         .filter(col("id_a") < col("id_b"))
         .filter(AnnSearch.cosine(col("va"), col("vb")) >= thr)
         .select("id_a", "id_b"))
@@ -2387,15 +2391,11 @@ object SparkEntry {
       // predicates. The lane keeps its own oracle gates (q_simhash_neardup
       // sound+complete+non-vacuous) and the FULL four-lane pipeline stays
       // driver-gated via q_pages_recall's recall >= 0.99 pin.
-      // spread: the pages frame is built from the one-split documents scan,
-      // so the pipeline's extraction + feature kernels would otherwise run
-      // on ≤3 tasks; ids are xxhash64(url) and every pipeline output is
-      // partitioning-independent
       // inputSnapshotId: the corpus is a pure function of `dir` (documents
       // table + fixed arithmetic), so the identity scan the pipeline would
       // otherwise run per invocation is redundant — the production
       // Iceberg-snapshot-id path, same as Bench's scaling phase
-      val res = NearDupPipeline.run(s, spread(pipelinePagesDf(s, dir), by = "url"),
+      val res = NearDupPipeline.run(s, pipelinePagesDf(s, dir),
         graft.pipeline.NearDupPipeline.Config(workDir = docsPipelineWork,
           simhashMaxDist = -1, inputSnapshotId = Some(s"docs-pipeline-$dir")))
       val mins = res.clusters.groupBy("component").agg(min("url").as("cluster_url"))

@@ -57,16 +57,21 @@ object HostRank {
     val base = (15L * r0) / 100L
     val outdeg = materialize(e.groupBy("src").agg(count(lit(1)).as("deg")))
     var ranks = nodes.withColumn("rank", lit(r0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(ranks.join(outdeg, col("host") === col("src")).select(
           col("host").as("u"), expr("rank div deg").as("c")),
           col("src") === col("u"))
         .groupBy(col("dst").as("host")).agg(sum("c").as("s"))
-      ranks = materialize(nodes
+      val next = nodes
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
-          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank")))
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+      // materialize every OTHER round (and the last): each materialize is a
+      // blocking job, and one unmaterialized round only doubles the plan
+      // depth — halves the fixed per-round job latency without unbounded
+      // plan growth. Values are identical (materialization is transparent).
+      ranks = if (i % 2 == 0 || i == iters) materialize(next) else next
     }
     ranks
   }
@@ -104,17 +109,23 @@ object HostRank {
       e.select(col("src").as("host")).union(e.select(col("dst").as("host"))).distinct())
     var hub = nodes.withColumn("hub", lit(1L))
     var auth = nodes.withColumn("auth", lit(0L))
-    for (_ <- 1 to iters) {
+    for (k <- 1 to iters) {
       val a = e.join(hub.withColumnRenamed("host", "src"), "src")
         .groupBy("dst").agg(sum("hub").as("s"))
         .withColumnRenamed("dst", "host")
-      auth = materialize(nodes.join(a, Seq("host"), "left")
-        .select(col("host"), coalesce(col("s"), lit(0L)).as("auth")))
+      // materialize only at the final round (each materialize is a
+      // blocking job; iters <= 3 keeps the unmaterialized plan shallow) —
+      // the last auth IS referenced twice (hub's input + the result join),
+      // so it stays materialized. Values identical.
+      val a2 = nodes.join(a, Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("auth"))
+      auth = if (k == iters) materialize(a2) else a2
       val h = e.join(auth.withColumnRenamed("host", "dst"), "dst")
         .groupBy("src").agg(sum("auth").as("s"))
         .withColumnRenamed("src", "host")
-      hub = materialize(nodes.join(h, Seq("host"), "left")
-        .select(col("host"), coalesce(col("s"), lit(0L)).as("hub")))
+      val h2 = nodes.join(h, Seq("host"), "left")
+        .select(col("host"), coalesce(col("s"), lit(0L)).as("hub"))
+      hub = if (k == iters) materialize(h2) else h2
     }
     auth.join(hub, Seq("host"))
   }

@@ -51,26 +51,44 @@ object NgramJaccard {
     * model-not-data kind of driver collect. Returned sorted for binary
     * search. */
   def hotGrams(docs: DataFrame, textCol: String, n: Int,
-               maxPostings: Int): Array[Long] = {
+               minDf: Int): Array[Long] = {
     val gramsUdf = udf((t: String) => TextOps.shingleHashes(t, n))
     docs.select(explode(gramsUdf(col(textCol))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxPostings)
+      .filter(col("df") > minDf)
       .select("gram").collect().map(_.getLong(0)).sorted
   }
 
   /** Candidate pairs (id_a < id_b) from the prefix-filter inverted index.
     * Superset of all pairs with n-gram Jaccard >= threshold (exact while no
     * gram exceeds `maxPostings`; with `dfOrdered` also exact for every
-    * pair sharing at least one non-hot gram). */
+    * pair sharing at least one non-hot gram).
+    *
+    * `prefixHotDf > 0` generalizes the hot-LAST order to a LOWER df bar
+    * than the capping one: grams with df > prefixHotDf sort behind the
+    * rare grams, so prefixes prefer rare grams and candidate buckets on
+    * df-skewed corpora shrink toward the true pair count. The prefix
+    * lemma holds under ANY consistent total order, and as long as
+    * prefixHotDf < maxPostings no hot-gram bucket can cap, so the
+    * candidate set stays COMPLETE and the verified output is unchanged
+    * (NgramJaccardSpec pins equality). The hot set is bounded by
+    * totalGramOccurrences / prefixHotDf — size it so that stays
+    * broadcastable. NOTE (r6 measurement): on the bench corpus the knob is
+    * a no-op — candidate volume there comes from ~19k df∈[8,16] grams
+    * (max df < 32), which no order can prune at t=0.5 — so the declared
+    * queries leave it off; it exists for genuinely df-skewed corpora. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, threshold: Double,
                      maxPostings: Int = 10000,
-                     dfOrdered: Boolean = false): DataFrame = {
+                     dfOrdered: Boolean = false,
+                     prefixHotDf: Int = 0): DataFrame = {
     require(n >= 1 && threshold > 0.0 && threshold <= 1.0,
       s"bad config n=$n t=$threshold")
+    require(prefixHotDf <= maxPostings,
+      s"prefixHotDf=$prefixHotDf above the posting cap $maxPostings would let hot buckets cap")
     val hot: Array[Long] =
-      if (dfOrdered) hotGrams(docs, textCol, n, maxPostings)
+      if (prefixHotDf > 0) hotGrams(docs, textCol, n, prefixHotDf)
+      else if (dfOrdered) hotGrams(docs, textCol, n, maxPostings)
       else Array.emptyLongArray
     val bcHot = docs.sparkSession.sparkContext.broadcast(hot)
     val prefix = udf { (t: String) =>
@@ -103,6 +121,40 @@ object NgramJaccard {
     BucketedPairs.edges(postings, Seq("gram"), "id", maxPostings).distinct()
   }
 
+  /** Per-task memoized [[overlapStats]] UDF for the verify joins: the
+    * verify kernel's cost is the re-tokenization of both texts per pair
+    * (~2×25 µs vs ~0.5 µs for the hash merge), and candidate rows arrive
+    * grouped in runs of the last join key (sort-merge/hash join), so each
+    * side's text repeats ~bucket-multiplicity times consecutively
+    * (measured 568k candidates over 5k docs at t=0.5 — ~200 repeats/doc).
+    * One last-text memo per join side per executor thread skips the
+    * repeat shingling; values are a pure function of the inputs, so
+    * results are bit-identical. */
+  private def memoStatsUdf(n: Int) = {
+    val f = new ((String, String) => (Int, Int, Int)) with Serializable {
+      @transient private lazy val memoA = new ThreadLocal[(String, Array[Long])]
+      @transient private lazy val memoB = new ThreadLocal[(String, Array[Long])]
+      private def hashes(memo: ThreadLocal[(String, Array[Long])],
+                         t: String): Array[Long] = {
+        val m = memo.get()
+        if (m != null && ((m._1 eq t) || m._1 == t)) m._2
+        else { val h = TextOps.shingleHashes(t, n); memo.set((t, h)); h }
+      }
+      override def apply(a: String, b: String): (Int, Int, Int) = {
+        val sa = hashes(memoA, a)
+        val sb = hashes(memoB, b)
+        var i = 0; var j = 0; var inter = 0
+        while (i < sa.length && j < sb.length) {
+          if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+          else if (sa(i) < sb(j)) i += 1
+          else j += 1
+        }
+        (inter, sa.length, sb.length)
+      }
+    }
+    udf(f)
+  }
+
   /** (intersection, |A|, |B|) over the two docs' distinct n-gram-hash sets
     * — integer outputs so the DuckDB oracle compares exactly, no float
     * round-trip. */
@@ -124,10 +176,12 @@ object NgramJaccard {
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             n: Int = 3, threshold: Double = 0.5,
             maxPostings: Int = 10000,
-            dfOrdered: Boolean = false): DataFrame = {
-    val stats = udf((a: String, b: String) => overlapStats(a, b, n))
+            dfOrdered: Boolean = false,
+            prefixHotDf: Int = 0): DataFrame = {
+    val stats = memoStatsUdf(n)
     val texts = docs.select(col(idCol).as("id"), col(textCol).as("t"))
-    candidatePairs(docs, idCol, textCol, n, threshold, maxPostings, dfOrdered)
+    candidatePairs(docs, idCol, textCol, n, threshold, maxPostings, dfOrdered,
+        prefixHotDf)
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
       .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
       .withColumn("st", stats(col("t_a"), col("t_b")))
@@ -191,7 +245,7 @@ object NgramJaccard {
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"))
       .distinct()
-    val stats = udf((a: String, b: String) => overlapStats(a, b, n))
+    val stats = memoStatsUdf(n)
     val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
     cand
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
@@ -231,14 +285,16 @@ object NgramJaccard {
     * the documented prefix-filter trade. */
   def topKSimilar(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, k: Int = 3, t10: Int = 3,
-                  maxPostings: Int = 10000): DataFrame = {
+                  maxPostings: Int = 10000,
+                  prefixHotDf: Int = 0): DataFrame = {
     require(k >= 1 && t10 >= 1 && t10 <= 10, s"bad config k=$k t10=$t10")
     // materialized: `p` feeds BOTH direction projections of the union
     // below — without this the whole candidate+verify pass (the expensive
     // part of the query) runs twice (localCheckpoint-rebuild pattern;
     // blocks freed by the ContextCleaner)
     val p = org.apache.spark.sql.GraftBridge.materialize(
-      pairs(docs, idCol, textCol, n, t10 / 10.0 - 0.01, maxPostings)
+      pairs(docs, idCol, textCol, n, t10 / 10.0 - 0.01, maxPostings,
+          dfOrdered = false, prefixHotDf = prefixHotDf)
         .filter(expr(s"common_grams * 10 >= $t10 * (grams_a + grams_b - common_grams)"))
         .withColumn("score", expr(
           "CAST(common_grams AS BIGINT) * 1000000000L div " +

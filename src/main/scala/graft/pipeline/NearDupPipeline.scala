@@ -185,22 +185,25 @@ object NearDupPipeline {
     }
     // all four lanes + clustering + stats scan this table; cache the
     // columnar batches once instead of re-reading the parquet snapshot
-    // 6x (at bench scale that re-read was ~20GB of unscalable disk I/O).
-    // Fan the read-back out to the session's parallelism when the scan
-    // under-splits (guide §2.5 "one huge unsplittable file" applied to the
-    // stage snapshot: a small corpus writes small files that re-pack into
-    // 1-2 splits, pinning every lane's per-doc kernel to 1-2 cores) —
-    // gated on the actual split count, so a production-scale snapshot
-    // (>= cores splits) never pays the shuffle. Partitioning never changes
-    // results: ids are deterministic url hashes and every downstream stage
-    // is a join/aggregate over them.
-    val extractedSpread = {
+    // 6x (at bench scale that re-read was ~20GB of unscalable disk I/O)
+    val extracted = extractedSnapshot.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fan the FEATURES input out to the session's parallelism when the
+    // snapshot re-packs below it (a small corpus writes small stage files
+    // that re-pack into 1-2 scan splits, pinning the one heavy per-doc
+    // kernel of the pipeline to 1-2 cores — guide §2.5 "one huge
+    // unsplittable file" applied to the stage snapshot). Only the feature
+    // projection pays the (tiny) shuffle: every other consumer of
+    // `extracted` is joins/aggregates whose parallelism comes from their
+    // own shuffles, and stage outputs keep their small file counts. Gated
+    // on the actual split count, so a production-scale snapshot (>= cores
+    // splits) never shuffles. Partitioning never changes results: ids are
+    // deterministic url hashes, every downstream op is key-based.
+    val featuresInput = {
       val p = spark.sparkContext.defaultParallelism
       if (extractedSnapshot.rdd.getNumPartitions < p)
-        extractedSnapshot.repartition(p, col("id"))
-      else extractedSnapshot
+        extracted.repartition(p, col("id"))
+      else extracted
     }
-    val extracted = extractedSpread.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- candidate + verify lanes. The four lanes are independent DAGs, so
     // they are submitted as CONCURRENT Spark jobs (scala.concurrent.Future):
@@ -240,7 +243,7 @@ object NearDupPipeline {
     // compute blocks are only evaluated for uncommitted stages); the first
     // lane that does compute forces it, synchronized by Scala lazy-val
     // initialization across the lane futures.
-    lazy val features = org.apache.spark.sql.GraftBridge.materialize(extracted
+    lazy val features = org.apache.spark.sql.GraftBridge.materialize(featuresInput
       .select(col("id"), xxhash64(col("text")).as("th"),
         expr("doc_features(text)").as("f"))
       .select(col("id"), col("th"), col("f.bands").as("bands"),
