@@ -617,8 +617,12 @@ object SparkEntry {
       val corpus = base.unionByName(base.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + 5000000L).as("doc_id"),
           concat(upper(col("text")), lit(" !!")).as("text")))
-      val normed = corpus.withColumn("nk", md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+      // spread (regex-normalize kernel off a one-split scan) + materialize
+      // the narrow key table once — `normed` feeds the keeper aggregate AND
+      // the verdict join, and text is not needed past the key
+      val normed = mat(spread(corpus).select(col("doc_id"),
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))).as("nk")))
       val keeper = normed.groupBy("nk").agg(min("doc_id").as("keeper_id"))
       normed.join(keeper, "nk")
         .select(col("doc_id"), col("keeper_id"),
@@ -807,7 +811,7 @@ object SparkEntry {
       // -> per-doc stats. Every stage is SQL-mirrorable, so the whole
       // composition is hash-checked, not just its pieces.
       GraftFunctions.register(s)
-      val scored = docsWithDups(s, dir)
+      val scored = spread(docsWithDups(s, dir))
         .withColumn("lang", expr("lang_id(text)"))
         .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("int"))
         .withColumn("n_stop", expr("stop_count(split(trim(text), '\\\\s+'))").cast("int"))
@@ -828,7 +832,7 @@ object SparkEntry {
       // overlapping token windows (64-token chunks every 48): map-only
       // generator; chunk text fingerprinted by md5 so the dump stays
       // narrow while pinning the exact chunk contents
-      DocChunker.chunks(t(s, dir, "documents"), "doc_id", "text",
+      DocChunker.chunks(spread(t(s, dir, "documents")), "doc_id", "text",
           windowTokens = 64, strideTokens = 48)
         .select(col("id").as("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
@@ -839,7 +843,7 @@ object SparkEntry {
       // — shift-robust dedup chunks; the oracle recomputes EVERY boundary
       // from the same window hashes, so cut positions and chunk contents
       // are pinned exactly
-      DocChunker.cdcChunks(t(s, dir, "documents"), "doc_id", "text",
+      DocChunker.cdcChunks(spread(t(s, dir, "documents")), "doc_id", "text",
           windowTokens = 4, divisor = 16)
         .select(col("id").as("doc_id"), col("chunk_idx"),
           col("chunk_tokens").cast("long").as("chunk_tokens"),
@@ -901,7 +905,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 17 === 0)
       val corpus = docs.filter(col("doc_id") % 17 =!= 0)
-      Decontaminate.flagged(corpus, "doc_id", "text", bench, "text", n = 5)
+      Decontaminate.flagged(spread(corpus), "doc_id", "text", bench, "text", n = 5)
         .select(col("id").as("doc_id"), col("shared_grams"))
         .orderBy("doc_id")
     }),
@@ -1682,7 +1686,7 @@ object SparkEntry {
       // ALL-terms coverage, bounded top-10 per query by (tf desc, id asc)
       // via the MinNPair aggregate — integer scoring, strict oracle.
       import s.implicits._
-      val p = SearchIndex.postings(t(s, dir, "documents"), "doc_id", "text")
+      val p = SearchIndex.postings(spread(t(s, dir, "documents")), "doc_id", "text")
       val qs = Seq(
         (0L, Seq("customer", "window", "vector")),
         (1L, Seq("spark", "merge")),
@@ -1696,7 +1700,7 @@ object SparkEntry {
       // bounded MinNPair top-k — the oracle runs the IDENTICAL integer
       // formula, so rank order AND scores hash-match strictly.
       import s.implicits._
-      val p = SearchIndex.postings(t(s, dir, "documents"), "doc_id", "text")
+      val p = SearchIndex.postings(spread(t(s, dir, "documents")), "doc_id", "text")
       val qs = Seq(
         (0L, Seq("customer", "the")),          // rare + stopword-common mix
         (1L, Seq("spark", "window", "merge")),
@@ -1711,7 +1715,7 @@ object SparkEntry {
       // replace-count oracle would undercount self-overlapping phrases,
       // so the oracle recomputes positionally too)
       import s.implicits._
-      val pp = SearchIndex.positionalPostings(t(s, dir, "documents"), "doc_id", "text")
+      val pp = SearchIndex.positionalPostings(spread(t(s, dir, "documents")), "doc_id", "text")
       val phrases = Seq(
         (0L, Seq("batch", "batch")),       // dup term, self-overlapping
         (1L, Seq("scan", "merge")),
@@ -1727,7 +1731,7 @@ object SparkEntry {
       // copies lose ALL their chunks — keep/remove counts per doc. The
       // keeper choice is a min(struct) aggregate on the chunk hash, never
       // a per-hash window.
-      val ch = DocChunker.chunks(docsWithDups(s, dir), "doc_id", "text",
+      val ch = DocChunker.chunks(spread(docsWithDups(s, dir)), "doc_id", "text",
           windowTokens = 32, strideTokens = 32)
         .select(col("id").as("doc_id"), col("chunk_idx"),
           md5(col("chunk_text")).as("h"))
@@ -1788,7 +1792,7 @@ object SparkEntry {
       // windowed token co-occurrence (window 3, unordered pairs, top 50):
       // map-only per-doc pair generation, only (pair -> partial count)
       // rows shuffle; the oracle is the positional self-join definition
-      Cooccur.top(t(s, dir, "documents"), "text", window = 3, k = 50)),
+      Cooccur.top(spread(t(s, dir, "documents")), "text", window = 3, k = 50)),
     "q_anchor_text" -> ((s, dir) => {
       // anchor-text aggregation per target host (inlink descriptions —
       // the link-graph relevance signal): anchors() captures (href, text)
@@ -1815,7 +1819,7 @@ object SparkEntry {
       // the keep boundary is drift-free and the oracle runs the IDENTICAL
       // model. Swapping in trained weights = swapping the weight column
       // for a broadcast-joined lookup; the plan shape stays this one.
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
         .withColumn("w",
@@ -1864,7 +1868,7 @@ object SparkEntry {
       // bounded MinNPair cap keeps each arithmetic domain's top 3 by
       // (margin desc, id asc); oracle = the textbook window over the
       // identical margin model
-      val scored = t(s, dir, "documents")
+      val scored = spread(t(s, dir, "documents"))
         .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
         .withColumn("w",
@@ -2361,7 +2365,7 @@ object SparkEntry {
       // most distinct docs, each with its lexicographically-minimal
       // (doc, 1-based pos) example — integer-only unique ordering, so the
       // oracle's literal-gram recompute hash-matches row for row
-      SpanExcision.topSpans(t(s, dir, "documents"), "doc_id", "text",
+      SpanExcision.topSpans(spread(t(s, dir, "documents")), "doc_id", "text",
         spanLen = 200, k = 20)),
     "q_span_excise" -> ((s, dir) =>
       // the REWRITE tier of substring dedup (Lee et al., ACL'22): every char
