@@ -103,6 +103,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSuiteBase {
     assert(!p.contains("Expand"), s"Expand in the df aggregate:\n${p.take(2000)}")
   }
 
+  test("weighted lane DataFrames plan hash-equi joins only (r5 advice)") {
+    // the two weighted gate QUERIES are BNLJ-exempt below for their
+    // in-plan brute-force truth side — this pins the LANE's own plan
+    // directly so the exemption can never hide a lane regression (e.g.
+    // the stat-less-materialized-frame class found in r6, where frames
+    // without size statistics flip planned joins to nested-loop/cartesian)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.spark.GraftFunctions.register(spark)
+    val docs = (0L until 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} shared body text ${i % 2} w$i"))
+      .toDF("doc_id", "text")
+    val lanePlan = graft.operators.MinHashLSH
+      .weightedNearDupPairs(docs, "doc_id", "text", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!lanePlan.contains("BroadcastNestedLoopJoin") &&
+      !lanePlan.contains("CartesianProduct"),
+      s"weighted batch lane lost its hash-equi shape:\n${lanePlan.take(1500)}")
+    val corpus = docs.filter($"doc_id" < 20)
+    val incPlan = graft.operators.MinHashLSH
+      .weightedIncrementalPairs(
+        graft.operators.MinHashLSH.weightedBandIndex(corpus, "doc_id", "text"),
+        corpus, docs.filter($"doc_id" >= 20), "doc_id", "text", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!incPlan.contains("BroadcastNestedLoopJoin") &&
+      !incPlan.contains("CartesianProduct"),
+      s"weighted incremental lane lost its hash-equi shape:\n${incPlan.take(1500)}")
+  }
+
   test("no BroadcastNestedLoopJoin outside the declared brute-force operators") {
     // q_embed_neardup (exact-oracle near-dup baseline) and q_ann_topk
     // (bruteForceTopK: every corpus vector scores against the broadcast
