@@ -191,33 +191,47 @@ object WebPages {
     val shingles = pages.map(p => TextOps.shingleHashes(p.text)).toArray // sorted by construction
     val sims = pages.map(p => TextOps.simHash64(p.text)).toArray
     val fps = pages.map(p => TextOps.winnowedFingerprints(p.text).toSet).toArray
-    val out = mutable.Set[(String, String, String)]()
     def key(i: Int, j: Int): (String, String) = {
       val (a, b) = (pages(i).url, pages(j).url)
       if (a < b) (a, b) else (b, a)
     }
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        if (pages(i).text == pages(j).text) {
-          val k = key(i, j); out += ((k._1, k._2, "exact"))
-        } else {
-          val jac = sortedJaccard(shingles(i), shingles(j))
-          if (jac >= cfg.jaccardThreshold) {
-            val k = key(i, j); out += ((k._1, k._2, "near"))
-          } else if (java.lang.Long.bitCount(sims(i) ^ sims(j)) <= cfg.simhashMaxDist) {
-            val k = key(i, j); out += ((k._1, k._2, "simhash"))
-          } else if (fps(i).exists(fps(j).contains) &&
-              SuffixArray.longestCommonSubstring(pages(i).text, pages(j).text) >= cfg.minSubstringLen) {
-            val k = key(i, j); out += ((k._1, k._2, "substring"))
+    // the O(n²/2) pair loop parallelized over driver cores (r6: ~0.5 s
+    // single-threaded at n=800 sat inside q_pages_recall's timed path per
+    // rep). Each thread owns a disjoint stripe of `i` and a private set;
+    // the union of disjoint per-pair verdicts is order-free, so the result
+    // set is identical to the sequential loop's.
+    val threads = math.max(1, Runtime.getRuntime.availableProcessors())
+    def stripe(s: Int): mutable.Set[(String, String, String)] = {
+      val local = mutable.Set[(String, String, String)]()
+      var i = s
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (pages(i).text == pages(j).text) {
+            val k = key(i, j); local += ((k._1, k._2, "exact"))
+          } else {
+            val jac = sortedJaccard(shingles(i), shingles(j))
+            if (jac >= cfg.jaccardThreshold) {
+              val k = key(i, j); local += ((k._1, k._2, "near"))
+            } else if (java.lang.Long.bitCount(sims(i) ^ sims(j)) <= cfg.simhashMaxDist) {
+              val k = key(i, j); local += ((k._1, k._2, "simhash"))
+            } else if (fps(i).exists(fps(j).contains) &&
+                SuffixArray.longestCommonSubstring(pages(i).text, pages(j).text) >= cfg.minSubstringLen) {
+              val k = key(i, j); local += ((k._1, k._2, "substring"))
+            }
           }
+          j += 1
         }
-        j += 1
+        i += threads
       }
-      i += 1
+      local
     }
-    out.toSet
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val parts = Await.result(
+      Future.sequence((0 until threads).map(s => Future(stripe(s)))), Duration.Inf)
+    parts.reduce { (a, b) => a ++= b; a }.toSet
   }
 
   /** Jaccard of two sorted long arrays (delegates to the shared kernel). */
