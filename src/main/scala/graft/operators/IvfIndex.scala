@@ -146,7 +146,13 @@ object IvfIndex {
       while (it < iters) {
         val (round, bc) = lloydRound(vecs, cents)
         val rows = round.collect()
-        bc.destroy()
+        // non-blocking: the round is done with the broadcast; the blocking
+        // destroy() waited for cluster-wide removal once per Lloyd round
+        // for no correctness benefit. unpersist(false) drops executor
+        // copies asynchronously and the ContextCleaner destroys the
+        // driver-side remainder when `bc` goes unreferenced (the same
+        // lifecycle the materialized-RDD blocks use).
+        bc.unpersist(blocking = false)
         val next = cents.map(_.clone())
         rows.foreach { r =>
           val cell = r.getInt(0)
